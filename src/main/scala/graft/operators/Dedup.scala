@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` / `embeddings` — the core of a
+  * training-data pipeline at 100 TB. Four families:
+  *
+  *  - exact:        hash-groupBy on md5(text) → canonical doc per group
+  *  - n-gram:       token-3-gram shingles → inverted-index self-join →
+  *                  Jaccard (candidate generation via shared shingles, the
+  *                  scalable alternative to O(n²) pairing)
+  *  - MinHash LSH:  12 md5-derived minhashes → 4 bands of 3 → bucket keys
+  *  - SimHash:      16-bit sign-of-sum fingerprint from token md5 bits
+  *  - embedding:    cosine near-dup within label blocks (blocked O(n²/b))
+  *
+  * md5 is the shared hash primitive (identical in Spark and DuckDB, and
+  * codegen'd by Catalyst), so every signature is oracle-checkable.
+  */
+object Dedup {
+
+  private val toks = "split(trim(text), '\\\\s+')"
+
+  /** Token 3-gram shingles (distinct), as a SQL expression. */
+  private val shingles =
+    s"array_distinct(transform(sequence(1, greatest(size($toks) - 2, 1)), " +
+      s"i -> concat_ws(' ', slice($toks, i, 3))))"
+
+  /** Sequential double dot product of two float arrays — left-fold order
+    * matches DuckDB's list_reduce, so results are bit-identical.
+    */
+  def dot(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), " +
+      s"0D, (acc, v) -> acc + v)"
+
+  private val nHashes = 12
+  private val nBands = 4 // 3 hashes per band
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: hash-groupBy. At scale this is one shuffle on a
+    // 16-byte key with map-side distinct — the cheapest possible dedup.
+    "q30_exact_dedup" -> { (s, dir) =>
+      val w = Window.partitionBy("content_hash")
+      Synth.documents(s, dir)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("content_hash"))
+        .withColumn("canonical_id", min(col("doc_id")).over(w))
+        .withColumn("is_canonical", col("doc_id") === col("canonical_id"))
+        .select("doc_id", "canonical_id", "is_canonical")
+        .orderBy("doc_id")
+    },
+
+    // N-gram Jaccard near-dup: inverted index on shingles → candidate
+    // pairs → exact Jaccard; top-50 most similar pairs (deterministic
+    // tiebreak). The shingle join replaces all-pairs comparison: cost is
+    // sum over shingles of (docs-per-shingle choose 2), not n².
+    "q31_ngram_jaccard" -> { (s, dir) =>
+      val docs = Synth.documents(s, dir)
+        .select(col("doc_id"), expr(shingles).as("sh"))
+        .select(col("doc_id"), expr("size(sh)").as("n_sh"), explode(col("sh")).as("shingle"))
+      val a = docs.toDF("id_a", "n_a", "shingle")
+      val b = docs.toDF("id_b", "n_b", "shingle")
+      a.join(b, "shingle")
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(count(lit(1)).as("shared"))
+        .withColumn("jaccard",
+          col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")))
+        .select("id_a", "id_b", "shared", "jaccard")
+        .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+        .limit(50)
+    },
+
+    // MinHash signatures + LSH band buckets. Lexicographic min over
+    // fixed-width hex == numeric min, so signatures stay strings and stay
+    // engine-portable. Bands hash 3 signature slots into one bucket key;
+    // docs sharing any band key are near-dup candidates.
+    "q32_minhash_lsh" -> { (s, dir) =>
+      val docs = Synth.documents(s, dir)
+        .select(col("doc_id"), explode(expr(shingles)).as("shingle"))
+      val mhCols = (0 until nHashes).map(i =>
+        min(expr(s"substring(md5(cast(concat(shingle, '#$i') as binary)), 1, 16)"))
+          .as(s"mh$i"))
+      val mh = docs.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+      val withBands = (0 until nBands).foldLeft(mh) { (df, bnd) =>
+        val cols = (0 until 3).map(j => s"mh${bnd * 3 + j}").mkString(", ")
+        df.withColumn(s"band$bnd",
+          expr(s"md5(cast(concat_ws('|', $cols) as binary))"))
+      }
+      withBands
+        .select(col("doc_id"), col("mh0"), col("mh1"), col("mh2"), col("mh3"),
+          col("band0"), col("band1"), col("band2"), col("band3"))
+        .orderBy("doc_id")
+    },
+
+    // SimHash: 16-bit fingerprint. Bit b of each token's md5 votes ±1;
+    // fingerprint bit = sign of the vote sum. Explodes (doc × token × bit)
+    // then two hash aggregations — map-only + two shuffles on small keys.
+    "q33_simhash" -> { (s, dir) =>
+      Synth.documents(s, dir)
+        .select(col("doc_id"), explode(expr(toks)).as("tok"))
+        .select(col("doc_id"), md5(col("tok").cast("binary")).as("h"))
+        .select(col("doc_id"), col("h"), explode(expr("sequence(0, 15)")).as("b"))
+        .withColumn("d",
+          expr("instr('0123456789abcdef', substring(h, cast(b / 4 as int) + 1, 1)) - 1"))
+        .withColumn("bit", expr("shiftright(d, 3 - b % 4) % 2"))
+        .groupBy("doc_id", "b")
+        .agg(sum(when(col("bit") === 1, 1).otherwise(-1)).as("vote"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("vote") > 0,
+          expr("cast(pow(2, b) as bigint)")).otherwise(0L)).as("simhash16"))
+        .orderBy("doc_id")
+    },
+
+    // Embedding cosine near-dup, blocked by label (the generic pattern:
+    // block on a cheap key — cluster id, LSH bucket — then exact cosine
+    // inside blocks; never all-pairs at scale).
+    "q34_embedding_neardup" -> { (s, dir) =>
+      val e = Synth.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val a = e.toDF("id_a", "emb_a", "label")
+      val b = e.toDF("id_b", "emb_b", "label")
+      a.join(b, "label")
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cosine", expr(dot("emb_a", "emb_b")))
+        .filter(col("cosine") > 0.4)
+        .select("label", "id_a", "id_b", "cosine")
+        .orderBy("id_a", "id_b")
+    }
+  )
+
+  private val dToks = "regexp_split_to_array(trim(text), '\\s+')"
+  private val dShingles =
+    s"list_distinct(list_transform(generate_series(1, greatest(len($dToks) - 2, 1)), " +
+      s"i -> array_to_string(list_slice($dToks, i, i + 2), ' ')))"
+
+  def oracle: Map[String, String] = Map(
+    "q30_exact_dedup" ->
+      """SELECT doc_id,
+        | min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+        | doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q31_ngram_jaccard" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(sh) AS shingle, len(sh) AS n_sh
+         |  FROM (SELECT doc_id, $dShingles AS sh FROM documents)
+         |)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
+         |  cast(count(*) as double) / (a.n_sh + b.n_sh - count(*)) AS jaccard
+         |FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+         |ORDER BY jaccard DESC, id_a, id_b LIMIT 50""".stripMargin,
+
+    "q32_minhash_lsh" -> {
+      val mhCols = (0 until nHashes).map(i =>
+        s"min(substring(md5(shingle || '#$i'), 1, 16)) AS mh$i").mkString(",\n ")
+      val bandCols = (0 until nBands).map { bnd =>
+        val cols = (0 until 3).map(j => s"mh${bnd * 3 + j}").mkString(", ")
+        s"md5(concat_ws('|', $cols)) AS band$bnd"
+      }.mkString(",\n ")
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest($dShingles) AS shingle FROM documents),
+         |mh AS (SELECT doc_id, $mhCols FROM sh GROUP BY doc_id)
+         |SELECT doc_id, mh0, mh1, mh2, mh3, $bandCols
+         |FROM mh ORDER BY doc_id""".stripMargin
+    },
+
+    "q33_simhash" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, md5(unnest($dToks)) AS h FROM documents),
+         |bits AS (
+         |  SELECT doc_id, b,
+         |    strpos('0123456789abcdef', substring(h, b // 4 + 1, 1)) - 1 AS d
+         |  FROM tok, (SELECT unnest(generate_series(0, 15)) AS b)),
+         |votes AS (
+         |  SELECT doc_id, b,
+         |    sum(CASE WHEN (d >> (3 - b % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+         |  FROM bits GROUP BY doc_id, b)
+         |SELECT doc_id,
+         |  cast(sum(CASE WHEN vote > 0 THEN cast(pow(2, b) as bigint) ELSE 0 END) as bigint) AS simhash16
+         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q34_embedding_neardup" -> {
+      val d = "list_reduce(list_transform(list_zip(a.embedding, b.embedding), " +
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
+      s"""SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b, $d AS cosine
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE $d > 0.4
+         |ORDER BY id_a, id_b""".stripMargin
+    }
+  )
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Opaque binary payload with typed metadata — one row per media object. */
+final case class MediaRecord(doc_id: Long, payload: Array[Byte], mime: String)
+
+/** Deterministic features extracted from a media payload. In production the
+  * decode step would call an image/audio codec; here it is a deterministic
+  * fake (byte-level sampling) so the Spark-side plumbing — schema,
+  * partitioning, typed mapPartitions signature, per-partition batch shape —
+  * is real and tested while the codec itself is stubbed.
+  */
+final case class MediaFeatures(
+    doc_id: Long,
+    n_bytes: Int,
+    head_hex: String,
+    frame_hex: String,
+    frame_sum: Long)
+
+/** Multimodal-column plumbing: treat media as `binary` columns with typed
+  * metadata; decode / frame-sample / feature-extract run as a typed
+  * `mapPartitions` over the binary column (the Scala analogue of
+  * `mapInPandas` batch UDFs — one iterator per partition, no per-row
+  * serialization overhead).
+  *
+  * The pipeline shape scales: binary payloads stay columnar parquet bytes,
+  * the map is narrow (no shuffle), and partition sizing is controlled by
+  * `spark.sql.files.maxPartitionBytes` exactly as for any other column.
+  */
+object Multimodal {
+
+  private val FrameStride = 64
+  private val HeadBytes = 8
+
+  /** STUB — the real codec (image decode, audio resample) is not available
+    * in this environment. Deterministic byte-level stand-in: "frames" are
+    * the bytes at every FrameStride-th offset.
+    */
+  def decodeAndExtract(m: MediaRecord): MediaFeatures = {
+    val n = m.payload.length
+    val head = m.payload.take(HeadBytes).map(b => f"${b & 0xff}%02X").mkString
+    val frameIdx = 0 until n by FrameStride
+    val frames = frameIdx.map(i => m.payload(i) & 0xff)
+    MediaFeatures(
+      doc_id = m.doc_id,
+      n_bytes = n,
+      head_hex = head,
+      frame_hex = frames.map(v => f"$v%02X").mkString,
+      frame_sum = frames.map(_.toLong).sum)
+  }
+
+  /** The operator: Dataset[MediaRecord] → Dataset[MediaFeatures], batched
+    * per partition.
+    */
+  def extractFeatures(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map(decodeAndExtract))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // documents.text re-encoded as the binary payload (the container has
+    // no real media); everything downstream treats it as opaque bytes.
+    "q50_multimodal_features" -> { (s, dir) =>
+      import s.implicits._
+      val media = Synth.documents(s, dir)
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"),
+          lit("text/plain").as("mime"))
+        .as[MediaRecord]
+      extractFeatures(media).toDF().orderBy("doc_id")
+    }
+  )
+
+  // Oracle: the same byte-level sampling expressed over DuckDB's hex/blob
+  // functions — verifies the mapPartitions plumbing end-to-end.
+  def oracle: Map[String, String] = Map(
+    "q50_multimodal_features" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, n, hx,
+         |    list_transform(generate_series(0, n - 1, $FrameStride),
+         |      i -> substring(hx, i * 2 + 1, 2)) AS frames
+         |  FROM h)
+         |SELECT doc_id, cast(n as int) AS n_bytes,
+         |  substring(hx, 1, ${2 * HeadBytes}) AS head_hex,
+         |  array_to_string(frames, '') AS frame_hex,
+         |  coalesce(cast(list_sum(list_transform(frames,
+         |    x -> (strpos('0123456789ABCDEF', substring(x, 1, 1)) - 1) * 16
+         |       + strpos('0123456789ABCDEF', substring(x, 2, 1)) - 1)) as bigint), 0) AS frame_sum
+         |FROM f ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,225 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Full relational query surface — joins / aggregations / windows / sorts /
+  * set-ops / rollup / sessionization.
+  *
+  * The reference has none of these (SURVEY §2.3/§2.5–§2.7 mark them absent:
+  * it is a single-input ETL loader), but a user switching to this engine
+  * gets them via Catalyst built-ins; these queries pin the semantics against
+  * the DuckDB oracle and double as the bench headline set.
+  *
+  * Float-determinism policy: every aggregated money/quantity column goes
+  * through decimal(18,2) so Spark and DuckDB do exact decimal arithmetic
+  * and produce bit-identical doubles after the final cast; raw double
+  * columns are only ever passed through (same bits) or compared (same
+  * ordering), never re-accumulated in binary floating point.
+  */
+object Relational {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-style pricing summary: the canonical partial-agg shape
+    // (map-side combine → final agg; no shuffle of raw rows).
+    "q10_pricing_summary" -> { (s, dir) =>
+      Synth.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+            .cast("double").as("sum_disc_price"),
+          sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))
+            * dec(lit(1) + col("l_tax"))).cast("double").as("sum_charge"),
+          (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          (sum(dec(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // Star join: fact (orders→customer) with broadcast dims (nation,
+    // region). At 100 TB the orders⋈customer join shuffles on the key;
+    // nation/region are broadcast so they never shuffle.
+    "q11_revenue_by_nation" -> { (s, dir) =>
+      val o = Synth.orders(s, dir)
+      val c = Synth.customer(s, dir)
+      val n = Synth.nation(s, dir)
+      val r = Synth.region(s, dir)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          sum(dec(col("o_totalprice"))).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // Ranking window: top-3 orders per customer (deterministic tiebreak).
+    "q12_top_orders_per_cust" -> { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Synth.orders(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_custkey", "rk")
+    },
+
+    // Left-semi join (EXISTS): customers having a recent order.
+    "q13_semi_join" -> { (s, dir) =>
+      val c = Synth.customer(s, dir)
+      val o = Synth.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1995-01-01"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")
+    },
+
+    // Left-anti join (NOT EXISTS): parts never shipped.
+    "q14_anti_join" -> { (s, dir) =>
+      val p = Synth.part(s, dir)
+      val l = Synth.lineitem(s, dir)
+      p.join(l, p("p_partkey") === l("l_partkey"), "left_anti")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"))
+        .orderBy("p_brand")
+    },
+
+    // Set operations: INTERSECT / EXCEPT with distinct semantics.
+    "q15_setops" -> { (s, dir) =>
+      val ev = Synth.events(s, dir)
+      val purchase = ev.filter(col("event_type") === "purchase").select("user_id")
+      val signup = ev.filter(col("event_type") === "signup").select("user_id")
+      purchase.intersect(signup).withColumn("tag", lit("both"))
+        .unionByName(purchase.except(signup).withColumn("tag", lit("purchase_only")))
+        .select(col("tag"), col("user_id"))
+        .orderBy("tag", "user_id")
+    },
+
+    // Rollup (hierarchical subtotals); subtotal NULLs rendered as '(all)'
+    // so ordering is engine-independent.
+    "q16_rollup" -> { (s, dir) =>
+      Synth.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+          col("n_rows"), col("sum_qty"))
+        .orderBy("returnflag", "linestatus")
+    },
+
+    // Sessionization: lag + gap>30min flag + running sum per user — the
+    // standard event-stream window composition.
+    "q17_sessionize" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Synth.events(s, dir)
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("session_seq", sum(col("new_sess")).over(wRun))
+        .select(col("user_id"), col("event_id"), col("session_seq"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // Distinct aggregation: exact distinct users per event type.
+    "q18_distinct_users" -> { (s, dir) =>
+      Synth.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q10_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty,
+        | cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sum_base_price,
+        | cast(sum(cast(l_extendedprice as decimal(18,2)) * cast(1 - l_discount as decimal(18,2))) as double) AS sum_disc_price,
+        | cast(sum(cast(l_extendedprice as decimal(18,2)) * cast(1 - l_discount as decimal(18,2)) * cast(1 + l_tax as decimal(18,2))) as double) AS sum_charge,
+        | cast(sum(cast(l_quantity as decimal(18,2))) as double) / count(*) AS avg_qty,
+        | cast(sum(cast(l_discount as decimal(18,2))) as double) / count(*) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= timestamp '1998-09-02'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q11_revenue_by_nation" ->
+      """SELECT r_name, n_name,
+        | cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS revenue,
+        | count(*) AS n_orders
+        |FROM orders
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q12_top_orders_per_cust" ->
+      """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  cast(row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC) as int) AS rk
+        | FROM orders)
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+
+    "q13_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderdate >= timestamp '1995-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q14_anti_join" ->
+      """SELECT p_brand, count(*) AS n_parts FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q15_setops" ->
+      """SELECT 'both' AS tag, user_id FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'purchase'
+        |  INTERSECT
+        |  SELECT user_id FROM events WHERE event_type = 'signup')
+        |UNION ALL
+        |SELECT 'purchase_only' AS tag, user_id FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'purchase'
+        |  EXCEPT
+        |  SELECT user_id FROM events WHERE event_type = 'signup')
+        |ORDER BY tag, user_id""".stripMargin,
+
+    "q16_rollup" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+        | coalesce(l_linestatus, '(all)') AS linestatus,
+        | count(*) AS n_rows,
+        | cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q17_sessionize" ->
+      """SELECT user_id, event_id,
+        | cast(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS session_seq
+        |FROM (
+        | SELECT user_id, event_id, ts,
+        |  CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |    OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |   THEN 1 ELSE 0 END AS new_sess
+        | FROM events)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q18_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

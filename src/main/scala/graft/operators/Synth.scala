@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Synthesized loader-input columns over the driver-provided `events` table.
+  *
+  * The reference consumes byte records that are either enriched-event TSV
+  * lines (collector_tstamp at column index 3 — reference:
+  * modules/core/src/main/scala/.../core/Processing.scala:143-154) or
+  * self-describing JSONs (`{"schema":"iglu:...","data":{...}}` — reference:
+  * Processing.scala:175-187). The driver's parquet `events` table plays the
+  * role of the source stream; these helpers render each row into both line
+  * shapes so the same rows drive the Spark pipeline and the DuckDB oracle
+  * (see FIXTURES.md §6).
+  *
+  * Every expression here must have an exactly-equivalent DuckDB rendering in
+  * the corresponding oracle SQL (OracleSql.scala) — deterministic string /
+  * integer / decimal arithmetic only, no engine-specific float formatting.
+  */
+object Synth {
+
+  /** Millisecond-precision wall-clock rendering used in the TSV line. */
+  def tsStr(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss.SSS")
+
+  /** `value` rendered via decimal(18,2) so both engines print identically. */
+  def valStr(c: Column): Column = c.cast(DecimalType(18, 2)).cast("string")
+
+  /** Enriched-event TSV line: collector_tstamp at split index 3. */
+  def enrichedLine(): Column =
+    concat_ws(
+      "\t",
+      col("event_id").cast("string"),
+      col("event_type"),
+      lit(""),
+      tsStr(col("ts")),
+      col("user_id").cast("string"),
+      valStr(col("value")),
+      col("props")
+    )
+
+  /** Self-describing JSON line. Rows with event_type='error' are rendered
+    * without a `schema` field → deterministic bad rows (FIXTURES.md §2).
+    */
+  def sdjLine(): Column =
+    when(col("event_type") === "error", col("props"))
+      .otherwise(
+        concat(
+          lit("{\"schema\":\"iglu:com.example/"),
+          col("event_type"),
+          lit("/jsonschema/1-0-0\",\"data\":"),
+          col("props"),
+          lit("}")
+        ))
+
+  val IgluRegex = "^iglu:([^/]+)/([^/]+)/([^/]+)/(\\d+)-(\\d+)-(\\d+)$"
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects; read it as raw nanos and convert to a microsecond timestamp
+    * (floor division — matches DuckDB's epoch_us truncation).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/orders.parquet")
+  def customer(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/customer.parquet")
+  def nation(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/nation.parquet")
+  def region(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/region.parquet")
+  def supplier(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/supplier.parquet")
+  def part(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/part.parquet")
+}

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the per-document
+  * scoring a large-scale training-data pipeline runs before filtering:
+  * token counting, quality scoring, language-ID (stopword-set voting),
+  * content fingerprinting.
+  *
+  * All row-local arithmetic derives from exact integers (lengths/counts),
+  * so Spark and DuckDB produce bit-identical doubles without rounding.
+  * Everything is a narrow projection — no shuffle; at 100 TB this runs
+  * map-only at scan speed with full column pruning.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization shared by every operator (Spark side). */
+  private val toks = "split(trim(text), '\\\\s+')"
+
+  // Stopword-set votes for the lang-id heuristic. The sets must be written
+  // identically in the DuckDB oracle below.
+  private val EnSet = "('the','a','of','and','to','in')"
+  private val EsSet = "('el','la','de','que','y','en')"
+  private val DeSet = "('der','die','und','das','ist','ein')"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting: whitespace tokens + a BPE-ish regex token count
+    // (non-overlapping [a-z]{1,4} chunks approximate subword splitting).
+    "q20_token_stats" -> { (s, dir) =>
+      Synth.documents(s, dir)
+        .select(
+          col("doc_id"),
+          expr(s"size($toks)").as("n_tokens"),
+          regexp_count(col("text"), lit("[a-zA-Z]{1,4}")).as("n_bpe_tokens"),
+          length(regexp_replace(col("text"), "\\s+", "")).as("n_token_chars"))
+        .withColumn("avg_token_len",
+          col("n_token_chars").cast("double") / col("n_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // Quality scoring: length/stopword/uniqueness ratios → composite score.
+    "q21_quality_score" -> { (s, dir) =>
+      Synth.documents(s, dir)
+        .select(
+          col("doc_id"),
+          col("n_chars"),
+          expr(s"size($toks)").as("n_tokens"),
+          expr(s"size(filter($toks, t -> t in $EnSet))").as("n_stop"),
+          expr(s"size(array_distinct($toks))").as("n_distinct"))
+        .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+        .withColumn("uniq_ratio", col("n_distinct").cast("double") / col("n_tokens"))
+        .withColumn("quality_score",
+          least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.3
+            + (lit(1.0) - col("stop_ratio")) * 0.3
+            + col("uniq_ratio") * 0.4)
+        .orderBy("doc_id")
+    },
+
+    // Language-ID: stopword-set voting with deterministic tie-break
+    // (en > es > de > und).
+    "q22_langid" -> { (s, dir) =>
+      Synth.documents(s, dir)
+        .select(
+          col("doc_id"),
+          expr(s"size(filter($toks, t -> t in $EnSet))").as("v_en"),
+          expr(s"size(filter($toks, t -> t in $EsSet))").as("v_es"),
+          expr(s"size(filter($toks, t -> t in $DeSet))").as("v_de"))
+        .withColumn("pred_lang",
+          when(col("v_en") + col("v_es") + col("v_de") === 0, "und")
+            .when(col("v_en") >= col("v_es") && col("v_en") >= col("v_de"), "en")
+            .when(col("v_es") >= col("v_de"), "es")
+            .otherwise("de"))
+        .orderBy("doc_id")
+    },
+
+    // Fingerprinting: exact content hash + order-insensitive bag-of-words
+    // fingerprint (sorted distinct tokens → md5). md5 is the one hash both
+    // engines define identically, so it is the primitive for all
+    // fingerprint/minhash machinery in this codebase.
+    "q23_fingerprint" -> { (s, dir) =>
+      Synth.documents(s, dir)
+        .select(
+          col("doc_id"),
+          md5(col("text").cast("binary")).as("content_hash"),
+          md5(expr(s"concat_ws(' ', array_sort(array_distinct($toks)))")
+            .cast("binary")).as("bow_fingerprint"))
+        .orderBy("doc_id")
+    }
+  )
+
+  private val dToks = "regexp_split_to_array(trim(text), '\\s+')"
+
+  def oracle: Map[String, String] = Map(
+    "q20_token_stats" ->
+      s"""SELECT doc_id,
+         | cast(len($dToks) as int) AS n_tokens,
+         | cast(len(regexp_extract_all(text, '[a-zA-Z]{1,4}')) as int) AS n_bpe_tokens,
+         | cast(length(regexp_replace(text, '\\s+', '', 'g')) as int) AS n_token_chars,
+         | cast(length(regexp_replace(text, '\\s+', '', 'g')) as double) / len($dToks) AS avg_token_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q21_quality_score" ->
+      s"""SELECT doc_id, n_chars, n_tokens, n_stop, n_distinct,
+         | stop_ratio, uniq_ratio,
+         | least(cast(n_tokens as double) / 100.0, 1.0) * 0.3
+         |   + (1.0 - stop_ratio) * 0.3 + uniq_ratio * 0.4 AS quality_score
+         |FROM (
+         | SELECT doc_id, n_chars,
+         |  cast(len($dToks) as int) AS n_tokens,
+         |  cast(len(list_filter($dToks, t -> t in $EnSet)) as int) AS n_stop,
+         |  cast(len(list_distinct($dToks)) as int) AS n_distinct,
+         |  cast(len(list_filter($dToks, t -> t in $EnSet)) as double) / len($dToks) AS stop_ratio,
+         |  cast(len(list_distinct($dToks)) as double) / len($dToks) AS uniq_ratio
+         | FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q22_langid" ->
+      s"""SELECT doc_id, v_en, v_es, v_de,
+         | CASE WHEN v_en + v_es + v_de = 0 THEN 'und'
+         |      WHEN v_en >= v_es AND v_en >= v_de THEN 'en'
+         |      WHEN v_es >= v_de THEN 'es'
+         |      ELSE 'de' END AS pred_lang
+         |FROM (
+         | SELECT doc_id,
+         |  cast(len(list_filter($dToks, t -> t in $EnSet)) as int) AS v_en,
+         |  cast(len(list_filter($dToks, t -> t in $EsSet)) as int) AS v_es,
+         |  cast(len(list_filter($dToks, t -> t in $DeSet)) as int) AS v_de
+         | FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q23_fingerprint" ->
+      s"""SELECT doc_id,
+         | md5(text) AS content_hash,
+         | md5(array_to_string(list_sort(list_distinct($dToks)), ' ')) AS bow_fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
