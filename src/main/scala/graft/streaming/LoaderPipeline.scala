@@ -1,0 +1,187 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.time.Instant
+import java.util.concurrent.atomic.{AtomicLong, AtomicReference}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.config.{LoaderConfig, Purpose}
+import graft.model.{BadRow, SchemaKey}
+import graft.operators.EventParser
+import graft.sinks.{BlobStore, RollingGzipWriter}
+import graft.sources.Decompression
+
+/** The loader dataflow — the Spark-native re-expression of the reference's
+  * fixed pipeline (Processing.scala:69-77):
+  *
+  *   decompress → parse → good/bad split → grouped gzip write → metrics
+  *
+  * Stage mapping:
+  *  - decompressedStream  → [[decode]] (Dataset.flatMap over binary rows)
+  *  - parseBytes          → [[EventParser.parse]] (codegen'd column ops)
+  *  - batchUpAndCompress  → micro-batch boundary + RollingGzipWriter
+  *    (maxDelay ⇒ Trigger.ProcessingTime; maxBytes ⇒ compressed rolling)
+  *  - writeToStorage      → groupByKey(schema).flatMapGroups writeGroup —
+  *    each schema group writes from its own task, the distributed analogue
+  *    of the reference's parTraverse per group (Processing.scala:287-289)
+  *  - sendBadEvents       → size-capped bad-row JSON to the bad store
+  *  - emitTokens          → Structured Streaming checkpoint commit: offsets
+  *    commit only after foreachBatch returns ⇒ same at-least-once contract
+  *    (reference Processing.scala:74-77,333-336)
+  *
+  * Batch mode falls out for free: [[runBatch]] applies the identical
+  * transforms to a static DataFrame (an upgrade over the streaming-only
+  * reference).
+  */
+object LoaderPipeline {
+
+  /** Pluggable metrics (reference Metrics.scala:35-49): counts + e2e lag. */
+  final class Metrics extends Serializable {
+    val count = new AtomicLong(0)
+    val badCount = new AtomicLong(0)
+    val e2eLatencyMillis = new AtomicReference[Option[Long]](None)
+    val actions = new java.util.concurrent.ConcurrentLinkedQueue[RollingGzipWriter.WriteAction]()
+  }
+
+  final case class RawRecord(payload: Array[Byte], decompressError: String)
+
+  /** Decompression front-end: binary `value` column → one row per framed
+    * record; corrupt frames become rows with a non-null error.
+    */
+  def decode(df: DataFrame, limits: Decompression.Limits): Dataset[RawRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col("value").cast("binary")).as[Array[Byte]].flatMap { bytes =>
+      val d = Decompression.decode(bytes, limits)
+      d.records.map(RawRecord(_, null)) ++
+        d.error.map(e => RawRecord(bytes, e))
+    }
+  }
+
+  /** Full parse stage: decoded records → classified lines. */
+  def parse(records: Dataset[RawRecord], purpose: Purpose): DataFrame = {
+    val lines = records
+      .withColumn("line", col("payload").cast("string"))
+    val parsed = EventParser.parse(
+      lines.filter(col("decompressError").isNull), purpose == Purpose.Enriched)
+    val decompBad = lines.filter(col("decompressError").isNotNull)
+      .withColumn("bad_error", col("decompressError"))
+      .withColumn("vendor", lit(null).cast("string"))
+      .withColumn("name", lit(null).cast("string"))
+      .withColumn("format", lit(null).cast("string"))
+      .withColumn("model", lit(null).cast("int"))
+      .withColumn("collector_tstamp", lit(null).cast("timestamp"))
+    parsed.unionByName(decompBad.select(parsed.columns.map(col).toSeq: _*))
+  }
+
+  /** One micro-batch (or one whole batch run): write grouped gzip objects,
+    * bad rows, update metrics. `now` is injectable for deterministic tests
+    * (reference tests pin the clock, ProcessingSpec e4).
+    */
+  def writeBatch(
+      parsed: DataFrame,
+      cfg: LoaderConfig,
+      store: BlobStore,
+      metrics: Metrics,
+      now: () => Instant = () => Instant.now()): Unit = {
+    import parsed.sparkSession.implicits._
+    val wallClock = now()
+
+    val good = EventParser.good(parsed)
+      .select(col("vendor"), col("name"), col("format"), col("model"),
+        col("line"), col("collector_tstamp"))
+
+    // Count + earliest tstamp in the same pass as the write (reference
+    // A2/A3, Processing.scala:108,167-173) via accumulator-free agg.
+    val stats = good.agg(
+      count(lit(1)), unix_micros(min(col("collector_tstamp")))).collect()(0)
+    val goodCount = stats.getLong(0)
+    val earliest = if (stats.isNullAt(1)) None else Some(stats.getLong(1))
+
+    val sinkCfg = RollingGzipWriter.SinkConfig(
+      cfg.output.path, cfg.output.prefix, cfg.output.partitionFormat,
+      cfg.batching.maxBytes)
+
+    val actions: Array[RollingGzipWriter.WriteAction] = good
+      .groupByKey(r => (r.getAs[String]("vendor"), r.getAs[String]("name"),
+        r.getAs[String]("format"), r.getAs[Int]("model")))
+      .flatMapGroups { (key, rows) =>
+        val schema = SchemaKey(key._1, key._2, key._3, key._4, 0, 0)
+        RollingGzipWriter.writeGroup(
+          store, sinkCfg, schema, wallClock,
+          rows.map(_.getAs[String]("line"))).iterator
+      }
+      .collect()
+
+    actions.foreach(metrics.actions.add)
+    metrics.count.addAndGet(goodCount)
+    earliest.foreach { us =>
+      metrics.e2eLatencyMillis.set(
+        Some(wallClock.toEpochMilli - us / 1000))
+    }
+
+    // Bad rows: serialize with the size cap (reference P6,
+    // BadRowsSerializer.scala:24-44). Written from executor tasks — one
+    // object per non-empty partition — never collected to the driver
+    // (the reference's bad sink also streams in chunks,
+    // Processing.scala:315-331).
+    val processor = BadRow.Processor("graft-loader", "0.1.0")
+    val maxSize = cfg.bad.maxRecordSize
+    val badPath = cfg.bad.path
+    val badSinkCfg = RollingGzipWriter.SinkConfig(
+      badPath, "bad-", None, cfg.batching.maxBytes)
+    val badWritten = EventParser.bad(parsed)
+      .select(col("line"), col("bad_error"))
+      .as[(String, String)]
+      .mapPartitions { rows =>
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val jsons = rows.map { case (line, err) =>
+            val row = BadRow.GenericError(
+              processor, List(err),
+              line.getBytes(StandardCharsets.UTF_8), wallClock)
+            BadRow.sizeCapped(row, maxSize, wallClock, processor)
+          }
+          var n = 0L
+          RollingGzipWriter.writeGroup(
+            store, badSinkCfg, SchemaKey.Atomic, wallClock,
+            jsons.map { j => n += 1; j })
+          Iterator.single(n)
+        }
+      }
+      .collect()
+    metrics.badCount.addAndGet(badWritten.sum)
+  }
+
+  /** Batch-mode entry: run the whole pipeline over a static DataFrame. */
+  def runBatch(
+      df: DataFrame,
+      cfg: LoaderConfig,
+      store: BlobStore,
+      metrics: Metrics,
+      now: () => Instant = () => Instant.now()): Unit =
+    writeBatch(parse(decode(df, cfg.decompression), cfg.purpose), cfg, store,
+      metrics, now)
+
+  /** Streaming entry: micro-batches flush at maxDelay — the reference's
+    * time-bound batch emission (T3); offsets commit after each batch ⇒
+    * at-least-once (T7).
+    */
+  def stream(
+      df: DataFrame,
+      cfg: LoaderConfig,
+      store: BlobStore,
+      metrics: Metrics,
+      now: () => Instant = () => Instant.now()): DataStreamWriter[Row] = {
+    val w = df.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        writeBatch(parse(decode(batch, cfg.decompression), cfg.purpose),
+          cfg, store, metrics, now)
+      }
+      .trigger(Trigger.ProcessingTime(cfg.batching.maxDelay.toMillis))
+    cfg.checkpointLocation.fold(w)(p => w.option("checkpointLocation", p))
+  }
+}

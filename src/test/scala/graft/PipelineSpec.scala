@@ -1,0 +1,155 @@
+package graft
+
+import java.io.ByteArrayInputStream
+import java.time.Instant
+import java.util.zip.GZIPInputStream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config._
+import graft.sinks.InMemoryBlobStore
+import graft.streaming.LoaderPipeline
+
+/** End-to-end pipeline goldens — ports of reference ProcessingSpec e1–e4
+  * against the in-memory recording store (the reference's MockEnvironment
+  * analogue): written paths, decompressed content, counts, bad rows,
+  * size-bound rolling.
+  */
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("pipeline-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val fixedNow = Instant.parse("1970-01-01T00:00:00Z")
+
+  private def gunzip(b: Array[Byte]): String =
+    new String(new GZIPInputStream(new ByteArrayInputStream(b)).readAllBytes())
+
+  /** 131-column-ish minimal enriched TSV with collector_tstamp at index 3
+    * (FIXTURES.md §1).
+    */
+  private def tsv(ts: String): String =
+    s"app\tweb\t\t$ts\t\tpage_view\tid-1"
+
+  private def rawDf(payloads: Seq[String]): DataFrame = {
+    import spark.implicits._
+    payloads.map(_.getBytes("UTF-8")).toDF("value")
+  }
+
+  private def run(cfg: LoaderConfig, payloads: Seq[String]):
+      (InMemoryBlobStore, LoaderPipeline.Metrics) = {
+    val store = new InMemoryBlobStore
+    val metrics = new LoaderPipeline.Metrics
+    LoaderPipeline.runBatch(rawDf(payloads), cfg, store, metrics, () => fixedNow)
+    (store, metrics)
+  }
+
+  test("e1: enriched happy path — one gzip file, content = line\\nline\\n, count metric") {
+    val cfg = LoaderConfig(Purpose.Enriched, Output("mem://path"), BadOutput("mem://bad"))
+    val lines = Seq(tsv("1970-01-01 00:00:42.000"), tsv("1970-01-01 00:00:43.000"))
+    val (store, metrics) = run(cfg, lines)
+
+    assert(store.paths.size == 1)
+    // enriched default: no partition subdir; filename <ts>-<uuid>.gz
+    assert(store.paths.head.matches(
+      "mem://path/1970-01-01-000000-[0-9a-f-]{36}\\.gz"))
+    val content = gunzip(store.objects.get(store.paths.head))
+    assert(content == lines.mkString("", "\n", "\n"))
+    assert(metrics.count.get() == 2)
+    assert(metrics.badCount.get() == 0)
+    // e2e latency from min collector_tstamp (42 s before "now" = epoch)
+    assert(metrics.e2eLatencyMillis.get().contains(-42000L))
+  }
+
+  test("e2: SDJ grouping by schema + bad rows (reference ProcessingSpec:80-101)") {
+    val cfg = LoaderConfig.validate(LoaderConfig(
+      Purpose.Sdj, Output("mem://path"), BadOutput("mem://bad"))).toOption.get
+    val payloads = Seq(
+      """{"schema":"iglu:com.example/event1/jsonschema/1-0-0","data":{"f":"v1"}}""",
+      """{"schema":"iglu:com.example/event2/jsonschema/1-0-0","data":{"f":"v2"}}""",
+      """{"schema":"iglu:com.example/event1/jsonschema/1-0-0","data":{"f":"v3"}}""",
+      """{"data":{"f":"no-schema"}}""",
+      """not json at all""")
+    val (store, metrics) = run(cfg, payloads)
+
+    val good = store.paths.filter(_.startsWith("mem://path"))
+    assert(good.size == 2) // one file per schema group
+    assert(good.exists(_.contains("/com.example.event1/")))
+    assert(good.exists(_.contains("/com.example.event2/")))
+    val e1 = good.find(_.contains("event1")).get
+    assert(gunzip(store.objects.get(e1)).linesIterator.size == 2)
+    assert(metrics.count.get() == 3)
+    assert(metrics.badCount.get() == 2)
+
+    val badPaths = store.paths.filter(_.startsWith("mem://bad"))
+    assert(badPaths.nonEmpty)
+    val badContent = badPaths.map(p => gunzip(store.objects.get(p))).mkString
+    assert(badContent.contains("Can't parse JSON holding self-describing event"))
+    assert(badContent.contains("Can't extract schema from self-describing event"))
+    // payload is Base64 of the raw bytes (reference Processing.scala:198)
+    assert(badContent.contains(
+      java.util.Base64.getEncoder.encodeToString("not json at all".getBytes)))
+  }
+
+  test("e3: size-bound rolling — compressed maxBytes splits output files") {
+    val cfg = LoaderConfig(Purpose.Enriched, Output("mem://path"),
+      BadOutput("mem://bad"), Batching(maxBytes = 150))
+    // incompressible-ish distinct lines so gzip size grows per record
+    val lines = (0 until 8).map(i => tsv(f"1970-01-01 00:00:$i%02d.000") + s"-${i * 7919}")
+    val (store, metrics) = run(cfg, lines)
+    assert(store.paths.size > 1) // rolled at least once
+    val all = store.paths.flatMap(p => gunzip(store.objects.get(p)).linesIterator)
+    assert(all.toSet == lines.toSet) // no loss, no duplication
+    assert(metrics.count.get() == 8)
+  }
+
+  test("e4/streaming: MemoryStream micro-batches flush through foreachBatch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Array[Byte]]
+    val cfg = LoaderConfig(Purpose.Enriched, Output("mem://path"),
+      BadOutput("mem://bad"),
+      checkpointLocation = Some(
+        java.nio.file.Files.createTempDirectory("ckpt").toString))
+    val store = new InMemoryBlobStore
+    val metrics = new LoaderPipeline.Metrics
+
+    val q = LoaderPipeline.stream(
+      mem.toDF(), cfg, store, metrics, () => fixedNow).start()
+    try {
+      mem.addData(tsv("1970-01-01 00:00:01.000").getBytes)
+      q.processAllAvailable()
+      assert(metrics.count.get() == 1)
+      val afterFirst = store.paths.size
+      assert(afterFirst >= 1)
+      mem.addData(tsv("1970-01-01 00:00:02.000").getBytes)
+      q.processAllAvailable()
+      assert(metrics.count.get() == 2)
+      assert(store.paths.size > afterFirst) // second batch → new object
+    } finally q.stop()
+  }
+
+  test("decompression errors become bad rows end-to-end") {
+    val cfg = LoaderConfig(Purpose.Enriched, Output("mem://path"), BadOutput("mem://bad"))
+    val store = new InMemoryBlobStore
+    val metrics = new LoaderPipeline.Metrics
+    import spark.implicits._
+    val junk: Array[Byte] = Array(0x28, 0xb5.toByte, 0x2f, 0xfd.toByte, 9, 9, 9)
+    val df = Seq(junk).toDF("value")
+    LoaderPipeline.runBatch(df, cfg, store, metrics, () => fixedNow)
+    assert(metrics.badCount.get() == 1)
+    val badContent = store.paths.filter(_.startsWith("mem://bad"))
+      .map(p => gunzip(store.objects.get(p))).mkString
+    assert(badContent.contains("Could not decompress"))
+  }
+}
