@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registration of graft's native Catalyst expressions.
+  *
+  * Production path: `--conf spark.sql.extensions=graft.functions.GraftExtensions`
+  * (SparkSessionExtensions.injectFunction). For sessions built without the
+  * conf (the driver's Verify/Bench sessions), [[GraftFunctions.register]]
+  * installs the same functions idempotently at query-construction time.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.descriptors.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+
+  type Descriptor =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  val descriptors: Seq[Descriptor] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "graft_dot"),
+      (children: Seq[Expression]) => VectorDot(children(0), children(1))),
+    (FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[TokenShingles].getName, "graft_shingles"),
+      (children: Seq[Expression]) => TokenShingles(children(0),
+        children(1).eval().asInstanceOf[Int])))
+
+  /** Idempotent session-level registration. */
+  def register(spark: SparkSession): Unit =
+    descriptors.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(ident, info, builder)
+    }
+}

@@ -22,17 +22,23 @@ object Dedup {
 
   private val toks = "split(trim(text), '\\\\s+')"
 
-  /** Token 3-gram shingles (distinct), as a SQL expression. */
-  private val shingles =
-    s"array_distinct(transform(sequence(1, greatest(size($toks) - 2, 1)), " +
-      s"i -> concat_ws(' ', slice($toks, i, 3))))"
-
-  /** Sequential double dot product of two float arrays — left-fold order
-    * matches DuckDB's list_reduce, so results are bit-identical.
+  /** doc_id + distinct-3-gram-shingle array, shared by q31/q32. Uses the
+    * native [[graft.functions.TokenShingles]] expression — the composed
+    * array_distinct/transform/slice form it replaces runs the lambda
+    * interpreter per shingle and dominated both queries (~1 ms/doc).
     */
-  def dot(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), " +
-      s"0D, (acc, v) -> acc + v)"
+  private def shingled(s: SparkSession, dir: String) = {
+    graft.functions.GraftFunctions.register(s)
+    Synth.documents(s, dir)
+      .select(col("doc_id"), expr(s"graft_shingles($toks, 3)").as("sh"))
+  }
+
+  /** Sequential double dot product of two vector arrays — the native
+    * codegen'd [[graft.functions.VectorDot]], whose left-fold-in-double
+    * semantics are bit-identical to DuckDB's list_reduce (and to the
+    * composed aggregate/zip_with form it replaces).
+    */
+  def dot(a: String, b: String): String = s"graft_dot($a, $b)"
 
   private val nHashes = 12
   private val nBands = 4 // 3 hashes per band
@@ -55,8 +61,7 @@ object Dedup {
     // tiebreak). The shingle join replaces all-pairs comparison: cost is
     // sum over shingles of (docs-per-shingle choose 2), not n².
     "q31_ngram_jaccard" -> { (s, dir) =>
-      val docs = Synth.documents(s, dir)
-        .select(col("doc_id"), expr(shingles).as("sh"))
+      val docs = shingled(s, dir)
         .select(col("doc_id"), expr("size(sh)").as("n_sh"), explode(col("sh")).as("shingle"))
       val a = docs.toDF("id_a", "n_a", "shingle")
       val b = docs.toDF("id_b", "n_b", "shingle")
@@ -73,15 +78,19 @@ object Dedup {
 
     // MinHash signatures + LSH band buckets. Lexicographic min over
     // fixed-width hex == numeric min, so signatures stay strings and stay
-    // engine-portable. Bands hash 3 signature slots into one bucket key;
-    // docs sharing any band key are near-dup candidates.
+    // engine-portable. Map-only: the minimum is taken over each doc's
+    // shingle array in place (array_min ∘ transform) — no explode, no
+    // shuffle, and one md5 yields two 16-hex-char hash slots. Bands hash
+    // 3 signature slots into one bucket key; docs sharing any band key
+    // are near-dup candidates.
     "q32_minhash_lsh" -> { (s, dir) =>
-      val docs = Synth.documents(s, dir)
-        .select(col("doc_id"), explode(expr(shingles)).as("shingle"))
-      val mhCols = (0 until nHashes).map(i =>
-        min(expr(s"substring(md5(cast(concat(shingle, '#$i') as binary)), 1, 16)"))
-          .as(s"mh$i"))
-      val mh = docs.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+      val mhCols = (0 until nHashes).map { i =>
+        val (j, off) = (i / 2, 1 + 16 * (i % 2))
+        expr(s"array_min(transform(sh, x -> " +
+          s"substring(md5(cast(concat(x, '#$j') as binary)), $off, 16)))")
+          .as(s"mh$i")
+      }
+      val mh = shingled(s, dir).select(col("doc_id") +: mhCols: _*)
       val withBands = (0 until nBands).foldLeft(mh) { (df, bnd) =>
         val cols = (0 until 3).map(j => s"mh${bnd * 3 + j}").mkString(", ")
         df.withColumn(s"band$bnd",
@@ -116,6 +125,7 @@ object Dedup {
     // block on a cheap key — cluster id, LSH bucket — then exact cosine
     // inside blocks; never all-pairs at scale).
     "q34_embedding_neardup" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
       val e = Synth.embeddings(s, dir)
         .select(col("vec_id"), col("embedding"), col("label"))
       val a = e.toDF("id_a", "emb_a", "label")
@@ -153,15 +163,17 @@ object Dedup {
          |ORDER BY jaccard DESC, id_a, id_b LIMIT 50""".stripMargin,
 
     "q32_minhash_lsh" -> {
-      val mhCols = (0 until nHashes).map(i =>
-        s"min(substring(md5(shingle || '#$i'), 1, 16)) AS mh$i").mkString(",\n ")
+      val mhCols = (0 until nHashes).map { i =>
+        val (j, off) = (i / 2, 1 + 16 * (i % 2))
+        s"list_min(list_transform(sh, x -> substring(md5(x || '#$j'), $off, 16))) AS mh$i"
+      }.mkString(",\n ")
       val bandCols = (0 until nBands).map { bnd =>
         val cols = (0 until 3).map(j => s"mh${bnd * 3 + j}").mkString(", ")
         s"md5(concat_ws('|', $cols)) AS band$bnd"
       }.mkString(",\n ")
-      s"""WITH sh AS (
-         |  SELECT doc_id, unnest($dShingles) AS shingle FROM documents),
-         |mh AS (SELECT doc_id, $mhCols FROM sh GROUP BY doc_id)
+      s"""WITH mh AS (
+         |  SELECT doc_id, $mhCols
+         |  FROM (SELECT doc_id, $dShingles AS sh FROM documents))
          |SELECT doc_id, mh0, mh1, mh2, mh3, $bandCols
          |FROM mh ORDER BY doc_id""".stripMargin
     },

@@ -63,6 +63,7 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-k: broadcast queries × all vectors.
     "q40_knn_brute" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
       val e = Synth.embeddings(s, dir)
       val q = e.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
@@ -79,6 +80,7 @@ object Similarity {
     // LSH-bucketed ANN: assign every vector its hyperplane bucket
     // (map-only), then rank true cosine only inside the query's bucket.
     "q41_knn_lsh" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
       val e = Synth.embeddings(s, dir)
         .withColumn("bucket", expr(bucketExprSpark("embedding")))
       val q = e.filter(col("vec_id") < nQueries)
