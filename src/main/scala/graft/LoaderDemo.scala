@@ -6,22 +6,25 @@ import org.apache.spark.sql.functions._
 import graft.config._
 import graft.operators.Synth
 import graft.sinks.HadoopBlobStore
-import graft.streaming.LoaderPipeline
+import graft.sources.RecordSources
+import graft.streaming.{HealthProbe, LoaderPipeline}
 
-/** Demo/ops entrypoint: run the batch loader end-to-end over lines
-  * synthesized from the events table, writing real gzip objects through
-  * the production Hadoop blob store.
+/** Demo/ops entrypoint: run the loader end-to-end over lines synthesized
+  * from the events table, writing real gzip objects through the
+  * production Hadoop blob store.
   *
-  * Usage: runMain graft.LoaderDemo <sfDir> <outDir> [ENRICHED_EVENTS|SELF_DESCRIBING]
+  * Usage:
+  *   runMain graft.LoaderDemo <sfDir> <outDir> [ENRICHED_EVENTS|SELF_DESCRIBING]
+  *   runMain graft.LoaderDemo --stream <inDir> <outDir> [purpose]
+  *     — streaming mode: tails <inDir> for text files (RecordSources),
+  *       health probe on :8000, Ctrl-C (or SPARK_GRAFT_STREAM_SECONDS) to stop.
   */
 object LoaderDemo {
-  def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val outDir = if (args.length > 1) args(1) else "/tmp/loader_demo"
-    val purpose = Purpose.parse(
-      if (args.length > 2) args(2) else "SELF_DESCRIBING"
-    ).fold(e => throw new IllegalArgumentException(e), identity)
+  def main(args: Array[String]): Unit =
+    if (args.headOption.contains("--stream")) streamMain(args.drop(1))
+    else batchMain(args)
 
+  private def session(): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -29,6 +32,52 @@ object LoaderDemo {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  private def streamMain(args: Array[String]): Unit = {
+    val inDir = args.headOption.getOrElse("/tmp/loader_in")
+    val outDir = if (args.length > 1) args(1) else "/tmp/loader_stream"
+    val purpose = Purpose.parse(
+      if (args.length > 2) args(2) else "SELF_DESCRIBING"
+    ).fold(e => throw new IllegalArgumentException(e), identity)
+    val spark = session()
+
+    val probe = new HealthProbe().start()
+    spark.streams.addListener(probe)
+
+    val raw = RecordSources.build(spark, RecordSources.TextFiles(inDir))
+    val cfg = LoaderConfig.validate(LoaderConfig(
+      purpose,
+      Output(s"file://$outDir/good"),
+      BadOutput(s"file://$outDir/bad"),
+      batching = Batching(maxDelay = scala.concurrent.duration.DurationInt(2).seconds),
+      checkpointLocation = Some(s"$outDir/ckpt")))
+      .fold(e => throw new IllegalArgumentException(e), identity)
+
+    val store = new HadoopBlobStore(Map.empty)
+    val metrics = new LoaderPipeline.Metrics
+    val q = LoaderPipeline.stream(raw, cfg, store, metrics).start()
+    println(s"[demo] streaming from $inDir; health probe on :8000")
+    sys.env.get("SPARK_GRAFT_STREAM_SECONDS") match {
+      case Some(s) =>
+        q.awaitTermination(s.toLong * 1000)
+        q.stop()
+        println(s"[demo] stopped; good=${metrics.count.get()} bad=${metrics.badCount.get()}")
+      case None => q.awaitTermination()
+    }
+    probe.stop()
+    spark.stop()
+  }
+
+  private def batchMain(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = if (args.length > 1) args(1) else "/tmp/loader_demo"
+    val purpose = Purpose.parse(
+      if (args.length > 2) args(2) else "SELF_DESCRIBING"
+    ).fold(e => throw new IllegalArgumentException(e), identity)
+
+    val spark = session()
 
     val line = if (purpose == Purpose.Enriched) Synth.enrichedLine() else Synth.sdjLine()
     val raw = Synth.events(spark, sfDir)

@@ -83,10 +83,11 @@ object Relational {
         .orderBy("c_mktsegment")
     },
 
-    // Left-anti join (NOT EXISTS): parts never shipped.
+    // Left-anti join (NOT EXISTS): parts with no recent shipment.
     "q14_anti_join" -> { (s, dir) =>
       val p = Synth.part(s, dir)
       val l = Synth.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("2001-06-01"))
       p.join(l, p("p_partkey") === l("l_partkey"), "left_anti")
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n_parts"))
@@ -183,7 +184,8 @@ object Relational {
 
     "q14_anti_join" ->
       """SELECT p_brand, count(*) AS n_parts FROM part
-        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_partkey = p_partkey AND l_shipdate >= timestamp '2001-06-01')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q15_setops" ->
