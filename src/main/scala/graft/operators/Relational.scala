@@ -142,6 +142,24 @@ object Relational {
         .agg(countDistinct(col("user_id")).as("n_users"),
           count(lit(1)).as("n_events"))
         .orderBy("event_type")
+    },
+
+    // As-of join (operator Spark lacks natively — see AsOfJoin): each
+    // purchase matched to the user's most recent prior-or-same-time view.
+    "q19_asof_join" -> { (s, dir) =>
+      val ev = Synth.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_event_id"),
+          col("ts").as("view_ts"))
+      AsOfJoin.asof(purchases, views, "user_id", "ts", "view_ts")
+        .select(
+          col("event_id"), col("user_id"),
+          col("asof.view_event_id").as("matched_view_id"),
+          date_format(col("asof.view_ts"), "yyyy-MM-dd HH:mm:ss.SSS")
+            .as("matched_view_ts"))
+        .orderBy("event_id")
     }
   )
 
@@ -222,6 +240,17 @@ object Relational {
 
     "q18_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // DuckDB has native ASOF JOIN — an independent implementation of the
+    // same semantics, which is exactly what makes it a good oracle here.
+    "q19_asof_join" ->
+      """SELECT p.event_id AS event_id, p.user_id AS user_id,
+        | v.event_id AS matched_view_id,
+        | strftime(v.ts, '%Y-%m-%d %H:%M:%S.%g') AS matched_view_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY event_id""".stripMargin
   )
 }

@@ -39,6 +39,35 @@ object Similarity {
       Integer.parseInt(md5hex(s"plane$p:$d").substring(0, 1), 16) - 7.5
     }
 
+  private val nCentroids = 8
+
+  /** IVF "centroids": deterministic pseudo-vectors (same md5-derived
+    * halves construction as the LSH planes, different salt).
+    */
+  private[operators] val centroids: Array[Array[Double]] =
+    Array.tabulate(nCentroids, dim) { (c, d) =>
+      Integer.parseInt(md5hex(s"centroid$c:$d").substring(0, 1), 16) - 7.5
+    }
+
+  private def centroidArraySpark(c: Int): String =
+    centroids(c).map(w => s"${w}D").mkString("array(", ", ", ")")
+  private def centroidArrayDuck(c: Int): String =
+    centroids(c).mkString("[", ", ", "]")
+
+  /** 1-based index of the max-dot centroid (first occurrence on ties). */
+  private def clusterExprSpark(col: String): String = {
+    val ds = (0 until nCentroids)
+      .map(c => Dedup.dot(col, centroidArraySpark(c)))
+      .mkString("array(", ", ", ")")
+    s"array_position($ds, array_max($ds))"
+  }
+  private def clusterExprDuck(col: String): String = {
+    val ds = (0 until nCentroids)
+      .map(c => dotDuck(col, centroidArrayDuck(c)))
+      .mkString("[", ", ", "]")
+    s"cast(list_position($ds, list_max($ds)) as bigint)"
+  }
+
   /** Render one plane as a SQL array literal (halves print exactly). */
   private def planeArraySpark(p: Int): String =
     planes(p).map(w => s"${w}D").mkString("array(", ", ", ")")
@@ -94,6 +123,29 @@ object Similarity {
         .filter(col("rk") <= topK)
         .select("query_id", "rk", "vec_id", "cosine")
         .orderBy("query_id", "rk")
+    },
+
+    // IVF-style ANN: assign every vector to its nearest pseudo-centroid
+    // (map-only argmax over 8 dot products), then search only the query's
+    // cluster. With real (trained) centroids this is the standard IVF
+    // index shape: candidate set shrinks by ~n/k, assignment is a narrow
+    // scan, and the cluster column doubles as the partitioning key for
+    // co-located search at scale.
+    "q42_knn_ivf" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val e = Synth.embeddings(s, dir)
+        .withColumn("cluster", expr(clusterExprSpark("embedding")))
+      val q = e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("cluster"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("vec_id"))
+      broadcast(q).join(e, "cluster")
+        .withColumn("cosine", expr(Dedup.dot("q_emb", "embedding")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= topK)
+        .select("query_id", "rk", "vec_id", "cosine")
+        .orderBy("query_id", "rk")
     }
   )
 
@@ -118,6 +170,19 @@ object Similarity {
          |  cast(row_number() OVER (PARTITION BY q.vec_id
          |    ORDER BY ${dotDuck("q.embedding", "e.embedding")} DESC, e.vec_id) as int) AS rk
          | FROM b q JOIN b e ON q.bucket = e.bucket
+         | WHERE q.vec_id < $nQueries)
+         |WHERE rk <= $topK ORDER BY query_id, rk""".stripMargin,
+
+    "q42_knn_ivf" ->
+      s"""WITH c AS (
+         | SELECT vec_id, embedding, ${clusterExprDuck("embedding")} AS cluster
+         | FROM embeddings)
+         |SELECT query_id, rk, vec_id, cosine FROM (
+         | SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         |  ${dotDuck("q.embedding", "e.embedding")} AS cosine,
+         |  cast(row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY ${dotDuck("q.embedding", "e.embedding")} DESC, e.vec_id) as int) AS rk
+         | FROM c q JOIN c e ON q.cluster = e.cluster
          | WHERE q.vec_id < $nQueries)
          |WHERE rk <= $topK ORDER BY query_id, rk""".stripMargin
   )

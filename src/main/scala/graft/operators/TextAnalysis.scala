@@ -86,6 +86,18 @@ object TextAnalysis {
           md5(expr(s"concat_ws(' ', array_sort(array_distinct($toks)))")
             .cast("binary")).as("bow_fingerprint"))
         .orderBy("doc_id")
+    },
+
+    // Vocabulary extraction: top tokens by document frequency — the
+    // tokenizer-training / stopword-mining primitive. Explode-distinct →
+    // one shuffle on the token, partial counts map-side.
+    "q24_vocab" -> { (s, dir) =>
+      Synth.documents(s, dir)
+        .select(explode(expr(s"array_distinct($toks)")).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("doc_freq"))
+        .orderBy(col("doc_freq").desc, col("token"))
+        .limit(100)
     }
   )
 
@@ -133,6 +145,11 @@ object TextAnalysis {
       s"""SELECT doc_id,
          | md5(text) AS content_hash,
          | md5(array_to_string(list_sort(list_distinct($dToks)), ' ')) AS bow_fingerprint
-         |FROM documents ORDER BY doc_id""".stripMargin
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q24_vocab" ->
+      s"""SELECT token, count(*) AS doc_freq
+         |FROM (SELECT unnest(list_distinct($dToks)) AS token FROM documents)
+         |GROUP BY token ORDER BY doc_freq DESC, token LIMIT 100""".stripMargin
   )
 }
