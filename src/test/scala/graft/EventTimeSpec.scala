@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventTimeAggregates
+import graft.streaming.EventTimeAggregates._
+
+/** Event-time streaming: watermarked tumbling windows finalize in Append
+  * mode and drop late data; the stateful sessionizer splits on gaps and
+  * carries state across micro-batches.
+  */
+class EventTimeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("watermarked tumbling window finalizes closed windows, drops late rows") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val out = EventTimeAggregates.windowedCounts(df, "10 minutes", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("win")
+      .outputMode(OutputMode.Append()).start()
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    try {
+      mem.addData((t(1), "click", 1.0), (t(2), "click", 2.0))
+      q.processAllAvailable()
+      // watermark still at 10:02-10min → nothing finalized
+      assert(spark.sql("select * from win").count() == 0)
+
+      mem.addData((t(25), "view", 1.0)) // watermark → 10:15, closes 10:00 window
+      q.processAllAvailable()
+      mem.addData((t(3), "click", 99.0)) // late beyond watermark → dropped
+      q.processAllAvailable()
+      mem.addData((t(45), "view", 1.0)) // watermark → 10:35, closes 10:20 window
+      q.processAllAvailable()
+
+      val rows = spark.sql(
+        "select window_start, event_type, n_events, sum_value from win order by 1")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+          r.getLong(2), r.getDouble(3)))
+      assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L, 3.0))) // late row dropped
+      assert(rows.contains(("2024-01-01 10:20:00.0", "view", 1L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionizer splits on gap and persists state across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val out = EventTimeAggregates.sessionize(mem.toDS(), gapUs = 1000L)
+    val q = out.writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        SessionEvent(1, 10, 1000), SessionEvent(1, 11, 1500), // session 1
+        SessionEvent(1, 12, 5000),                            // gap → session 2
+        SessionEvent(2, 20, 1000))                            // other user
+      q.processAllAvailable()
+      mem.addData(SessionEvent(1, 13, 5500))                  // continues session 2
+      q.processAllAvailable()
+
+      val rows = spark.sql("select * from sess").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(rows((1L, 10L)) == 1)
+      assert(rows((1L, 11L)) == 1)
+      assert(rows((1L, 12L)) == 2)
+      assert(rows((1L, 13L)) == 2) // state survived the micro-batch boundary
+      assert(rows((2L, 20L)) == 1)
+    } finally q.stop()
+  }
+}
