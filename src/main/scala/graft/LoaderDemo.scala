@@ -18,11 +18,36 @@ import graft.streaming.{HealthProbe, LoaderPipeline}
   *   runMain graft.LoaderDemo --stream <inDir> <outDir> [purpose]
   *     — streaming mode: tails <inDir> for text files (RecordSources),
   *       health probe on :8000, Ctrl-C (or SPARK_GRAFT_STREAM_SECONDS) to stop.
+  *   runMain graft.LoaderDemo --config <path.hocon> <sfDir>
+  *     — batch run configured from a HOCON file (the reference's
+  *       Run.fromConfigPath entry shape, reference Run.scala:44-65).
   */
 object LoaderDemo {
   def main(args: Array[String]): Unit =
     if (args.headOption.contains("--stream")) streamMain(args.drop(1))
+    else if (args.headOption.contains("--config")) configMain(args.drop(1))
     else batchMain(args)
+
+  private def configMain(args: Array[String]): Unit = {
+    val path = args.headOption.getOrElse(
+      throw new IllegalArgumentException("--config requires a path"))
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val text = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+    val cfg = LoaderConfig.fromHocon(text)
+      .fold(e => throw new IllegalArgumentException(e), identity)
+    println(s"[demo] config: purpose=${cfg.purpose} out=${cfg.output.path} " +
+      s"partition=${cfg.output.partitionFormat} maxBytes=${cfg.batching.maxBytes} " +
+      s"maxDelay=${cfg.batching.maxDelay}")
+    val spark = session()
+    val line = if (cfg.purpose == Purpose.Enriched) Synth.enrichedLine() else Synth.sdjLine()
+    val raw = Synth.events(spark, sfDir).select(encode(line, "utf-8").as("value"))
+    val store = new HadoopBlobStore(Map.empty)
+    val metrics = new LoaderPipeline.Metrics
+    LoaderPipeline.runBatch(raw, cfg, store, metrics)
+    println(s"[demo] good=${metrics.count.get()} bad=${metrics.badCount.get()} " +
+      s"objects=${metrics.actions.size()}")
+    spark.stop()
+  }
 
   private def session(): SparkSession = {
     val spark = SparkSession.builder()

@@ -44,6 +44,11 @@ final case class LoaderConfig(
     decompression: Decompression.Limits = Decompression.Limits(),
     checkpointLocation: Option[String] = None)
 
+final case class HealthProbeConfig(
+    port: Int = 8000,
+    unhealthyLatency: scala.concurrent.duration.FiniteDuration =
+      scala.concurrent.duration.DurationInt(2).minutes)
+
 object LoaderConfig {
 
   /** Cross-field validation — enriched may only partition by date/time
@@ -54,4 +59,56 @@ object LoaderConfig {
     DynamicPath
       .validatePartitionFormat(c.output.partitionFormat, c.purpose == Purpose.Enriched)
       .map(pf => c.copy(output = c.output.copy(partitionFormat = pf)))
+
+  /** Decode the reference's HOCON surface (config.aws.*.hocon shape) into
+    * the typed tree, applying the reference.conf defaults
+    * (reference modules/core/src/main/resources/reference.conf:19-42) and
+    * the cross-field validation.
+    */
+  def fromHocon(
+      text: String,
+      env: String => Option[String] = sys.env.get): Either[String, LoaderConfig] = {
+    val root =
+      try Hocon.parse(text, env)
+      catch { case e: Exception => return Left(s"HOCON parse error: ${e.getMessage}") }
+
+    for {
+      purposeStr <- root.str("purpose").toRight("Missing required field: purpose")
+      purpose <- Purpose.parse(purposeStr)
+      goodPath <- root.str("output", "good", "path")
+        .orElse(root.str("output", "good"))
+        .toRight("Missing required field: output.good.path")
+      cfg <- validate(LoaderConfig(
+        purpose = purpose,
+        output = Output(
+          path = goodPath,
+          prefix = root.str("output", "good", "filenamePrefix").getOrElse(""),
+          partitionFormat = root.str("output", "good", "partitionFormat")),
+        bad = BadOutput(
+          path = root.str("output", "bad", "path")
+            .orElse(root.str("output", "bad", "streamName")).getOrElse(""),
+          maxRecordSize = root.num("output", "bad", "maxRecordSize")
+            .map(_.toInt).getOrElse(1000000)),
+        batching = Batching(
+          maxBytes = root.num("batching", "maxBytes")
+            .map(_.toLong).getOrElse(64L * 1024 * 1024),
+          maxDelay = root.duration("batching", "maxDelay")
+            .getOrElse(scala.concurrent.duration.DurationInt(2).minutes)),
+        decompression = Decompression.Limits(
+          maxBytesInBatch = root.num("decompression", "maxBytesInBatch")
+            .map(_.toLong).getOrElse(5242880L),
+          maxBytesSinglePayload = root.num("decompression", "maxBytesSinglePayload")
+            .map(_.toLong).getOrElse(10000000L))))
+    } yield cfg
+  }
+
+  /** Health-probe settings (reference reference.conf:39-42). */
+  def healthProbeFromHocon(text: String,
+      env: String => Option[String] = sys.env.get): HealthProbeConfig = {
+    val root = Hocon.parse(text, env)
+    HealthProbeConfig(
+      port = root.num("monitoring", "healthProbe", "port").map(_.toInt).getOrElse(8000),
+      unhealthyLatency = root.duration("monitoring", "healthProbe", "unhealthyLatency")
+        .getOrElse(scala.concurrent.duration.DurationInt(2).minutes))
+  }
 }
