@@ -98,6 +98,38 @@ object TextAnalysis {
         .agg(count(lit(1)).as("doc_freq"))
         .orderBy(col("doc_freq").desc, col("token"))
         .limit(100)
+    },
+
+    // PII-style redaction: numeric literals masked — the scrubbing pass a
+    // training pipeline runs before tokenization. Pure projection.
+    "q25_redact" -> { (s, dir) =>
+      Synth.events(s, dir)
+        .select(col("event_id"),
+          regexp_replace(col("props"), "[0-9]+", "<NUM>").as("redacted_props"))
+        .orderBy("event_id")
+    },
+
+    // Bigram statistics (all occurrences, not per-doc-distinct): the
+    // n-gram language-model counting shape. One explode + one shuffle.
+    "q26_bigrams" -> { (s, dir) =>
+      Synth.documents(s, dir)
+        .select(expr(toks).as("t"))
+        .filter(expr("size(t) >= 2"))
+        .select(explode(expr(
+          "transform(sequence(1, size(t) - 1), " +
+            "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1)))")).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(50)
+    },
+
+    // Document length histogram (100-char buckets) — corpus shape stats.
+    "q27_length_hist" -> { (s, dir) =>
+      Synth.documents(s, dir)
+        .groupBy((floor(col("n_chars") / 100) * 100).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("bucket")
     }
   )
 
@@ -150,6 +182,24 @@ object TextAnalysis {
     "q24_vocab" ->
       s"""SELECT token, count(*) AS doc_freq
          |FROM (SELECT unnest(list_distinct($dToks)) AS token FROM documents)
-         |GROUP BY token ORDER BY doc_freq DESC, token LIMIT 100""".stripMargin
+         |GROUP BY token ORDER BY doc_freq DESC, token LIMIT 100""".stripMargin,
+
+    "q25_redact" ->
+      """SELECT event_id,
+        | regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS redacted_props
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q26_bigrams" ->
+      s"""SELECT bigram, count(*) AS n FROM (
+         | SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+         |   i -> t[i] || ' ' || t[i + 1])) AS bigram
+         | FROM (SELECT $dToks AS t FROM documents)
+         | WHERE len(t) >= 2)
+         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""".stripMargin,
+
+    "q27_length_hist" ->
+      """SELECT cast(floor(n_chars / 100) * 100 as bigint) AS bucket,
+        | count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
