@@ -30,7 +30,8 @@ object RollingGzipWriter {
   final case class WriteAction(
       path: String,
       recordCount: Long,
-      compressedBytes: Long)
+      compressedBytes: Long,
+      minTstampMicros: Option[Long] = None)
 
   final case class SinkConfig(
       basePath: String,
@@ -41,23 +42,30 @@ object RollingGzipWriter {
   /** Write one schema-group's lines, rolling to a new object whenever the
     * current gzip stream's byte count passes maxBytes. Returns one action
     * per object written.
+    *
+    * Count and min-event-time metrics accumulate in this same pass (the
+    * second element of each record; null = no event time), so the caller
+    * never needs a separate aggregation job over the batch — at 100 TB a
+    * stats pre-pass would be a second full scan+parse of the input.
     */
   def writeGroup(
       store: BlobStore,
       cfg: SinkConfig,
       schema: SchemaKey,
       now: Instant,
-      lines: Iterator[String],
+      records: Iterator[(String, java.lang.Long)],
       newUuid: () => UUID = () => UUID.randomUUID()): Seq[WriteAction] = {
     val actions = ArrayBuffer.empty[WriteAction]
     var buf: ByteArrayOutputStream = null
     var gz: GZIPOutputStream = null
     var count = 0L
+    var minTs = Long.MaxValue
 
     def open(): Unit = {
       buf = new ByteArrayOutputStream(64 * 1024)
       gz = new GZIPOutputStream(buf, true)
       count = 0L
+      minTs = Long.MaxValue
     }
     def flush(): Unit = if (count > 0) {
       gz.close()
@@ -65,18 +73,29 @@ object RollingGzipWriter {
       val path = DynamicPath.getFullPath(
         cfg.basePath, cfg.prefix, cfg.partitionFormat, now, schema, newUuid())
       store.write(path, bytes)
-      actions += WriteAction(path, count, bytes.length.toLong)
+      actions += WriteAction(path, count, bytes.length.toLong,
+        if (minTs == Long.MaxValue) None else Some(minTs))
     }
 
     open()
-    lines.foreach { line =>
+    records.foreach { case (line, tsUs) =>
       gz.write(line.getBytes("UTF-8"))
       gz.write('\n')
       gz.flush() // syncFlush — keeps buf.size() an honest compressed count
       count += 1
+      if (tsUs != null && tsUs < minTs) minTs = tsUs
       if (buf.size() > cfg.maxBytes) { flush(); open() }
     }
     flush()
     actions.toSeq
   }
+
+  /** Convenience for callers without per-record event time. */
+  def writeLines(
+      store: BlobStore,
+      cfg: SinkConfig,
+      schema: SchemaKey,
+      now: Instant,
+      lines: Iterator[String]): Seq[WriteAction] =
+    writeGroup(store, cfg, schema, now, lines.map(l => (l, null: java.lang.Long)))
 }

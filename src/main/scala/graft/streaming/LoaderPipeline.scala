@@ -90,38 +90,51 @@ object LoaderPipeline {
     import parsed.sparkSession.implicits._
     val wallClock = now()
 
-    val good = EventParser.good(parsed)
-      .select(col("vendor"), col("name"), col("format"), col("model"),
-        col("line"), col("collector_tstamp"))
+    // One decode+parse materialization serves both writer jobs — without
+    // this, the good write, and the bad write would each re-scan and
+    // re-parse the entire batch (at 100 TB: two full extra passes).
+    parsed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val good = EventParser.good(parsed)
+        .select(col("vendor"), col("name"), col("format"), col("model"),
+          col("line"), unix_micros(col("collector_tstamp")).as("ts_us"))
 
-    // Count + earliest tstamp in the same pass as the write (reference
-    // A2/A3, Processing.scala:108,167-173) via accumulator-free agg.
-    val stats = good.agg(
-      count(lit(1)), unix_micros(min(col("collector_tstamp")))).collect()(0)
-    val goodCount = stats.getLong(0)
-    val earliest = if (stats.isNullAt(1)) None else Some(stats.getLong(1))
+      val sinkCfg = RollingGzipWriter.SinkConfig(
+        cfg.output.path, cfg.output.prefix, cfg.output.partitionFormat,
+        cfg.batching.maxBytes)
 
-    val sinkCfg = RollingGzipWriter.SinkConfig(
-      cfg.output.path, cfg.output.prefix, cfg.output.partitionFormat,
-      cfg.batching.maxBytes)
+      // Count + earliest tstamp accumulate inside the write pass itself
+      // (reference A2/A3, Processing.scala:108,167-173) — no stats pre-job.
+      val actions: Array[RollingGzipWriter.WriteAction] = good
+        .groupByKey(r => (r.getAs[String]("vendor"), r.getAs[String]("name"),
+          r.getAs[String]("format"), r.getAs[Int]("model")))
+        .flatMapGroups { (key, rows) =>
+          val schema = SchemaKey(key._1, key._2, key._3, key._4, 0, 0)
+          RollingGzipWriter.writeGroup(
+            store, sinkCfg, schema, wallClock,
+            rows.map(r => (r.getAs[String]("line"),
+              r.get(r.fieldIndex("ts_us")).asInstanceOf[java.lang.Long]))).iterator
+        }
+        .collect()
 
-    val actions: Array[RollingGzipWriter.WriteAction] = good
-      .groupByKey(r => (r.getAs[String]("vendor"), r.getAs[String]("name"),
-        r.getAs[String]("format"), r.getAs[Int]("model")))
-      .flatMapGroups { (key, rows) =>
-        val schema = SchemaKey(key._1, key._2, key._3, key._4, 0, 0)
-        RollingGzipWriter.writeGroup(
-          store, sinkCfg, schema, wallClock,
-          rows.map(_.getAs[String]("line"))).iterator
+      actions.foreach(metrics.actions.add)
+      metrics.count.addAndGet(actions.map(_.recordCount).sum)
+      val earliest = actions.flatMap(_.minTstampMicros)
+      if (earliest.nonEmpty) {
+        metrics.e2eLatencyMillis.set(
+          Some(wallClock.toEpochMilli - earliest.min / 1000))
       }
-      .collect()
+      writeBad(parsed, cfg, store, metrics, wallClock)
+    } finally parsed.unpersist()
+  }
 
-    actions.foreach(metrics.actions.add)
-    metrics.count.addAndGet(goodCount)
-    earliest.foreach { us =>
-      metrics.e2eLatencyMillis.set(
-        Some(wallClock.toEpochMilli - us / 1000))
-    }
+  private def writeBad(
+      parsed: DataFrame,
+      cfg: LoaderConfig,
+      store: BlobStore,
+      metrics: Metrics,
+      wallClock: Instant): Unit = {
+    import parsed.sparkSession.implicits._
 
     // Bad rows: serialize with the size cap (reference P6,
     // BadRowsSerializer.scala:24-44). Written from executor tasks — one
@@ -146,7 +159,7 @@ object LoaderPipeline {
             BadRow.sizeCapped(row, maxSize, wallClock, processor)
           }
           var n = 0L
-          RollingGzipWriter.writeGroup(
+          RollingGzipWriter.writeLines(
             store, badSinkCfg, SchemaKey.Atomic, wallClock,
             jsons.map { j => n += 1; j })
           Iterator.single(n)
