@@ -121,6 +121,24 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // Near-dup clustering: connected components over the cosine
+    // candidate pairs (q34's edges) → one canonical vector per duplicate
+    // group. The step after pair generation in every dedup pipeline.
+    "q35_dedup_clusters" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val e = Synth.embeddings(s, dir).select(col("vec_id"), col("embedding"), col("label"))
+      val a = e.toDF("id_a", "emb_a", "label")
+      val b = e.toDF("id_b", "emb_b", "label")
+      val edges = a.join(b, "label")
+        .filter(col("id_a") < col("id_b"))
+        .filter(expr(dot("emb_a", "emb_b")) > 0.35)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val vertices = e.select(col("vec_id").as("id"))
+      ConnectedComponents.run(vertices, edges)
+        .select(col("id").as("vec_id"), col("component").as("cluster_id"))
+        .orderBy("vec_id")
+    },
+
     // Embedding cosine near-dup, blocked by label (the generic pattern:
     // block on a cheap key — cluster id, LSH bucket — then exact cosine
     // inside blocks; never all-pairs at scale).
@@ -192,6 +210,25 @@ object Dedup {
          |SELECT doc_id,
          |  cast(sum(CASE WHEN vote > 0 THEN cast(pow(2, b) as bigint) ELSE 0 END) as bigint) AS simhash16
          |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q35_dedup_clusters" -> {
+      val d = "list_reduce(list_transform(list_zip(a.embedding, b.embedding), " +
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
+      s"""WITH RECURSIVE edges AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE $d > 0.35),
+         |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM sym
+         |  UNION
+         |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
+         |SELECT v.vec_id AS vec_id,
+         |  least(v.vec_id, coalesce(min(r.dst), v.vec_id)) AS cluster_id
+         |FROM embeddings v LEFT JOIN reach r ON r.src = v.vec_id
+         |GROUP BY v.vec_id ORDER BY v.vec_id""".stripMargin
+    },
 
     "q34_embedding_neardup" -> {
       val d = "list_reduce(list_transform(list_zip(a.embedding, b.embedding), " +

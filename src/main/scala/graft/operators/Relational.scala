@@ -160,6 +160,21 @@ object Relational {
           date_format(col("asof.view_ts"), "yyyy-MM-dd HH:mm:ss.SSS")
             .as("matched_view_ts"))
         .orderBy("event_id")
+    },
+
+    // Approximate sketches: HLL distinct counts + approximate quantiles —
+    // single-pass mergeable state, the 100 TB substitute for exact
+    // distinct/percentile. No SQL-exact oracle (sketch estimates are
+    // engine-specific); the driver records a rows-only check.
+    "q44_sketches" -> { (s, dir) =>
+      Synth.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"),
+          percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99_value"))
+        .orderBy("event_type")
     }
   )
 
