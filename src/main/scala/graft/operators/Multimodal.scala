@@ -69,6 +69,26 @@ object Multimodal {
           lit("text/plain").as("mime"))
         .as[MediaRecord]
       extractFeatures(media).toDF().orderBy("doc_id")
+    },
+
+    // Frame chunking: one row per fixed-size window of the payload (the
+    // audio/video segmentation shape — each chunk becomes an independent
+    // processing unit downstream). Declarative: sequence + explode, so
+    // Catalyst handles it without a UDF; chunk bytes surface as hex of
+    // the first 8 bytes (the real pipeline would hand `chunk` binary to
+    // a decoder).
+    "q51_media_chunks" -> { (s, dir) =>
+      val chunk = 256
+      Synth.documents(s, dir)
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+        .select(col("doc_id"), octet_length(col("payload")).as("n_bytes"),
+          col("payload"),
+          explode(expr(s"sequence(0, cast(greatest(octet_length(payload) - 1, 0) / $chunk as int))"))
+            .as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          expr(s"hex(substring(payload, chunk_idx * $chunk + 1, 8))").as("chunk_head_hex"),
+          least(lit(chunk), col("n_bytes") - col("chunk_idx") * chunk).as("chunk_len"))
+        .orderBy("doc_id", "chunk_idx")
     }
   )
 
@@ -90,6 +110,20 @@ object Multimodal {
          |  coalesce(cast(list_sum(list_transform(frames,
          |    x -> (strpos('0123456789ABCDEF', substring(x, 1, 1)) - 1) * 16
          |       + strpos('0123456789ABCDEF', substring(x, 2, 1)) - 1)) as bigint), 0) AS frame_sum
-         |FROM f ORDER BY doc_id""".stripMargin
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q51_media_chunks" ->
+      """WITH h AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n_bytes
+        |  FROM documents)
+        |SELECT doc_id, chunk_idx,
+        |  substring(hx, chunk_idx * 512 + 1, 16) AS chunk_head_hex,
+        |  cast(least(256, n_bytes - chunk_idx * 256) as int) AS chunk_len
+        |FROM (
+        |  SELECT doc_id, hx, n_bytes,
+        |    cast(unnest(generate_series(0, cast(floor(greatest(n_bytes - 1, 0) / 256) as int))) as int) AS chunk_idx
+        |  FROM h)
+        |ORDER BY doc_id, chunk_idx""".stripMargin
   )
 }
