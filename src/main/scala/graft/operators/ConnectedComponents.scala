@@ -21,32 +21,37 @@ object ConnectedComponents {
     * @return `id`, `component` (= min reachable id)
     */
   def run(vertices: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // localCheckpoint per round truncates the lineage — without it the
+    // plan (and per-iteration analysis/codegen time) grows linearly with
+    // the iteration count, which dominates wall-clock long before data
+    // size does.
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .persist()
-    try {
-      var labels = vertices.select(col("id"), col("id").as("component")).persist()
-      var converged = false
-      var iter = 0
-      while (!converged && iter < maxIter) {
-        // candidate label for each vertex: min over own label and
-        // neighbors' labels
-        val viaEdges = sym
-          .join(labels, sym("dst") === labels("id"))
-          .select(sym("src").as("id"), col("component"))
-        val next = labels.select(col("id"), col("component"))
-          .unionByName(viaEdges)
-          .groupBy("id").agg(min("component").as("component"))
-          .persist()
-        val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
-          .filter(col("component") =!= col("old")).limit(1).count()
-        labels.unpersist()
-        labels = next
-        converged = changed == 0
-        iter += 1
-      }
-      labels
-    } finally sym.unpersist()
+      .localCheckpoint()
+    var labels = vertices.select(col("id"), col("id").as("component"))
+      .localCheckpoint()
+    // Labels only ever decrease, so the label sum is strictly decreasing
+    // until the fixpoint — one aggregation job per round decides
+    // convergence (no join against the previous labels needed).
+    var prevSum = java.math.BigDecimal.valueOf(Long.MaxValue)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val viaEdges = sym
+        .join(labels, sym("dst") === labels("id"))
+        .select(sym("src").as("id"), col("component"))
+      val next = labels.select(col("id"), col("component"))
+        .unionByName(viaEdges)
+        .groupBy("id").agg(min("component").as("component"))
+        .localCheckpoint()
+      val s = next.agg(sum(col("component")).cast("decimal(38,0)")).collect()(0)
+        .getDecimal(0)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = next
+      iter += 1
+    }
+    labels
   }
 }
