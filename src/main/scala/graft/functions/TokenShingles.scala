@@ -4,7 +4,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -25,7 +25,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * ~100× cheaper and is the hot inner loop of q31/q32 at 100 TB.
   */
 case class TokenShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) if n >= 1 => TypeCheckResult.TypeCheckSuccess
@@ -55,6 +55,37 @@ case class TokenShingles(child: Expression, n: Int)
       i += 1
     }
     new GenericArrayData(seen.toArray[Any])
+  }
+
+  /** Whole-stage codegen: same loop as nullSafeEval, emitted inline so the
+    * shingle stage stays inside the generated consume path.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val spaceRef = ctx.addReferenceObj("shingleSpace", space, classOf[UTF8String].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      val numToks = ctx.freshName("numToks")
+      val numSh = ctx.freshName("numShingles")
+      val seen = ctx.freshName("seen")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val upper = ctx.freshName("upper")
+      val s = ctx.freshName("s")
+      val utf8 = classOf[UTF8String].getName
+      s"""
+         |int $numToks = $a.numElements();
+         |int $numSh = java.lang.Math.max($numToks - $n + 1, 1);
+         |java.util.LinkedHashSet $seen = new java.util.LinkedHashSet();
+         |for (int $i = 0; $i < $numSh; $i++) {
+         |  int $upper = java.lang.Math.min($i + $n, $numToks);
+         |  $utf8 $s = $i < $numToks ? $a.getUTF8String($i) : $utf8.EMPTY_UTF8;
+         |  for (int $j = $i + 1; $j < $upper; $j++) {
+         |    $s = $utf8.concat($s, $spaceRef, $a.getUTF8String($j));
+         |  }
+         |  $seen.add($s);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($seen.toArray());
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): TokenShingles =
