@@ -162,6 +162,20 @@ object Relational {
         .orderBy("event_id")
     },
 
+    // Correlated scalar subquery — parts priced above their brand's
+    // average. Catalyst decorrelates this into an aggregate + join; the
+    // DataFrame formulation makes that rewrite explicit and shuffle-true.
+    "q45_above_brand_avg" -> { (s, dir) =>
+      val p = Synth.part(s, dir)
+      val brandAvg = p.groupBy(col("p_brand").as("b"))
+        .agg((sum(dec(col("p_retailprice"))).cast("double") / count(lit(1)))
+          .as("avg_price"))
+      p.join(broadcast(brandAvg), col("p_brand") === col("b"))
+        .filter(col("p_retailprice") > col("avg_price"))
+        .select(col("p_partkey"), col("p_brand"), col("p_retailprice"), col("avg_price"))
+        .orderBy("p_partkey")
+    },
+
     // Approximate sketches: HLL distinct counts + approximate quantiles —
     // single-pass mergeable state, the 100 TB substitute for exact
     // distinct/percentile. No SQL-exact oracle (sketch estimates are
@@ -256,6 +270,14 @@ object Relational {
     "q18_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q45_above_brand_avg" ->
+      """SELECT p_partkey, p_brand, p_retailprice, avg_price FROM (
+        | SELECT p_partkey, p_brand, p_retailprice,
+        |  (SELECT cast(sum(cast(p2.p_retailprice as decimal(18,2))) as double) / count(*)
+        |   FROM part p2 WHERE p2.p_brand = p.p_brand) AS avg_price
+        | FROM part p)
+        |WHERE p_retailprice > avg_price ORDER BY p_partkey""".stripMargin,
 
     // DuckDB has native ASOF JOIN — an independent implementation of the
     // same semantics, which is exactly what makes it a good oracle here.

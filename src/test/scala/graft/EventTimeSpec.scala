@@ -56,6 +56,28 @@ class EventTimeSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("stream-stream interval join with watermarks matches views to purchases") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val views = MemoryStream[(Long, java.sql.Timestamp)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp)]
+    val v = views.toDF().toDF("user_id", "vts").withWatermark("vts", "1 hour")
+    val b = buys.toDF().toDF("buy_user", "bts").withWatermark("bts", "1 hour")
+    // purchase within 30 minutes after a view, same user
+    val joined = v.join(b,
+      expr("user_id = buy_user AND bts >= vts AND bts <= vts + interval 30 minutes"))
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      views.addData((1L, t(0)), (2L, t(0)))
+      buys.addData((1L, t(10)), (2L, t(50))) // user 2's buy outside the window
+      q.processAllAvailable()
+      val rows = spark.sql("select user_id from ssj").collect().map(_.getLong(0)).toSeq
+      assert(rows == Seq(1L))
+    } finally q.stop()
+  }
+
   test("stateful sessionizer splits on gap and persists state across batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
