@@ -21,6 +21,14 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val subset = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
     val explain = sys.env.contains("SPARK_GRAFT_EXPLAIN")
+    // Uncounted warmup: pay JVM/codegen/shuffle-machinery startup here so
+    // it isn't attributed to whichever query happens to run first.
+    locally {
+      import org.apache.spark.sql.functions._
+      spark.range(1000000).select(sum(col("id"))).collect()
+      spark.range(100000).groupBy((col("id") % 7).as("k"))
+        .count().orderBy("k").collect()
+    }
     val selected = SparkEntry.queries
       .filter { case (name, _) => subset.forall(_.exists(name.startsWith)) }
       .toSeq.sortBy(_._1)

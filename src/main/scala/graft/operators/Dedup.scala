@@ -65,7 +65,10 @@ object Dedup {
         .select(col("doc_id"), expr("size(sh)").as("n_sh"), explode(col("sh")).as("shingle"))
       val a = docs.toDF("id_a", "n_a", "shingle")
       val b = docs.toDF("id_b", "n_b", "shingle")
-      a.join(b, "shingle")
+      // shuffle-hash, not broadcast: parquet stats under-estimate the
+      // exploded side, and a driver-built broadcast of the whole inverted
+      // index is exactly what wouldn't survive a 100× scale-up.
+      a.join(b.hint("shuffle_hash"), "shingle")
         .filter(col("id_a") < col("id_b"))
         .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(count(lit(1)).as("shared"))
