@@ -34,9 +34,14 @@ object EventParser {
       .withColumn("name", lit(a.name))
       .withColumn("format", lit(a.format))
       .withColumn("model", lit(a.model))
+      // get() (0-based) instead of element_at: ANSI mode (Spark 4 default)
+      // makes element_at THROW on rows with fewer than 4 columns, but the
+      // reference treats short/malformed rows as silent NULL tstamps
+      // (Processing.scala:147-153). try_to_timestamp likewise swallows
+      // unparsable text instead of raising under ANSI.
       .withColumn("collector_tstamp",
-        to_timestamp(element_at(split(col("line"), "\t", -1), 4),
-          "yyyy-MM-dd HH:mm:ss[.SSS]"))
+        try_to_timestamp(get(split(col("line"), "\t", -1), lit(3)),
+          lit("yyyy-MM-dd HH:mm:ss[.SSS]")))
       .withColumn("bad_error", lit(null).cast("string"))
   }
 

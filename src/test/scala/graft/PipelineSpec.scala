@@ -71,6 +71,23 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(metrics.e2eLatencyMillis.get().contains(-42000L))
   }
 
+  test("enriched edge rows: <4 columns or garbage tstamp → NULL, silently good (reference Processing.scala:147-153)") {
+    val cfg = LoaderConfig(Purpose.Enriched, Output("mem://path"), BadOutput("mem://bad"))
+    val lines = Seq(
+      "only\ttwo",                       // fewer than 4 columns
+      "a\tb\tc\tnot-a-timestamp\te",     // unparsable tstamp
+      tsv("1970-01-01 00:00:05.000"))    // one good tstamp
+    val (store, metrics) = run(cfg, lines)
+    // all three rows are GOOD (written), none bad; e2e latency from the
+    // single parsable tstamp
+    assert(metrics.count.get() == 3)
+    assert(metrics.badCount.get() == 0)
+    assert(metrics.e2eLatencyMillis.get().contains(-5000L))
+    val content = store.paths.filter(_.startsWith("mem://path"))
+      .map(p => gunzip(store.objects.get(p))).mkString
+    assert(content.linesIterator.size == 3)
+  }
+
   test("e2: SDJ grouping by schema + bad rows (reference ProcessingSpec:80-101)") {
     val cfg = LoaderConfig.validate(LoaderConfig(
       Purpose.Sdj, Output("mem://path"), BadOutput("mem://bad"))).toOption.get
