@@ -34,19 +34,29 @@ object Bench {
       .toSeq.sortBy(_._1)
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try {
-        val df = fn(spark, sfDir)
-        if (explain) { System.err.println(s"== $name"); df.explain("formatted") }
-        df.count()
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try {
+          val df = fn(spark, sfDir)
+          if (explain) { System.err.println(s"== $name"); df.explain("formatted") }
+          // noop-format write: materializes EVERY output column (count()
+          // would let Catalyst prune the projections, under-measuring
+          // map-heavy queries) without paying for an output format.
+          df.write.format("noop").mode("overwrite").save()
+          true
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, ok) =>
+      "\"" + k + "\":" + (if (ok) v.toString else "\"failed\"") }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // failed queries are excluded from the total AND flagged — a crash must
+    // never read as a speedup
+    val total = results.collect { case (_, v, true) => v }.sum
+    val failed = results.count(!_._3)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

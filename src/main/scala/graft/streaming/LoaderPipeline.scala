@@ -25,9 +25,12 @@ import graft.sources.Decompression
   *  - parseBytes          → [[EventParser.parse]] (codegen'd column ops)
   *  - batchUpAndCompress  → micro-batch boundary + RollingGzipWriter
   *    (maxDelay ⇒ Trigger.ProcessingTime; maxBytes ⇒ compressed rolling)
-  *  - writeToStorage      → groupByKey(schema).flatMapGroups writeGroup —
-  *    each schema group writes from its own task, the distributed analogue
-  *    of the reference's parTraverse per group (Processing.scala:287-289)
+  *  - writeToStorage      → salted repartition on (schema, salt) +
+  *    per-partition rolling writes — the distributed analogue of the
+  *    reference's parTraverse per group (Processing.scala:287-289), with
+  *    the fan-out sized to the batch volume so one hot schema key (the
+  *    enriched path maps EVERY event to atomic) cannot serialize the
+  *    write stage on a single task
   *  - sendBadEvents       → size-capped bad-row JSON to the bad store
   *  - emitTokens          → Structured Streaming checkpoint commit: offsets
   *    commit only after foreachBatch returns ⇒ same at-least-once contract
@@ -103,17 +106,34 @@ object LoaderPipeline {
         cfg.output.path, cfg.output.prefix, cfg.output.partitionFormat,
         cfg.batching.maxBytes)
 
+      // Size-adaptive write parallelism. Enriched batches all map to ONE
+      // schema key (SURVEY §1.2), so keying the shuffle on schema alone
+      // would funnel the whole batch through a single task — the defining
+      // scale failure on a 1000-executor cluster. Instead, one cheap agg
+      // over the (already persisted) batch estimates the compressed output
+      // volume, and the shuffle key gains a salt sized so each task writes
+      // roughly maxBytes. Small batches keep targetFiles=1, preserving the
+      // reference's one-object-per-group-per-window behavior (T2/F14).
+      val totalLineBytes: Long = Option(
+        good.agg(sum(octet_length(col("line")))).first().get(0))
+        .fold(0L)(_.asInstanceOf[Long])
+      val maxTasks = math.max(1, parsed.sparkSession.sparkContext.defaultParallelism)
+      val targetFiles: Int = math.min(
+        maxTasks.toLong,
+        totalLineBytes / EstGzipRatio / math.max(1L, cfg.batching.maxBytes) + 1).toInt
+
       // Count + earliest tstamp accumulate inside the write pass itself
       // (reference A2/A3, Processing.scala:108,167-173) — no stats pre-job.
+      // The shuffle keys are plain columns (codegen'd hash partitioning, no
+      // row-deserializing lambda); each partition then streams consecutive
+      // same-schema runs straight into the rolling writer.
       val actions: Array[RollingGzipWriter.WriteAction] = good
-        .groupByKey(r => (r.getAs[String]("vendor"), r.getAs[String]("name"),
-          r.getAs[String]("format"), r.getAs[Int]("model")))
-        .flatMapGroups { (key, rows) =>
-          val schema = SchemaKey(key._1, key._2, key._3, key._4, 0, 0)
-          RollingGzipWriter.writeGroup(
-            store, sinkCfg, schema, wallClock,
-            rows.map(r => (r.getAs[String]("line"),
-              r.get(r.fieldIndex("ts_us")).asInstanceOf[java.lang.Long]))).iterator
+        .withColumn("salt", pmod(hash(col("line")), lit(targetFiles)))
+        .repartition(col("vendor"), col("name"), col("format"), col("model"),
+          col("salt"))
+        .sortWithinPartitions("vendor", "name", "format", "model")
+        .mapPartitions { rows =>
+          writePartition(rows, store, sinkCfg, wallClock)
         }
         .collect()
 
@@ -126,6 +146,47 @@ object LoaderPipeline {
       }
       writeBad(parsed, cfg, store, metrics, wallClock)
     } finally parsed.unpersist()
+  }
+
+  /** Conservative gzip ratio for sizing the write fan-out: underestimating
+    * compression means slightly more, smaller tasks — never a single fat one.
+    */
+  private val EstGzipRatio = 3L
+
+  /** Stream one shuffle partition (sorted by schema key) into the rolling
+    * writer: consecutive same-key runs each become their own writeGroup
+    * call, so memory stays one gzip buffer regardless of partition size.
+    */
+  private def writePartition(
+      rows: Iterator[Row],
+      store: BlobStore,
+      sinkCfg: RollingGzipWriter.SinkConfig,
+      wallClock: Instant): Iterator[RollingGzipWriter.WriteAction] = {
+    if (rows.isEmpty) Iterator.empty
+    else {
+      val it = rows.buffered
+      val s = it.head.schema
+      val vIdx = s.fieldIndex("vendor"); val nIdx = s.fieldIndex("name")
+      val fIdx = s.fieldIndex("format"); val mIdx = s.fieldIndex("model")
+      val lIdx = s.fieldIndex("line"); val tIdx = s.fieldIndex("ts_us")
+      def keyOf(r: Row) = (r.getString(vIdx), r.getString(nIdx),
+        r.getString(fIdx), r.getInt(mIdx))
+      Iterator.continually(()).takeWhile(_ => it.hasNext).flatMap { _ =>
+        val key = keyOf(it.head)
+        val run = new Iterator[(String, java.lang.Long)] {
+          def hasNext: Boolean = it.hasNext && keyOf(it.head) == key
+          def next(): (String, java.lang.Long) = {
+            val r = it.next()
+            (r.getString(lIdx),
+              if (r.isNullAt(tIdx)) null else java.lang.Long.valueOf(r.getLong(tIdx)))
+          }
+        }
+        // writeGroup drains `run` fully before the outer iterator advances
+        RollingGzipWriter.writeGroup(
+          store, sinkCfg, SchemaKey(key._1, key._2, key._3, key._4, 0, 0),
+          wallClock, run)
+      }
+    }
   }
 
   private def writeBad(

@@ -130,6 +130,25 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(metrics.count.get() == 8)
   }
 
+  test("salted write fan-out: a large single-schema batch writes from multiple tasks") {
+    // maxBytes high enough that the rolling writer alone would emit ONE
+    // object — any extra objects can only come from the salted fan-out.
+    val cfg = LoaderConfig(Purpose.Enriched, Output("mem://path"),
+      BadOutput("mem://bad"), Batching(maxBytes = 2000))
+    val lines = (0 until 200).map(i =>
+      tsv(f"1970-01-01 00:${i / 60}%02d:${i % 60}%02d.000") + s"-pad-${i * 7919}")
+    val (store, metrics) = run(cfg, lines)
+
+    // every event maps to the atomic schema, yet >1 object was written —
+    // the enriched hot key no longer serializes on one task
+    assert(store.paths.size > 1)
+    val all = store.paths.flatMap(p => gunzip(store.objects.get(p)).linesIterator)
+    assert(all.toSet == lines.toSet) // no loss, no duplication across salts
+    assert(all.size == 200)
+    assert(metrics.count.get() == 200)
+    assert(metrics.e2eLatencyMillis.get().contains(0L)) // min ts = epoch
+  }
+
   test("e4/streaming: MemoryStream micro-batches flush through foreachBatch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
