@@ -7,7 +7,7 @@ import graft.config._
 import graft.operators.Synth
 import graft.sinks.HadoopBlobStore
 import graft.sources.RecordSources
-import graft.streaming.{HealthProbe, LoaderPipeline}
+import graft.streaming.{HealthProbe, LoaderPipeline, MetricsEmitter, ServiceHealth}
 
 /** Demo/ops entrypoint: run the loader end-to-end over lines synthesized
   * from the events table, writing real gzip objects through the
@@ -68,8 +68,20 @@ object LoaderDemo {
     ).fold(e => throw new IllegalArgumentException(e), identity)
     val spark = session()
 
-    val probe = new HealthProbe().start()
+    // full monitoring stack: per-service health + /health + /metrics
+    // scrape, stream latency from query progress, optional statsd push
+    // (SPARK_GRAFT_STATSD=host:port)
+    val services = new ServiceHealth
+    val metrics = new LoaderPipeline.Metrics
+    val probe = new HealthProbe(services = services,
+      metrics = Some(metrics)).start()
     spark.streams.addListener(probe)
+    spark.streams.addListener(new MetricsEmitter.StreamLatencyListener(metrics))
+    val reporter = sys.env.get("SPARK_GRAFT_STATSD").map { hp =>
+      val Array(h, p) = hp.split(":", 2)
+      new MetricsEmitter.StatsdReporter(metrics,
+        MetricsEmitter.StatsdConfig(h, p.toInt)).start()
+    }
 
     val raw = RecordSources.build(spark, RecordSources.TextFiles(inDir))
     val cfg = LoaderConfig.validate(LoaderConfig(
@@ -81,8 +93,8 @@ object LoaderDemo {
       .fold(e => throw new IllegalArgumentException(e), identity)
 
     val store = new HadoopBlobStore(Map.empty)
-    val metrics = new LoaderPipeline.Metrics
-    val q = LoaderPipeline.stream(raw, cfg, store, metrics).start()
+    val q = LoaderPipeline.stream(raw, cfg, store, metrics,
+      health = services).start()
     println(s"[demo] streaming from $inDir; health probe on :8000")
     sys.env.get("SPARK_GRAFT_STREAM_SECONDS") match {
       case Some(s) =>
@@ -91,6 +103,7 @@ object LoaderDemo {
         println(s"[demo] stopped; good=${metrics.count.get()} bad=${metrics.badCount.get()}")
       case None => q.awaitTermination()
     }
+    reporter.foreach(_.close())
     probe.stop()
     spark.stop()
   }

@@ -34,7 +34,11 @@ final case class Output(
 
 final case class BadOutput(
     path: String,
-    maxRecordSize: Int = 1000000)
+    maxRecordSize: Int = 1000000,
+    // per-emission chunk bounds (reference PutRecords limits,
+    // config.aws.reference.hocon output.bad)
+    recordLimit: Int = 500,
+    byteLimit: Long = 5242880L)
 
 final case class LoaderConfig(
     purpose: Purpose,
@@ -88,7 +92,11 @@ object LoaderConfig {
           path = root.str("output", "bad", "path")
             .orElse(root.str("output", "bad", "streamName")).getOrElse(""),
           maxRecordSize = root.num("output", "bad", "maxRecordSize")
-            .map(_.toInt).getOrElse(1000000)),
+            .map(_.toInt).getOrElse(1000000),
+          recordLimit = root.num("output", "bad", "recordLimit")
+            .map(_.toInt).getOrElse(500),
+          byteLimit = root.num("output", "bad", "byteLimit")
+            .map(_.toLong).getOrElse(5242880L)),
         batching = Batching(
           maxBytes = root.num("batching", "maxBytes")
             .map(_.toLong).getOrElse(64L * 1024 * 1024),
@@ -100,6 +108,32 @@ object LoaderConfig {
           maxBytesSinglePayload = root.num("decompression", "maxBytesSinglePayload")
             .map(_.toLong).getOrElse(10000000L))))
     } yield cfg
+  }
+
+  /** monitoring.metrics.statsd settings (reference
+    * config.aws.reference.hocon metrics block); None when the block is
+    * absent (metrics emission off).
+    */
+  def statsdFromHocon(text: String,
+      env: String => Option[String] = sys.env.get)
+      : Option[graft.streaming.MetricsEmitter.StatsdConfig] = {
+    val root = Hocon.parse(text, env)
+    root.str("monitoring", "metrics", "statsd", "hostname").map { host =>
+      val tags = root.get("monitoring", "metrics", "statsd", "tags") match {
+        case Some(o: Hocon.Obj) =>
+          o.fields.keys.map(k => k -> o.str(k).getOrElse("")).toMap
+        case _ => Map.empty[String, String]
+      }
+      graft.streaming.MetricsEmitter.StatsdConfig(
+        hostname = host,
+        port = root.num("monitoring", "metrics", "statsd", "port")
+          .map(_.toInt).getOrElse(8125),
+        tags = tags,
+        period = root.duration("monitoring", "metrics", "statsd", "period")
+          .getOrElse(scala.concurrent.duration.DurationInt(1).minute),
+        prefix = root.str("monitoring", "metrics", "statsd", "prefix")
+          .getOrElse("graft.loader"))
+    }
   }
 
   /** Health-probe settings (reference reference.conf:39-42). */

@@ -18,10 +18,16 @@ import org.apache.spark.sql.types._
   * float widened before multiplying — bit-identical results.
   *
   * Null behavior: NULL if either array is NULL (standard null-intolerant
-  * binary expression); array elements are assumed non-null (vector data).
+  * binary expression) or if the arrays differ in length — matching the
+  * zip_with/list_zip composed form, where the null-padded tail nulls the
+  * whole sum. A truncated embedding must surface as NULL, not as a
+  * plausible-looking partial dot product. Array elements are assumed
+  * non-null (vector data).
   */
 case class VectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  override def nullable: Boolean = true
 
   private def isVector(dt: DataType): Boolean = dt match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
@@ -44,7 +50,8 @@ case class VectorDot(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     val aIsF = elemType(left) == FloatType
     val bIsF = elemType(right) == FloatType
     var acc = 0.0
@@ -66,12 +73,16 @@ case class VectorDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $a.$aGet($i)) * ((double) $b.$bGet($i));
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ((double) $a.$aGet($i)) * ((double) $b.$bGet($i));
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
   }

@@ -43,6 +43,32 @@ object Dedup {
   private val nHashes = 12
   private val nBands = 4 // 3 hashes per band
 
+  /** doc_id + 12 minhash slots + 4 LSH band buckets (q32/q32b). Map-only:
+    * each minhash is array_min ∘ transform over the doc's own shingles.
+    */
+  private def minhashBanded(s: SparkSession, dir: String): DataFrame = {
+    val mhCols = (0 until nHashes).map { i =>
+      val (j, off) = (i / 2, 1 + 16 * (i % 2))
+      expr(s"array_min(transform(sh, x -> " +
+        s"substring(md5(cast(concat(x, '#$j') as binary)), $off, 16)))")
+        .as(s"mh$i")
+    }
+    val mh = shingled(s, dir).select(col("doc_id") +: mhCols: _*)
+    (0 until nBands).foldLeft(mh) { (df, bnd) =>
+      val cols = (0 until 3).map(j => s"mh${bnd * 3 + j}").mkString(", ")
+      df.withColumn(s"band$bnd",
+        expr(s"md5(cast(concat_ws('|', $cols) as binary))"))
+    }
+  }
+
+  /** Shingle document-frequency cap for q31. The inverted-index self-join
+    * costs Σ_shingle (df choose 2): one stop-phrase shingle shared by a
+    * million docs is quadratic on that key at corpus scale. Shingles above
+    * the cap carry no near-dup signal (they're corpus-common) and are
+    * dropped BEFORE the join — the standard guard in web-scale dedup.
+    */
+  private val ShingleDfCap = 100
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy. At scale this is one shuffle on a
     // 16-byte key with map-side distinct — the cheapest possible dedup.
@@ -61,10 +87,17 @@ object Dedup {
     // tiebreak). The shingle join replaces all-pairs comparison: cost is
     // sum over shingles of (docs-per-shingle choose 2), not n².
     "q31_ngram_jaccard" -> { (s, dir) =>
-      val docs = shingled(s, dir)
+      val all = shingled(s, dir)
         .select(col("doc_id"), expr("size(sh)").as("n_sh"), explode(col("sh")).as("shingle"))
-      val a = docs.toDF("id_a", "n_a", "shingle")
-      val b = docs.toDF("id_b", "n_b", "shingle")
+      // df ≤ cap guard: drop corpus-common shingles before the self-join
+      // (n_sh keeps the FULL shingle count, so Jaccard denominators are
+      // unchanged — only candidate generation is capped)
+      val rare = all.groupBy("shingle")
+        .agg(count(lit(1)).as("df")).filter(col("df") <= ShingleDfCap)
+        .select("shingle")
+      val docs = all.join(rare.hint("shuffle_hash"), Seq("shingle"), "left_semi")
+      val a = docs.toDF("shingle", "id_a", "n_a")
+      val b = docs.toDF("shingle", "id_b", "n_b")
       // shuffle-hash, not broadcast: parquet stats under-estimate the
       // exploded side, and a driver-built broadcast of the whole inverted
       // index is exactly what wouldn't survive a 100× scale-up.
@@ -87,22 +120,27 @@ object Dedup {
     // 3 signature slots into one bucket key; docs sharing any band key
     // are near-dup candidates.
     "q32_minhash_lsh" -> { (s, dir) =>
-      val mhCols = (0 until nHashes).map { i =>
-        val (j, off) = (i / 2, 1 + 16 * (i % 2))
-        expr(s"array_min(transform(sh, x -> " +
-          s"substring(md5(cast(concat(x, '#$j') as binary)), $off, 16)))")
-          .as(s"mh$i")
-      }
-      val mh = shingled(s, dir).select(col("doc_id") +: mhCols: _*)
-      val withBands = (0 until nBands).foldLeft(mh) { (df, bnd) =>
-        val cols = (0 until 3).map(j => s"mh${bnd * 3 + j}").mkString(", ")
-        df.withColumn(s"band$bnd",
-          expr(s"md5(cast(concat_ws('|', $cols) as binary))"))
-      }
-      withBands
+      minhashBanded(s, dir)
         .select(col("doc_id"), col("mh0"), col("mh1"), col("mh2"), col("mh3"),
           col("band0"), col("band1"), col("band2"), col("band3"))
         .orderBy("doc_id")
+    },
+
+    // LSH candidate-pair generation — the step q32's signatures exist FOR:
+    // docs sharing any band bucket are near-dup candidates. Unpivot to
+    // (band, bucket) rows (map-only stack), self-join on the bucket key,
+    // count shared bands per pair. At scale the join touches only docs
+    // whose band hash collides — never the n² pair space.
+    "q32b_lsh_pairs" -> { (s, dir) =>
+      val lng = minhashBanded(s, dir).selectExpr("doc_id",
+        "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) AS (band, bucket)")
+      val a = lng.toDF("id_a", "band", "bucket")
+      val b = lng.toDF("id_b", "band", "bucket")
+      a.join(b.hint("shuffle_hash"), Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("n_bands"))
+        .orderBy("id_a", "id_b")
     },
 
     // SimHash: 16-bit fingerprint. Bit b of each token's md5 votes ±1;
@@ -165,6 +203,15 @@ object Dedup {
     s"list_distinct(list_transform(generate_series(1, greatest(len($dToks) - 2, 1)), " +
       s"i -> array_to_string(list_slice($dToks, i, i + 2), ' ')))"
 
+  private val duckMhCols = (0 until nHashes).map { i =>
+    val (j, off) = (i / 2, 1 + 16 * (i % 2))
+    s"list_min(list_transform(sh, x -> substring(md5(x || '#$j'), $off, 16))) AS mh$i"
+  }.mkString(",\n ")
+  private val duckBandCols = (0 until nBands).map { bnd =>
+    val cols = (0 until 3).map(j => s"mh${bnd * 3 + j}").mkString(", ")
+    s"md5(concat_ws('|', $cols)) AS band$bnd"
+  }.mkString(",\n ")
+
   def oracle: Map[String, String] = Map(
     "q30_exact_dedup" ->
       """SELECT doc_id,
@@ -173,9 +220,14 @@ object Dedup {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q31_ngram_jaccard" ->
-      s"""WITH sh AS (
+      s"""WITH allsh AS (
          |  SELECT doc_id, unnest(sh) AS shingle, len(sh) AS n_sh
          |  FROM (SELECT doc_id, $dShingles AS sh FROM documents)
+         |),
+         |sh AS (
+         |  SELECT * FROM allsh WHERE shingle IN (
+         |    SELECT shingle FROM allsh GROUP BY shingle
+         |    HAVING count(*) <= $ShingleDfCap)
          |)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
          |  cast(count(*) as double) / (a.n_sh + b.n_sh - count(*)) AS jaccard
@@ -183,21 +235,27 @@ object Dedup {
          |GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
          |ORDER BY jaccard DESC, id_a, id_b LIMIT 50""".stripMargin,
 
-    "q32_minhash_lsh" -> {
-      val mhCols = (0 until nHashes).map { i =>
-        val (j, off) = (i / 2, 1 + 16 * (i % 2))
-        s"list_min(list_transform(sh, x -> substring(md5(x || '#$j'), $off, 16))) AS mh$i"
-      }.mkString(",\n ")
-      val bandCols = (0 until nBands).map { bnd =>
-        val cols = (0 until 3).map(j => s"mh${bnd * 3 + j}").mkString(", ")
-        s"md5(concat_ws('|', $cols)) AS band$bnd"
-      }.mkString(",\n ")
+    "q32_minhash_lsh" ->
       s"""WITH mh AS (
-         |  SELECT doc_id, $mhCols
+         |  SELECT doc_id, $duckMhCols
          |  FROM (SELECT doc_id, $dShingles AS sh FROM documents))
-         |SELECT doc_id, mh0, mh1, mh2, mh3, $bandCols
-         |FROM mh ORDER BY doc_id""".stripMargin
-    },
+         |SELECT doc_id, mh0, mh1, mh2, mh3, $duckBandCols
+         |FROM mh ORDER BY doc_id""".stripMargin,
+
+    "q32b_lsh_pairs" ->
+      s"""WITH mh AS (
+         |  SELECT doc_id, $duckMhCols
+         |  FROM (SELECT doc_id, $dShingles AS sh FROM documents)),
+         |wb AS (SELECT doc_id, $duckBandCols FROM mh),
+         |lng AS (
+         |  SELECT doc_id, 0 AS band, band0 AS bucket FROM wb UNION ALL
+         |  SELECT doc_id, 1, band1 FROM wb UNION ALL
+         |  SELECT doc_id, 2, band2 FROM wb UNION ALL
+         |  SELECT doc_id, 3, band3 FROM wb)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands
+         |FROM lng a JOIN lng b
+         |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q33_simhash" ->
       s"""WITH tok AS (

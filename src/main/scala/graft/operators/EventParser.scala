@@ -38,10 +38,13 @@ object EventParser {
       // makes element_at THROW on rows with fewer than 4 columns, but the
       // reference treats short/malformed rows as silent NULL tstamps
       // (Processing.scala:147-153). try_to_timestamp likewise swallows
-      // unparsable text instead of raising under ANSI.
+      // unparsable text instead of raising under ANSI. The optional
+      // 9-'S' fraction accepts 1–9 digits on parse — the reference's
+      // Instant.parse width (Processing.scala:150-152); "[.SSS]" would
+      // silently NULL a valid "…:05.5".
       .withColumn("collector_tstamp",
         try_to_timestamp(get(split(col("line"), "\t", -1), lit(3)),
-          lit("yyyy-MM-dd HH:mm:ss[.SSS]")))
+          lit("yyyy-MM-dd HH:mm:ss[.SSSSSSSSS]")))
       .withColumn("bad_error", lit(null).cast("string"))
   }
 

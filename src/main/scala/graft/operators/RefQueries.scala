@@ -110,12 +110,32 @@ object RefQueries {
     // limit, checked after append — Processing.scala:249-252). Modeled as
     // a running sum of line bytes (+1 for the trailing newline the writer
     // adds, CompressedStream.scala:27-33) bucketed by a 64 KiB batch size.
+    //
+    // Distributed two-pass prefix sum — a global Window.orderBy would
+    // single-partition the whole table. Instead: range-partition on the
+    // order key, run the window WITHIN each range partition (parallel),
+    // aggregate one total per partition (tiny), prefix-sum the totals with
+    // a window over #partitions rows, and broadcast the offsets back.
+    // Catalyst reuses the range exchange across both branches.
     "q06_size_batches" -> { (s, dir) =>
-      val w = Window.orderBy("event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Synth.events(s, dir)
+      val sized = Synth.events(s, dir)
         .select(col("event_id"), Synth.enrichedLine().as("line"))
-        .withColumn("cum_bytes", sum(octet_length(col("line")) + lit(1)).over(w))
+        .select(col("event_id"),
+          (octet_length(col("line")) + lit(1)).cast("long").as("sz"))
+        .repartitionByRange(col("event_id"))
+        .withColumn("pid", spark_partition_id())
+      val wLocal = Window.partitionBy("pid").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // per-partition offsets: #partitions rows, so the global window is fine
+      val wOff = Window.orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = sized.groupBy("pid").agg(sum("sz").as("ptotal"))
+        .withColumn("offset", coalesce(sum("ptotal").over(wOff), lit(0L)))
+        .select("pid", "offset")
+      sized
+        .withColumn("local_cum", sum("sz").over(wLocal))
+        .join(broadcast(offsets), "pid")
+        .withColumn("cum_bytes", col("local_cum") + col("offset"))
         .select(col("event_id"), col("cum_bytes"),
           floor((col("cum_bytes") - lit(1)) / lit(65536L)).as("batch_id"))
         .orderBy("event_id")

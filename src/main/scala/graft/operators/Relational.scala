@@ -189,6 +189,26 @@ object Relational {
           percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"),
           percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99_value"))
         .orderBy("event_type")
+    },
+
+    // q44's oracle-checkable twin: the EXACT versions of the sketched
+    // stats (distinct count, interpolated percentiles), so the sketch
+    // query's shape is hash-verified even though sketch estimates are
+    // engine-specific. Values go through decimal(18,2) for cross-engine
+    // float determinism.
+    // Interpolation runs in DOUBLE on both engines (same lower + (upper −
+    // lower) · frac formula over p·(n−1)), giving bit-identical doubles —
+    // compared raw, because double→decimal ROUNDING conventions differ
+    // between engines at half-cent boundaries while the doubles themselves
+    // do not.
+    "q44b_sketch_exact" -> { (s, dir) =>
+      Synth.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("user_id")).as("exact_users"),
+          expr("percentile(value, 0.5)").as("p50_value"),
+          expr("percentile(value, 0.99)").as("p99_value"))
+        .orderBy("event_type")
     }
   )
 
@@ -269,6 +289,13 @@ object Relational {
 
     "q18_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q44b_sketch_exact" ->
+      """SELECT event_type,
+        | count(DISTINCT user_id) AS exact_users,
+        | quantile_cont(value, 0.5) AS p50_value,
+        | quantile_cont(value, 0.99) AS p99_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q45_above_brand_avg" ->

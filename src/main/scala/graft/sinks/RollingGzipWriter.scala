@@ -37,7 +37,11 @@ object RollingGzipWriter {
       basePath: String,
       prefix: String = "",
       partitionFormat: Option[String] = None,
-      maxBytes: Long = 64L * 1024 * 1024)
+      maxBytes: Long = 64L * 1024 * 1024,
+      // record-count bound per object — the bad sink's chunking contract
+      // (reference recordLimit=500 per PutRecords request,
+      // Processing.scala:315-331); Long.MaxValue = unbounded (good output)
+      maxRecords: Long = Long.MaxValue)
 
   /** Write one schema-group's lines, rolling to a new object whenever the
     * current gzip stream's byte count passes maxBytes. Returns one action
@@ -84,7 +88,7 @@ object RollingGzipWriter {
       gz.flush() // syncFlush — keeps buf.size() an honest compressed count
       count += 1
       if (tsUs != null && tsUs < minTs) minTs = tsUs
-      if (buf.size() > cfg.maxBytes) { flush(); open() }
+      if (buf.size() > cfg.maxBytes || count >= cfg.maxRecords) { flush(); open() }
     }
     flush()
     actions.toSeq

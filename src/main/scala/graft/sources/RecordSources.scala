@@ -18,15 +18,57 @@ object RecordSources {
   /** Kinesis (production): requires a Kinesis DSv2 connector on the
     * classpath (e.g. spark-sql-kinesis). Options mirror the reference's
     * polling surface: maxRecords per poll, idle time between reads,
-    * initial position.
+    * initial position (config.aws.reference.hocon input block).
     */
   final case class Kinesis(
       streamName: String,
       region: String,
       initialPosition: String = "LATEST",
+      initialTimestamp: Option[String] = None, // AT_TIMESTAMP only
       maxRecords: Int = 750,
       idleTimeBetweenReadsMs: Long = 1500,
       connectorFormat: String = "aws-kinesis") extends SourceConfig
+
+  /** The connector option map — split from [[build]] so the mapping is
+    * unit-testable without a connector on the classpath.
+    */
+  def kinesisOptions(k: Kinesis): Map[String, String] =
+    Map(
+      "streamName" -> k.streamName,
+      "region" -> k.region,
+      "initialPosition" -> k.initialPosition,
+      "maxFetchRecordsPerShard" -> k.maxRecords.toString,
+      "minFetchPeriodMillis" -> k.idleTimeBetweenReadsMs.toString) ++
+      k.initialTimestamp.map("initialTimestamp" -> _)
+
+  /** Decode the reference's `input` HOCON block (streamName,
+    * initialPosition{type,timestamp}, retrievalMode{maxRecords,
+    * idleTimeBetweenReads}) into a [[Kinesis]] config.
+    */
+  def kinesisFromHocon(
+      text: String,
+      region: String,
+      env: String => Option[String] = sys.env.get): Either[String, Kinesis] = {
+    val root = graft.config.Hocon.parse(text, env)
+    for {
+      stream <- root.str("input", "streamName")
+        .toRight("Missing required field: input.streamName")
+      pos = root.str("input", "initialPosition", "type").getOrElse("LATEST")
+      _ <- pos match {
+        case "LATEST" | "TRIM_HORIZON" | "AT_TIMESTAMP" => Right(())
+        case other => Left(s"Unknown initialPosition.type: $other")
+      }
+    } yield Kinesis(
+      streamName = stream,
+      region = region,
+      initialPosition = pos,
+      initialTimestamp = root.str("input", "initialPosition", "timestamp"),
+      maxRecords = root.num("input", "retrievalMode", "maxRecords")
+        .map(_.toInt).getOrElse(750),
+      idleTimeBetweenReadsMs =
+        root.duration("input", "retrievalMode", "idleTimeBetweenReads")
+          .map(_.toMillis).getOrElse(1500L))
+  }
 
   /** Kafka: built-in connector, value column already binary. */
   final case class Kafka(bootstrapServers: String, topic: String)
@@ -42,11 +84,7 @@ object RecordSources {
     case k: Kinesis =>
       spark.readStream
         .format(k.connectorFormat)
-        .option("streamName", k.streamName)
-        .option("region", k.region)
-        .option("initialPosition", k.initialPosition)
-        .option("maxFetchRecordsPerShard", k.maxRecords.toString)
-        .option("minFetchPeriodMillis", k.idleTimeBetweenReadsMs.toString)
+        .options(kinesisOptions(k))
         .load()
         .select(col("data").cast("binary").as("value"))
     case k: Kafka =>

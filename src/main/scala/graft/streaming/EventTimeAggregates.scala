@@ -39,29 +39,53 @@ object EventTimeAggregates {
 
   /** Custom keyed state: assign events to sessions split on `gap` of
     * event-time silence — the streaming twin of the batch q17_sessionize
-    * query. flatMapGroupsWithState keeps one SessionState per user;
-    * event-time timeout expires idle users' state.
+    * query. flatMapGroupsWithState keeps one SessionState per user and
+    * expires it via EVENT-TIME timeout once the watermark passes
+    * lastTs + gap: an idle user's session can never reopen (any later
+    * event is > gap away by definition), so dropping the struct keeps
+    * state O(ACTIVE keys) — NoTimeout would grow it O(all users ever
+    * seen), unbounded on a 100 TB stream. Trade-off: session_seq counts
+    * per state lifetime, so a user returning after expiry restarts at 1
+    * (session MEMBERSHIP — which events share a session — is unchanged).
     */
   def sessionize(
       events: Dataset[SessionEvent],
-      gapUs: Long = 1800L * 1000 * 1000): Dataset[SessionAssignment] = {
+      gapUs: Long = 1800L * 1000 * 1000,
+      watermarkDelay: String = "30 minutes"): Dataset[SessionAssignment] = {
     import events.sparkSession.implicits._
+    val gapMs = math.max(1L, gapUs / 1000)
     events
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", watermarkDelay)
+      .as[SessionEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
-        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
         (userId: Long, evs: Iterator[SessionEvent], state: GroupState[SessionState]) => {
-          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
-          val out = evs.toSeq.sortBy(e => (e.ts_us, e.event_id)).map { e =>
-            st =
-              if (st.lastTsUs == Long.MinValue) SessionState(1L, e.ts_us, 1L)
-              else if (e.ts_us - st.lastTsUs > gapUs)
-                SessionState(st.sessionSeq + 1, e.ts_us, 1L)
-              else st.copy(lastTsUs = e.ts_us, nEvents = st.nEvents + 1)
-            SessionAssignment(userId, e.event_id, st.sessionSeq, st.nEvents)
+          if (state.hasTimedOut) {
+            // watermark passed lastTs + gap: the session is closed for good
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+            val out = evs.toSeq.sortBy(e => (e.ts_us, e.event_id)).map { e =>
+              st =
+                if (st.lastTsUs == Long.MinValue) SessionState(1L, e.ts_us, 1L)
+                else if (e.ts_us - st.lastTsUs > gapUs)
+                  SessionState(st.sessionSeq + 1, e.ts_us, 1L)
+                else st.copy(lastTsUs = e.ts_us, nEvents = st.nEvents + 1)
+              SessionAssignment(userId, e.event_id, st.sessionSeq, st.nEvents)
+            }
+            state.update(st)
+            // timeout must sit strictly above the current watermark
+            // (getCurrentWatermarkMs is unavailable under batch execution,
+            // where timeouts never fire anyway)
+            val wm =
+              try state.getCurrentWatermarkMs()
+              catch { case _: UnsupportedOperationException => Long.MinValue }
+            state.setTimeoutTimestamp(math.max(st.lastTsUs / 1000 + gapMs, wm + 1))
+            out.iterator
           }
-          state.update(st)
-          out.iterator
         })
   }
 }

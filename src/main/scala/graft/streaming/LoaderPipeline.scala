@@ -42,10 +42,15 @@ import graft.sources.Decompression
   */
 object LoaderPipeline {
 
-  /** Pluggable metrics (reference Metrics.scala:35-49): counts + e2e lag. */
+  /** Pluggable metrics (reference Metrics.scala:35-49): counts, stream
+    * latency (micro-batch triggerExecution, via
+    * [[MetricsEmitter.StreamLatencyListener]]) and e2e lag. Emission to
+    * statsd/prometheus is [[MetricsEmitter]]'s job.
+    */
   final class Metrics extends Serializable {
     val count = new AtomicLong(0)
     val badCount = new AtomicLong(0)
+    val latencyMillis = new AtomicReference[Option[Long]](None)
     val e2eLatencyMillis = new AtomicReference[Option[Long]](None)
     val actions = new java.util.concurrent.ConcurrentLinkedQueue[RollingGzipWriter.WriteAction]()
   }
@@ -89,7 +94,8 @@ object LoaderPipeline {
       cfg: LoaderConfig,
       store: BlobStore,
       metrics: Metrics,
-      now: () => Instant = () => Instant.now()): Unit = {
+      now: () => Instant = () => Instant.now(),
+      health: ServiceHealth = new ServiceHealth): Unit = {
     import parsed.sparkSession.implicits._
     val wallClock = now()
 
@@ -127,15 +133,26 @@ object LoaderPipeline {
       // The shuffle keys are plain columns (codegen'd hash partitioning, no
       // row-deserializing lambda); each partition then streams consecutive
       // same-schema runs straight into the rolling writer.
-      val actions: Array[RollingGzipWriter.WriteAction] = good
-        .withColumn("salt", pmod(hash(col("line")), lit(targetFiles)))
-        .repartition(col("vendor"), col("name"), col("format"), col("model"),
-          col("salt"))
-        .sortWithinPartitions("vendor", "name", "format", "model")
-        .mapPartitions { rows =>
-          writePartition(rows, store, sinkCfg, wallClock)
+      // Per-service health (reference RuntimeService, Processing.scala:
+      // 327-329): a failed write job degrades ONLY its sink's health flag;
+      // a later success marks it healthy again.
+      val actions: Array[RollingGzipWriter.WriteAction] =
+        try {
+          val a = good
+            .withColumn("salt", pmod(hash(col("line")), lit(targetFiles)))
+            .repartition(col("vendor"), col("name"), col("format"), col("model"),
+              col("salt"))
+            .sortWithinPartitions("vendor", "name", "format", "model")
+            .mapPartitions { rows =>
+              writePartition(rows, store, sinkCfg, wallClock)
+            }
+            .collect()
+          health.markHealthy(ServiceHealth.BlobSink)
+          a
+        } catch { case e: Throwable =>
+          health.markUnhealthy(ServiceHealth.BlobSink, String.valueOf(e.getMessage))
+          throw e
         }
-        .collect()
 
       actions.foreach(metrics.actions.add)
       metrics.count.addAndGet(actions.map(_.recordCount).sum)
@@ -144,7 +161,13 @@ object LoaderPipeline {
         metrics.e2eLatencyMillis.set(
           Some(wallClock.toEpochMilli - earliest.min / 1000))
       }
-      writeBad(parsed, cfg, store, metrics, wallClock)
+      try {
+        writeBad(parsed, cfg, store, metrics, wallClock)
+        health.markHealthy(ServiceHealth.BadSink)
+      } catch { case e: Throwable =>
+        health.markUnhealthy(ServiceHealth.BadSink, String.valueOf(e.getMessage))
+        throw e
+      }
     } finally parsed.unpersist()
   }
 
@@ -205,8 +228,15 @@ object LoaderPipeline {
     val processor = BadRow.Processor("graft-loader", "0.1.0")
     val maxSize = cfg.bad.maxRecordSize
     val badPath = cfg.bad.path
+    // Chunking contract (reference Processing.scala:315-331): the bad sink
+    // bounds each emission to recordLimit records / byteLimit bytes — the
+    // Kinesis PutRecords limits (config.aws.reference.hocon). Here each
+    // chunk is one object: the byte bound applies to the compressed stream
+    // (conservative — compressed ≤ raw), the record bound exactly.
     val badSinkCfg = RollingGzipWriter.SinkConfig(
-      badPath, "bad-", None, cfg.batching.maxBytes)
+      badPath, "bad-", None,
+      math.min(cfg.batching.maxBytes, cfg.bad.byteLimit),
+      cfg.bad.recordLimit.toLong)
     val badWritten = EventParser.bad(parsed)
       .select(col("line"), col("bad_error"))
       .as[(String, String)]
@@ -249,11 +279,12 @@ object LoaderPipeline {
       cfg: LoaderConfig,
       store: BlobStore,
       metrics: Metrics,
-      now: () => Instant = () => Instant.now()): DataStreamWriter[Row] = {
+      now: () => Instant = () => Instant.now(),
+      health: ServiceHealth = new ServiceHealth): DataStreamWriter[Row] = {
     val w = df.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         writeBatch(parse(decode(batch, cfg.decompression), cfg.purpose),
-          cfg, store, metrics, now)
+          cfg, store, metrics, now, health)
       }
       .trigger(Trigger.ProcessingTime(cfg.batching.maxDelay.toMillis))
     cfg.checkpointLocation.fold(w)(p => w.option("checkpointLocation", p))

@@ -78,6 +78,34 @@ class EventTimeSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("sessionizer state expires via event-time timeout once the watermark passes lastTs + gap") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    // zero watermark delay: the watermark tracks max event time exactly
+    val out = EventTimeAggregates.sessionize(mem.toDS(), gapUs = 1000L,
+      watermarkDelay = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("sessexp")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(SessionEvent(1, 10, 1000))          // user 1, session 1
+      q.processAllAvailable()
+      mem.addData(SessionEvent(2, 20, 10000000L))     // watermark → 10 s
+      q.processAllAvailable()
+      mem.addData(SessionEvent(3, 30, 20000000L))     // batch with wm 10 s:
+      q.processAllAvailable()                         // user 1 state times out
+      mem.addData(SessionEvent(1, 13, 30000000L))     // user 1 returns
+      q.processAllAvailable()
+
+      val rows = spark.sql("select * from sessexp").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // state was REMOVED at timeout: the returning user restarts at
+      // session 1 (surviving NoTimeout state would have said session 2)
+      assert(rows((1L, 13L)) == 1)
+      assert(rows((1L, 10L)) == 1)
+    } finally q.stop()
+  }
+
   test("stateful sessionizer splits on gap and persists state across batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

@@ -76,16 +76,18 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val lines = Seq(
       "only\ttwo",                       // fewer than 4 columns
       "a\tb\tc\tnot-a-timestamp\te",     // unparsable tstamp
-      tsv("1970-01-01 00:00:05.000"))    // one good tstamp
+      tsv("1970-01-01 00:00:05.000"),    // good tstamp, 3 fraction digits
+      tsv("1970-01-01 00:00:03.5"),      // 1 fraction digit (Instant.parse
+      tsv("1970-01-01 00:00:07.123456")) // and 6 both parse, P2 parity)
     val (store, metrics) = run(cfg, lines)
-    // all three rows are GOOD (written), none bad; e2e latency from the
-    // single parsable tstamp
-    assert(metrics.count.get() == 3)
+    // all rows are GOOD (written), none bad; e2e latency from the earliest
+    // PARSABLE tstamp — the 1-digit-fraction row
+    assert(metrics.count.get() == 5)
     assert(metrics.badCount.get() == 0)
-    assert(metrics.e2eLatencyMillis.get().contains(-5000L))
+    assert(metrics.e2eLatencyMillis.get().contains(-3500L))
     val content = store.paths.filter(_.startsWith("mem://path"))
       .map(p => gunzip(store.objects.get(p))).mkString
-    assert(content.linesIterator.size == 3)
+    assert(content.linesIterator.size == 5)
   }
 
   test("e2: SDJ grouping by schema + bad rows (reference ProcessingSpec:80-101)") {
@@ -210,6 +212,20 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     LoaderPipeline.runBatch(
       rawDf(Seq(tsv("1970-01-01 00:00:03.000"))), cfg, store, metrics, () => fixedNow)
     assert(store.paths.size == before + 2) // two distinct UUID objects
+  }
+
+  test("bad sink chunking: recordLimit bounds each bad object (reference PutRecords limits)") {
+    val cfg = LoaderConfig.validate(LoaderConfig(
+      Purpose.Sdj, Output("mem://path"),
+      BadOutput("mem://bad", recordLimit = 2))).toOption.get
+    // 7 unparsable payloads → bad rows; recordLimit=2 → no object holds >2
+    val payloads = (0 until 7).map(i => s"not json $i")
+    val (store, metrics) = run(cfg, payloads)
+    assert(metrics.badCount.get() == 7)
+    val badPaths = store.paths.filter(_.startsWith("mem://bad"))
+    val sizes = badPaths.map(p => gunzip(store.objects.get(p)).linesIterator.size)
+    assert(sizes.sum == 7)
+    assert(sizes.forall(_ <= 2))
   }
 
   test("decompression errors become bad rows end-to-end") {
