@@ -29,7 +29,14 @@ object GraftFunctions {
     (FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[TokenShingles].getName, "graft_shingles"),
       (children: Seq[Expression]) => TokenShingles(children(0),
-        children(1).eval().asInstanceOf[Int])))
+        children(1).eval().asInstanceOf[Int])),
+    (FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSlots].getName, "graft_minhash"),
+      (children: Seq[Expression]) => MinHashSlots(children(0),
+        children(1).eval().asInstanceOf[Int])),
+    (FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash16].getName, "graft_simhash"),
+      (children: Seq[Expression]) => SimHash16(children(0))))
 
   /** Idempotent session-level registration. */
   def register(spark: SparkSession): Unit =

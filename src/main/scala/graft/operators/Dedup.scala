@@ -44,16 +44,15 @@ object Dedup {
   private val nBands = 4 // 3 hashes per band
 
   /** doc_id + 12 minhash slots + 4 LSH band buckets (q32/q32b). Map-only:
-    * each minhash is array_min ∘ transform over the doc's own shingles.
+    * the native [[graft.functions.MinHashSlots]] computes every slot in
+    * one pass over the doc's shingles (the composed array_min ∘ transform
+    * form ran 12 interpreted lambda loops and 2× the md5 calls).
     */
   private def minhashBanded(s: SparkSession, dir: String): DataFrame = {
-    val mhCols = (0 until nHashes).map { i =>
-      val (j, off) = (i / 2, 1 + 16 * (i % 2))
-      expr(s"array_min(transform(sh, x -> " +
-        s"substring(md5(cast(concat(x, '#$j') as binary)), $off, 16)))")
-        .as(s"mh$i")
-    }
-    val mh = shingled(s, dir).select(col("doc_id") +: mhCols: _*)
+    val mh = shingled(s, dir)
+      .withColumn("mhs", expr(s"graft_minhash(sh, $nHashes)"))
+      .select(col("doc_id") +:
+        (0 until nHashes).map(i => col("mhs").getItem(i).as(s"mh$i")): _*)
     (0 until nBands).foldLeft(mh) { (df, bnd) =>
       val cols = (0 until 3).map(j => s"mh${bnd * 3 + j}").mkString(", ")
       df.withColumn(s"band$bnd",
@@ -144,21 +143,14 @@ object Dedup {
     },
 
     // SimHash: 16-bit fingerprint. Bit b of each token's md5 votes ±1;
-    // fingerprint bit = sign of the vote sum. Explodes (doc × token × bit)
-    // then two hash aggregations — map-only + two shuffles on small keys.
+    // fingerprint bit = sign of the vote sum. The native
+    // [[graft.functions.SimHash16]] computes it per row — zero shuffles
+    // (the composed form exploded doc × token × bit through two hash
+    // aggregations; the oracle still uses that rendering).
     "q33_simhash" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
       Synth.documents(s, dir)
-        .select(col("doc_id"), explode(expr(toks)).as("tok"))
-        .select(col("doc_id"), md5(col("tok").cast("binary")).as("h"))
-        .select(col("doc_id"), col("h"), explode(expr("sequence(0, 15)")).as("b"))
-        .withColumn("d",
-          expr("instr('0123456789abcdef', substring(h, cast(b / 4 as int) + 1, 1)) - 1"))
-        .withColumn("bit", expr("shiftright(d, 3 - b % 4) % 2"))
-        .groupBy("doc_id", "b")
-        .agg(sum(when(col("bit") === 1, 1).otherwise(-1)).as("vote"))
-        .groupBy("doc_id")
-        .agg(sum(when(col("vote") > 0,
-          expr("cast(pow(2, b) as bigint)")).otherwise(0L)).as("simhash16"))
+        .select(col("doc_id"), expr(s"graft_simhash($toks)").as("simhash16"))
         .orderBy("doc_id")
     },
 

@@ -46,6 +46,49 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.isNullAt(0))
   }
 
+  test("graft_minhash: slots match the composed array_min/transform form") {
+    GraftFunctions.register(spark)
+    val composed = (0 until 12).map { i =>
+      val (j, off) = (i / 2, 1 + 16 * (i % 2))
+      s"array_min(transform(sh, x -> " +
+        s"substring(md5(cast(concat(x, '#$j') as binary)), $off, 16))) AS c$i"
+    }.mkString(", ")
+    val r = spark.sql(
+      "SELECT graft_minhash(sh, 12) AS mhs, " + composed +
+        " FROM (SELECT array('the quick brown', 'quick brown fox', 'fox!') AS sh)")
+      .collect()(0)
+    val native = r.getSeq[String](0)
+    val expected = (0 until 12).map(i => r.getString(i + 1))
+    assert(native == expected)
+  }
+
+  test("graft_minhash: empty shingle array is NULL (array_min semantics)") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_minhash(cast(array() as array<string>), 12) AS mhs")
+      .collect()(0)
+    assert(r.isNullAt(0))
+  }
+
+  test("graft_simhash: matches the exploded md5-bit-vote form") {
+    GraftFunctions.register(spark)
+    // composed reference rendering (the DuckDB oracle's shape)
+    val both = spark.sql(
+      """WITH t AS (SELECT array('alpha', 'beta', 'alpha', 'gamma!') AS toks),
+        |tok AS (SELECT md5(cast(tk as binary)) AS h FROM t LATERAL VIEW explode(toks) AS tk),
+        |bits AS (SELECT h, b,
+        |    instr('0123456789abcdef', substring(h, cast(b / 4 as int) + 1, 1)) - 1 AS d
+        |  FROM tok LATERAL VIEW explode(sequence(0, 15)) AS b),
+        |votes AS (SELECT b,
+        |    sum(CASE WHEN shiftright(d, 3 - b % 4) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM bits GROUP BY b)
+        |SELECT
+        |  (SELECT cast(sum(CASE WHEN vote > 0 THEN cast(pow(2, b) as bigint) ELSE 0 END) as bigint) FROM votes) AS composed,
+        |  (SELECT graft_simhash(toks) FROM t) AS native""".stripMargin)
+      .collect()(0)
+    assert(both.getLong(0) == both.getLong(1))
+  }
+
   test("graft_shingles: distinct 3-gram shingles over a token array") {
     GraftFunctions.register(spark)
     val r = spark.sql(
