@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed k-means (Lloyd's) over the embeddings table — the training
+  * step the IVF index (q42) was stubbed around. MLlib-shaped execution:
+  * assignments and per-dimension sums are distributed jobs; only the k×dim
+  * centroid matrix ever reaches the driver (8×64 doubles per iteration),
+  * which is what keeps the loop scale-correct at 100 TB.
+  *
+  * Everything is engine-portable-deterministic so the full training run is
+  * DuckDB-oracle-checkable (not just rows-only):
+  *  - init: centroid c = the embedding of vec_id c (c < k)
+  *  - assignment: argmin over −2·(x·c) + |c|², dots via the left-fold
+  *    [[graft.functions.VectorDot]] (= DuckDB list_reduce), ties to the
+  *    smallest centroid id
+  *  - update: per-dimension FIXED-POINT means — each component is
+  *    floor(x · 2^20) as a bigint; integer sums are order-independent, so
+  *    the shuffle's nondeterministic reduce order cannot flip a ulp
+  *    (double sums would). mean = sum / count / 2^20 in double.
+  *  - empty cluster: keeps its previous centroid
+  */
+object KMeans {
+
+  private val k = 8
+  private val iters = 2
+  private val scale = 1048576L // 2^20
+
+  private def dotLit(c: Array[Double]): String =
+    c.map(w => s"${w}D").mkString("array(", ", ", ")")
+
+  /** Assignment column: 0-based id of the argmin centroid, first-min
+    * tiebreak (= smallest cid, same as the oracle's ORDER BY score, cid).
+    */
+  private def clusterExpr(centroids: Array[Array[Double]]): String = {
+    val scores = centroids.map { c =>
+      val norm2 = c.foldLeft(0.0)((acc, v) => acc + v * v)
+      s"-2D * ${Dedup.dot("embedding", dotLit(c))} + ${norm2}D"
+    }.mkString("array(", ", ", ")")
+    s"array_position($scores, array_min($scores)) - 1"
+  }
+
+  private def assign(e: DataFrame, centroids: Array[Array[Double]]): DataFrame =
+    e.withColumn("cid", expr(clusterExpr(centroids)).cast("int"))
+
+  /** Lloyd iterations; returns the final centroids. */
+  def train(e: DataFrame): Array[Array[Double]] = {
+    val init: Array[Array[Double]] = e
+      .filter(col("vec_id") < k).orderBy("vec_id")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    (1 to iters).foldLeft(init) { (centroids, _) =>
+      val sums: Array[Row] = assign(e, centroids)
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .groupBy("cid", "d")
+        .agg(
+          sum(floor(col("x").cast("double") * scale).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = centroids.map(_.clone())
+      sums.foreach { r =>
+        val (cid, d) = (r.getInt(0), r.getInt(1))
+        next(cid)(d) = r.getLong(2).toDouble / r.getLong(3).toDouble / scale.toDouble
+      }
+      next
+    }
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Trained-IVF clustering: 2 Lloyd rounds from the deterministic seed,
+    // then the final assignment — the list of (vector, cluster) pairs an
+    // IVF index would partition by.
+    "q43_kmeans" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val e = Synth.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val centroids = train(e)
+      assign(e, centroids)
+        .select(col("vec_id"), col("cid").as("cluster"))
+        .orderBy("vec_id")
+    }
+  )
+
+  private val dDot =
+    "list_reduce(list_transform(list_zip(%s, %s), " +
+      "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
+
+  private def duckAssign(cTable: String, out: String): String = {
+    val dotVC = dDot.format("v.embedding", "c.embedding")
+    val dotCC = dDot.format("c.embedding", "c.embedding")
+    s"""$out AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT v.vec_id, c.cid, row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY (-2 * $dotVC + $dotCC), c.cid) AS rn
+       |    FROM e v CROSS JOIN $cTable c) WHERE rn = 1)""".stripMargin
+  }
+
+  private def duckUpdate(aTable: String, cPrev: String, out: String): String =
+    s"""m_$out AS (
+       |  SELECT a.cid, r.d,
+       |    cast(sum(cast(floor(CAST(v.embedding[r.d] AS DOUBLE) * $scale) as bigint)) as double)
+       |      / count(*) / $scale AS val
+       |  FROM $aTable a JOIN e v USING (vec_id) CROSS JOIN range(1, 65) r(d)
+       |  GROUP BY a.cid, r.d),
+       |$out AS (
+       |  SELECT p.cid, coalesce(m.emb, p.embedding) AS embedding
+       |  FROM $cPrev p LEFT JOIN (
+       |    SELECT cid, list(val ORDER BY d) AS emb FROM m_$out GROUP BY cid) m
+       |  USING (cid))""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "q43_kmeans" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |c0 AS (
+         |  SELECT vec_id AS cid,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+         |  FROM embeddings WHERE vec_id < $k),
+         |${duckAssign("c0", "a0")},
+         |${duckUpdate("a0", "c0", "c1")},
+         |${duckAssign("c1", "a1")},
+         |${duckUpdate("a1", "c1", "c2")},
+         |${duckAssign("c2", "a2")}
+         |SELECT vec_id, cast(cid as int) AS cluster FROM a2
+         |ORDER BY vec_id""".stripMargin
+  )
+}

@@ -41,8 +41,11 @@ object Similarity {
 
   private val nCentroids = 8
 
-  /** IVF "centroids": deterministic pseudo-vectors (same md5-derived
-    * halves construction as the LSH planes, different salt).
+  /** IVF "centroids" for q42's fixed-contract oracle: deterministic
+    * pseudo-vectors (same md5-derived halves construction as the LSH
+    * planes, different salt). Real trained centroids are
+    * [[KMeans.train]] (q43) — q42 keeps the pseudo set so its oracle
+    * stays a closed-form expression.
     */
   private[operators] val centroids: Array[Array[Double]] =
     Array.tabulate(nCentroids, dim) { (c, d) =>
