@@ -36,7 +36,12 @@ object GraftFunctions {
         children(1).eval().asInstanceOf[Int])),
     (FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash16].getName, "graft_simhash"),
-      (children: Seq[Expression]) => SimHash16(children(0))))
+      (children: Seq[Expression]) => SimHash16(children(0))),
+    (FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[Winnow].getName, "graft_winnow"),
+      (children: Seq[Expression]) => Winnow(children(0),
+        children(1).eval().asInstanceOf[Int],
+        children(2).eval().asInstanceOf[Int])))
 
   /** Idempotent session-level registration. */
   def register(spark: SparkSession): Unit =

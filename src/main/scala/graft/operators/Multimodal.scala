@@ -71,6 +71,22 @@ object Multimodal {
       extractFeatures(media).toDF().orderBy("doc_id")
     },
 
+    // Resize: nearest-neighbor downsample of the payload to a fixed
+    // RESIZE_DIM samples (sample i = byte at floor(i·n/DIM)) — the byte
+    // stand-in for image resize, the same index arithmetic a real
+    // nearest-neighbor resampler uses per axis. Map-only, declarative.
+    "q52_media_resize" -> { (s, dir) =>
+      val dim = 16
+      Synth.documents(s, dir)
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+        .withColumn("n_bytes", octet_length(col("payload")))
+        .select(col("doc_id"), col("n_bytes"),
+          expr(s"concat_ws('', transform(sequence(0, ${dim - 1}), " +
+            s"i -> hex(substring(payload, cast(i * n_bytes / $dim as int) + 1, 1))))")
+            .as("resized_hex"))
+        .orderBy("doc_id")
+    },
+
     // Frame chunking: one row per fixed-size window of the payload (the
     // audio/video segmentation shape — each chunk becomes an independent
     // processing unit downstream). Declarative: sequence + explode, so
@@ -111,6 +127,16 @@ object Multimodal {
          |    x -> (strpos('0123456789ABCDEF', substring(x, 1, 1)) - 1) * 16
          |       + strpos('0123456789ABCDEF', substring(x, 2, 1)) - 1)) as bigint), 0) AS frame_sum
          |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q52_media_resize" ->
+      """WITH h AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n_bytes
+        |  FROM documents)
+        |SELECT doc_id, cast(n_bytes as int) AS n_bytes,
+        |  array_to_string(list_transform(generate_series(0, 15),
+        |    i -> substring(hx, ((i * n_bytes) // 16) * 2 + 1, 2)), '') AS resized_hex
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     "q51_media_chunks" ->
       """WITH h AS (

@@ -88,6 +88,25 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // Winnowing fingerprints (the rolling-hash document fingerprint of
+    // MOSS): hash every ORDERED 3-gram, slide a window of 4 hashes, keep
+    // each window's minimum, dedupe. Guarantees any shared run of
+    // window+ngram-1 tokens between two docs shares a fingerprint —
+    // the local-similarity primitive exact/minhash dedup can't give.
+    // Map-only per doc; the selection arithmetic is list ops identical
+    // in both engines.
+    "q28_winnowing" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      Synth.documents(s, dir)
+        .withColumn("fps", expr(s"graft_winnow($toks, 3, 4)"))
+        .select(
+          col("doc_id"),
+          expr("size(fps)").as("n_fingerprints"),
+          expr("element_at(fps, 1)").as("fp_min"),
+          expr("md5(cast(concat_ws('', fps) as binary))").as("fp_set_hash"))
+        .orderBy("doc_id")
+    },
+
     // Vocabulary extraction: top tokens by document frequency — the
     // tokenizer-training / stopword-mining primitive. Explode-distinct →
     // one shuffle on the token, partial counts map-side.
@@ -178,6 +197,24 @@ object TextAnalysis {
          | md5(text) AS content_hash,
          | md5(array_to_string(list_sort(list_distinct($dToks)), ' ')) AS bow_fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q28_winnowing" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    list_transform(generate_series(1, greatest(len($dToks) - 2, 1)),
+         |      i -> substring(md5(array_to_string(list_slice($dToks, i, i + 2), ' ')), 1, 16)) AS h
+         |  FROM documents),
+         |fp AS (
+         |  SELECT doc_id,
+         |    list_sort(list_distinct(list_transform(
+         |      generate_series(1, greatest(len(h) - 3, 1)),
+         |      i -> list_min(list_slice(h, i, i + 3))))) AS fps
+         |  FROM h)
+         |SELECT doc_id,
+         |  cast(len(fps) as int) AS n_fingerprints,
+         |  fps[1] AS fp_min,
+         |  md5(array_to_string(fps, '')) AS fp_set_hash
+         |FROM fp ORDER BY doc_id""".stripMargin,
 
     "q24_vocab" ->
       s"""SELECT token, count(*) AS doc_freq

@@ -89,6 +89,28 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(both.getLong(0) == both.getLong(1))
   }
 
+  test("graft_winnow: matches the composed slice/array_min winnowing form") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """WITH t AS (SELECT split('the quick brown fox jumps over the lazy dog and the quick cat', ' ') AS toks),
+        |h AS (SELECT toks, transform(sequence(1, greatest(size(toks) - 2, 1)),
+        |    i -> substring(md5(cast(concat_ws(' ', slice(toks, i, 3)) as binary)), 1, 16)) AS hs FROM t)
+        |SELECT
+        |  array_sort(array_distinct(transform(sequence(1, greatest(size(hs) - 3, 1)),
+        |    i -> array_min(slice(hs, i, 4))))) AS composed,
+        |  graft_winnow(toks, 3, 4) AS native
+        |FROM h""".stripMargin).collect()(0)
+    assert(r.getSeq[String](0) == r.getSeq[String](1))
+    assert(r.getSeq[String](0).nonEmpty)
+  }
+
+  test("graft_winnow: short input (fewer tokens than n) yields one fingerprint") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("SELECT graft_winnow(array('only', 'two'), 3, 4) AS fps")
+      .collect()(0).getSeq[String](0)
+    assert(r.size == 1)
+  }
+
   test("graft_shingles: distinct 3-gram shingles over a token array") {
     GraftFunctions.register(spark)
     val r = spark.sql(
