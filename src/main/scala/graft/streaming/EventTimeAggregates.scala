@@ -32,6 +32,22 @@ object EventTimeAggregates {
         col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup — the streaming twin of q30: drop rows whose
+    * `event_id` was already seen within the watermark horizon.
+    * `dropDuplicatesWithinWatermark` (not plain dropDuplicates) keys the
+    * state TTL to the watermark, so state is O(events per watermark
+    * window), never O(all ids ever seen) — the only dedup that survives an
+    * unbounded 100 TB stream. Trade-off (same as the reference's
+    * at-least-once contract): an id recurring after the horizon passes
+    * again.
+    */
+  def streamingDedup(
+      events: DataFrame,
+      watermarkDelay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   final case class SessionEvent(user_id: Long, event_id: Long, ts_us: Long)
   final case class SessionState(sessionSeq: Long, lastTsUs: Long, nEvents: Long)
   final case class SessionAssignment(

@@ -78,6 +78,34 @@ class EventTimeSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicates within the watermark, state expires after it") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val out = EventTimeAggregates.streamingDedup(
+      mem.toDF().toDF("event_id", "ts"), watermarkDelay = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    def count(id: Long) = spark.sql(
+      s"select count(*) from dedup where event_id = $id").collect()(0).getLong(0)
+    try {
+      mem.addData((1L, t(0)), (1L, t(1)), (2L, t(1))) // in-batch duplicate
+      q.processAllAvailable()
+      assert(count(1L) == 1 && count(2L) == 1)
+
+      mem.addData((1L, t(2))) // duplicate within the watermark → dropped
+      q.processAllAvailable()
+      assert(count(1L) == 1)
+
+      mem.addData((9L, t(40))) // watermark → 10:35, id 1's state expires
+      q.processAllAvailable()
+      mem.addData((1L, t(41))) // recurs after the horizon → passes again
+      q.processAllAvailable()
+      assert(count(1L) == 2)
+    } finally q.stop()
+  }
+
   test("sessionizer state expires via event-time timeout once the watermark passes lastTs + gap") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
