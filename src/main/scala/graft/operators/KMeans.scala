@@ -78,6 +78,28 @@ object KMeans {
       assign(e, centroids)
         .select(col("vec_id"), col("cid").as("cluster"))
         .orderBy("vec_id")
+    },
+
+    // End-to-end trained IVF search: top-k cosine inside the query's
+    // TRAINED cluster (q42's probe shape with q43's centroids). The
+    // cluster column is the partition key a real IVF index would bucket
+    // the vectors by; the probe touches ~n/k of the data.
+    "q43b_ivf_trained" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val e = Synth.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val assigned = assign(e, train(e))
+        .select(col("vec_id"), col("embedding"), col("cid").as("cluster"))
+      val q = assigned.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("cluster"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))
+      broadcast(q).join(assigned, "cluster")
+        .withColumn("cosine", expr(Dedup.dot("q_emb", "embedding")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select("query_id", "rk", "vec_id", "cosine")
+        .orderBy("query_id", "rk")
     }
   )
 
@@ -108,19 +130,37 @@ object KMeans {
        |    SELECT cid, list(val ORDER BY d) AS emb FROM m_$out GROUP BY cid) m
        |  USING (cid))""".stripMargin
 
+  private val duckTrainCtes =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |c0 AS (
+       |  SELECT vec_id AS cid,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+       |  FROM embeddings WHERE vec_id < $k),
+       |${duckAssign("c0", "a0")},
+       |${duckUpdate("a0", "c0", "c1")},
+       |${duckAssign("c1", "a1")},
+       |${duckUpdate("a1", "c1", "c2")},
+       |${duckAssign("c2", "a2")}""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "q43_kmeans" ->
-      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-         |c0 AS (
-         |  SELECT vec_id AS cid,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
-         |  FROM embeddings WHERE vec_id < $k),
-         |${duckAssign("c0", "a0")},
-         |${duckUpdate("a0", "c0", "c1")},
-         |${duckAssign("c1", "a1")},
-         |${duckUpdate("a1", "c1", "c2")},
-         |${duckAssign("c2", "a2")}
+      s"""$duckTrainCtes
          |SELECT vec_id, cast(cid as int) AS cluster FROM a2
-         |ORDER BY vec_id""".stripMargin
+         |ORDER BY vec_id""".stripMargin,
+
+    "q43b_ivf_trained" -> {
+      val dotQE = dDot.format("q.embedding", "v.embedding")
+      s"""$duckTrainCtes,
+         |av AS (SELECT e.vec_id, e.embedding, a2.cid AS cluster
+         |       FROM e JOIN a2 USING (vec_id)),
+         |qs AS (SELECT vec_id AS query_id, embedding, cluster
+         |       FROM av WHERE vec_id < 5)
+         |SELECT query_id, rk, vec_id, cosine FROM (
+         |  SELECT q.query_id, v.vec_id, $dotQE AS cosine,
+         |    cast(row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY $dotQE DESC, v.vec_id) as int) AS rk
+         |  FROM qs q JOIN av v ON q.cluster = v.cluster)
+         |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+    }
   )
 }
