@@ -52,6 +52,24 @@ class HoconConfigSpec extends AnyFunSuite {
         val hp = LoaderConfig.healthProbeFromHocon(text)
         assert(hp.port == 8000)
         assert(hp.unhealthyLatency == 2.minutes)
+        // bad-sink chunking limits (PutRecords bounds)
+        assert(c.bad.recordLimit == 500)
+        assert(c.bad.byteLimit == 5242880L)
+        // statsd metrics block
+        val sd = LoaderConfig.statsdFromHocon(text, _ => Some("testWorkerId")).get
+        assert(sd.hostname == "127.0.0.1")
+        assert(sd.port == 8125)
+        assert(sd.tags == Map("env" -> "prod"))
+        assert(sd.period == 1.minute)
+        assert(sd.prefix == "snowplow.blob.loader.aws")
+        // kinesis input block (polling surface)
+        val k = graft.sources.RecordSources
+          .kinesisFromHocon(text, "eu-central-1", _ => Some("testWorkerId"))
+          .toOption.get
+        assert(k.streamName == "snowplow-sdjs")
+        assert(k.initialPosition == "TRIM_HORIZON")
+        assert(k.maxRecords == 750)
+        assert(k.idleTimeBetweenReadsMs == 1500L)
     }
   }
 
