@@ -107,6 +107,23 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // Deterministic stratified sampling — reproducible corpus downsampling
+    // by source: keep a doc iff the md5 of its SALTED id falls below the
+    // stratum's hex threshold. Unlike rand()/TABLESAMPLE this is stable
+    // across engines, runs, and partitionings (the property that makes a
+    // 100 TB sample re-creatable and auditable), and it's map-only.
+    // Thresholds are hex-string compares: '8000' ~ 50%, '1999' ~ 10%.
+    "q29_stratified_sample" -> { (s, dir) =>
+      Synth.documents(s, dir)
+        .withColumn("sample_key",
+          expr("substring(md5(cast(concat('sample:', cast(doc_id as string)) as binary)), 1, 4)"))
+        .withColumn("threshold",
+          expr("CASE source WHEN 'web' THEN '4000' WHEN 'wiki' THEN '8000' ELSE 'cccc' END"))
+        .filter(col("sample_key") < col("threshold"))
+        .select("doc_id", "source", "sample_key")
+        .orderBy("doc_id")
+    },
+
     // Vocabulary extraction: top tokens by document frequency — the
     // tokenizer-training / stopword-mining primitive. Explode-distinct →
     // one shuffle on the token, partial counts map-side.
@@ -215,6 +232,14 @@ object TextAnalysis {
          |  fps[1] AS fp_min,
          |  md5(array_to_string(fps, '')) AS fp_set_hash
          |FROM fp ORDER BY doc_id""".stripMargin,
+
+    "q29_stratified_sample" ->
+      """SELECT doc_id, source,
+        | substring(md5('sample:' || cast(doc_id as varchar)), 1, 4) AS sample_key
+        |FROM documents
+        |WHERE substring(md5('sample:' || cast(doc_id as varchar)), 1, 4) <
+        |  CASE source WHEN 'web' THEN '4000' WHEN 'wiki' THEN '8000' ELSE 'cccc' END
+        |ORDER BY doc_id""".stripMargin,
 
     "q24_vocab" ->
       s"""SELECT token, count(*) AS doc_freq
