@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions for the scale claims the query surface makes:
+  * filters reach the parquet scan, projections prune columns, dimension
+  * joins broadcast, and shuffle counts stay at the declared minimum.
+  * AQE is off in this session so the static plan is inspectable.
+  */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "false")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def plan(q: String) =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+
+  test("q10: the l_shipdate filter is pushed down to the lineitem scan") {
+    val scans = plan("q10_pricing_summary").collect {
+      case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    val pushed = scans.map(_.metadata.getOrElse("PushedFilters", "[]")).mkString
+    assert(pushed.contains("LessThanOrEqual(l_shipdate"), s"got: $pushed")
+  }
+
+  test("q05: column pruning — the events scan reads only the ts column") {
+    val scans = plan("q05_min_tstamp").collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    val schema = scans.head.metadata.getOrElse("ReadSchema", "")
+    assert(schema.contains("ts"), s"got: $schema")
+    assert(!schema.contains("props") && !schema.contains("user_id"),
+      s"expected pruned scan, got: $schema")
+  }
+
+  test("q11: all three dimension joins broadcast (no shuffle join on dims)") {
+    val p = plan("q11_revenue_by_nation")
+    val bhj = p.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size >= 3, s"expected >=3 broadcast joins, got ${bhj.size}:\n$p")
+  }
+
+  test("q30: exact dedup costs exactly one data shuffle (plus the output sort)") {
+    val p = plan("q30_exact_dedup")
+    val shuffles = p.collect { case s: ShuffleExchangeExec => s }
+    // 1 hash exchange for the window partitionBy + 1 range exchange for
+    // the deterministic output ordering — nothing else
+    assert(shuffles.size <= 2, s"expected <=2 exchanges, got ${shuffles.size}:\n$p")
+  }
+
+  test("q33: native simhash plans with zero pre-sort shuffles (map-only fingerprint)") {
+    val p = plan("q33_simhash")
+    val shuffles = p.collect { case s: ShuffleExchangeExec => s }
+    // only the final orderBy range exchange — the fingerprint itself is
+    // a narrow projection
+    assert(shuffles.size <= 1, s"expected map-only + sort, got:\n$p")
+  }
+
+  test("q40: brute-force kNN broadcasts the query side, never shuffles the scan") {
+    val p = plan("q40_knn_brute")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty ||
+      p.toString.contains("BroadcastNestedLoopJoin"))
+  }
+}
