@@ -118,32 +118,33 @@ object RefQueries {
     // adds, CompressedStream.scala:27-33) bucketed by a 64 KiB batch size.
     //
     // Distributed two-pass prefix sum — a global Window.orderBy would
-    // single-partition the whole table. Instead: range-partition on the
-    // order key, run the window WITHIN each range partition (parallel),
-    // aggregate one total per partition (tiny), prefix-sum the totals with
-    // a window over #partitions rows, and broadcast the offsets back.
-    // Catalyst reuses the range exchange across both branches.
+    // single-partition the whole table. The block key comes from the DATA
+    // (`event_id div B` is monotone in the order key), so ordering is
+    // correct by construction and the plan needs only ONE full-table
+    // shuffle: hash on blk → per-block window (parallel); block totals
+    // are a tiny agg (window over #blocks rows) broadcast back as
+    // offsets. A spark_partition_id variant needs an extra range
+    // exchange first; a data-derived block does not.
     "q06_size_batches" -> { (s, dir) =>
+      val blockSize = 65536L
       val sized = Synth.events(s, dir)
         .select(col("event_id"), Synth.enrichedLine().as("line"))
         .select(col("event_id"),
           (octet_length(col("line")) + lit(1)).cast("long").as("sz"))
-        .repartitionByRange(col("event_id"))
-        .withColumn("pid", spark_partition_id())
-      val wLocal = Window.partitionBy("pid").orderBy("event_id")
+        .withColumn("blk", expr(s"event_id div $blockSize"))
+      val wLocal = Window.partitionBy("blk").orderBy("event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val local = sized.withColumn("local_cum", sum("sz").over(wLocal))
-      // per-partition totals = the window's last running value, so BOTH
-      // branches share the scan + both exchanges (ReusedExchange) instead
-      // of re-scanning the table for a separate sum
-      // offsets: #partitions rows, so the global window there is fine
-      val wOff = Window.orderBy("pid")
+      // block totals = the window's last running value, so both branches
+      // share the scan + exchange subtree; the offsets window runs over
+      // #blocks rows only
+      val wOff = Window.orderBy("blk")
         .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = local.groupBy("pid").agg(max("local_cum").as("ptotal"))
-        .withColumn("offset", coalesce(sum("ptotal").over(wOff), lit(0L)))
-        .select("pid", "offset")
+      val offsets = local.groupBy("blk").agg(max("local_cum").as("btotal"))
+        .withColumn("offset", coalesce(sum("btotal").over(wOff), lit(0L)))
+        .select("blk", "offset")
       local
-        .join(broadcast(offsets), "pid")
+        .join(broadcast(offsets), "blk")
         .withColumn("cum_bytes", col("local_cum") + col("offset"))
         .select(col("event_id"), col("cum_bytes"),
           floor((col("cum_bytes") - lit(1)) / lit(65536L)).as("batch_id"))
