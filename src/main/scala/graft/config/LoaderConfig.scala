@@ -30,7 +30,13 @@ final case class Batching(
 final case class Output(
     path: String,
     prefix: String = "",
-    partitionFormat: Option[String] = None)
+    partitionFormat: Option[String] = None,
+    // true = deterministic object names per (batchId, partition, group):
+    // a replayed micro-batch overwrites its own objects (exactly-once
+    // OUTPUT on atomic-put stores) instead of duplicating them. Requires
+    // a replay-stable partition path (no wall-clock tokens) to hold
+    // across restarts; filenames drop the timestamp prefix.
+    idempotentNames: Boolean = false)
 
 final case class BadOutput(
     path: String,
@@ -87,7 +93,9 @@ object LoaderConfig {
         output = Output(
           path = goodPath,
           prefix = root.str("output", "good", "filenamePrefix").getOrElse(""),
-          partitionFormat = root.str("output", "good", "partitionFormat")),
+          partitionFormat = root.str("output", "good", "partitionFormat"),
+          idempotentNames = root.bool("output", "good", "idempotentNames")
+            .getOrElse(false)),
         bad = BadOutput(
           path = root.str("output", "bad", "path")
             .orElse(root.str("output", "bad", "streamName")).getOrElse(""),

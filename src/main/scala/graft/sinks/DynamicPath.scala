@@ -62,17 +62,24 @@ object DynamicPath {
   def baseFileName(prefix: String, now: Instant, uuid: UUID): String =
     s"$prefix${fileTsFmt.format(now)}-$uuid.gz"
 
-  /** Full object path for one (schema, batch) group. */
+  /** Full object path for one (schema, batch) group. `timestamped = false`
+    * drops the wall-clock filename prefix — the idempotent-naming mode,
+    * where the (deterministic) uuid alone must name the object so a
+    * replayed batch overwrites rather than duplicates.
+    */
   def getFullPath(
       basePath: String,
       prefix: String,
       partitionFormat: Option[String],
       now: Instant,
       schema: SchemaKey,
-      uuid: UUID = UUID.randomUUID()
+      uuid: UUID = UUID.randomUUID(),
+      timestamped: Boolean = true
   ): String = {
     val partition = partitionFormat.map(renderPartition(_, now, schema)).getOrElse("")
-    joinPath(Seq(basePath, partition, baseFileName(prefix, now, uuid)))
+    val name =
+      if (timestamped) baseFileName(prefix, now, uuid) else s"$prefix$uuid.gz"
+    joinPath(Seq(basePath, partition, name))
   }
 
   /** Config cross-validation: enriched purpose may only partition by

@@ -41,7 +41,10 @@ object RollingGzipWriter {
       // record-count bound per object — the bad sink's chunking contract
       // (reference recordLimit=500 per PutRecords request,
       // Processing.scala:315-331); Long.MaxValue = unbounded (good output)
-      maxRecords: Long = Long.MaxValue)
+      maxRecords: Long = Long.MaxValue,
+      // false = idempotent naming: no wall-clock prefix in filenames, the
+      // (deterministic) uuid alone names the object
+      timestampedNames: Boolean = true)
 
   /** Write one schema-group's lines, rolling to a new object whenever the
     * current gzip stream's byte count passes maxBytes. Returns one action
@@ -75,7 +78,8 @@ object RollingGzipWriter {
       gz.close()
       val bytes = buf.toByteArray
       val path = DynamicPath.getFullPath(
-        cfg.basePath, cfg.prefix, cfg.partitionFormat, now, schema, newUuid())
+        cfg.basePath, cfg.prefix, cfg.partitionFormat, now, schema, newUuid(),
+        cfg.timestampedNames)
       store.write(path, bytes)
       actions += WriteAction(path, count, bytes.length.toLong,
         if (minTs == Long.MaxValue) None else Some(minTs))
@@ -100,6 +104,8 @@ object RollingGzipWriter {
       cfg: SinkConfig,
       schema: SchemaKey,
       now: Instant,
-      lines: Iterator[String]): Seq[WriteAction] =
-    writeGroup(store, cfg, schema, now, lines.map(l => (l, null: java.lang.Long)))
+      lines: Iterator[String],
+      newUuid: () => UUID = () => UUID.randomUUID()): Seq[WriteAction] =
+    writeGroup(store, cfg, schema, now,
+      lines.map(l => (l, null: java.lang.Long)), newUuid)
 }

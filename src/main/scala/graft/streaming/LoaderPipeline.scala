@@ -95,9 +95,14 @@ object LoaderPipeline {
       store: BlobStore,
       metrics: Metrics,
       now: () => Instant = () => Instant.now(),
-      health: ServiceHealth = new ServiceHealth): Unit = {
+      health: ServiceHealth = new ServiceHealth,
+      batchId: Option[Long] = None): Unit = {
     import parsed.sparkSession.implicits._
     val wallClock = now()
+    // deterministic object names per (batch, partition, group, file):
+    // replays overwrite instead of duplicating (Output.idempotentNames)
+    val nameSeed: Option[String] =
+      if (cfg.output.idempotentNames) batchId.map(id => s"b$id") else None
 
     // One decode+parse materialization serves both writer jobs — without
     // this, the good write, and the bad write would each re-scan and
@@ -110,7 +115,7 @@ object LoaderPipeline {
 
       val sinkCfg = RollingGzipWriter.SinkConfig(
         cfg.output.path, cfg.output.prefix, cfg.output.partitionFormat,
-        cfg.batching.maxBytes)
+        cfg.batching.maxBytes, timestampedNames = nameSeed.isEmpty)
 
       // Size-adaptive write parallelism. Enriched batches all map to ONE
       // schema key (SURVEY §1.2), so keying the shuffle on schema alone
@@ -144,7 +149,7 @@ object LoaderPipeline {
               col("salt"))
             .sortWithinPartitions("vendor", "name", "format", "model")
             .mapPartitions { rows =>
-              writePartition(rows, store, sinkCfg, wallClock)
+              writePartition(rows, store, sinkCfg, wallClock, nameSeed)
             }
             .collect()
           health.markHealthy(ServiceHealth.BlobSink)
@@ -162,7 +167,7 @@ object LoaderPipeline {
           Some(wallClock.toEpochMilli - earliest.min / 1000))
       }
       try {
-        writeBad(parsed, cfg, store, metrics, wallClock)
+        writeBad(parsed, cfg, store, metrics, wallClock, nameSeed)
         health.markHealthy(ServiceHealth.BadSink)
       } catch { case e: Throwable =>
         health.markUnhealthy(ServiceHealth.BadSink, String.valueOf(e.getMessage))
@@ -180,11 +185,31 @@ object LoaderPipeline {
     * writer: consecutive same-key runs each become their own writeGroup
     * call, so memory stays one gzip buffer regardless of partition size.
     */
+  /** Deterministic per-run UUID factory for idempotent naming: named from
+    * (seed=batchId, shuffle partition, schema key, file ordinal). Same
+    * batch data + same partitioning ⇒ same names on replay.
+    */
+  private def uuidFactory(
+      nameSeed: Option[String],
+      key: (String, String, String, Int)): () => java.util.UUID =
+    nameSeed match {
+      case Some(seed) =>
+        val base = s"$seed/p${org.apache.spark.TaskContext.getPartitionId()}/$key"
+        var n = 0
+        () => {
+          n += 1
+          java.util.UUID.nameUUIDFromBytes(
+            s"$base/$n".getBytes(StandardCharsets.UTF_8))
+        }
+      case None => () => java.util.UUID.randomUUID()
+    }
+
   private def writePartition(
       rows: Iterator[Row],
       store: BlobStore,
       sinkCfg: RollingGzipWriter.SinkConfig,
-      wallClock: Instant): Iterator[RollingGzipWriter.WriteAction] = {
+      wallClock: Instant,
+      nameSeed: Option[String]): Iterator[RollingGzipWriter.WriteAction] = {
     if (rows.isEmpty) Iterator.empty
     else {
       val it = rows.buffered
@@ -207,7 +232,7 @@ object LoaderPipeline {
         // writeGroup drains `run` fully before the outer iterator advances
         RollingGzipWriter.writeGroup(
           store, sinkCfg, SchemaKey(key._1, key._2, key._3, key._4, 0, 0),
-          wallClock, run)
+          wallClock, run, uuidFactory(nameSeed, key))
       }
     }
   }
@@ -217,7 +242,8 @@ object LoaderPipeline {
       cfg: LoaderConfig,
       store: BlobStore,
       metrics: Metrics,
-      wallClock: Instant): Unit = {
+      wallClock: Instant,
+      nameSeed: Option[String] = None): Unit = {
     import parsed.sparkSession.implicits._
 
     // Bad rows: serialize with the size cap (reference P6,
@@ -236,7 +262,7 @@ object LoaderPipeline {
     val badSinkCfg = RollingGzipWriter.SinkConfig(
       badPath, "bad-", None,
       math.min(cfg.batching.maxBytes, cfg.bad.byteLimit),
-      cfg.bad.recordLimit.toLong)
+      cfg.bad.recordLimit.toLong, timestampedNames = nameSeed.isEmpty)
     val badWritten = EventParser.bad(parsed)
       .select(col("line"), col("bad_error"))
       .as[(String, String)]
@@ -252,7 +278,8 @@ object LoaderPipeline {
           var n = 0L
           RollingGzipWriter.writeLines(
             store, badSinkCfg, SchemaKey.Atomic, wallClock,
-            jsons.map { j => n += 1; j })
+            jsons.map { j => n += 1; j },
+            uuidFactory(nameSeed, ("bad", "", "", 0)))
           Iterator.single(n)
         }
       }
@@ -266,9 +293,10 @@ object LoaderPipeline {
       cfg: LoaderConfig,
       store: BlobStore,
       metrics: Metrics,
-      now: () => Instant = () => Instant.now()): Unit =
+      now: () => Instant = () => Instant.now(),
+      batchId: Option[Long] = None): Unit =
     writeBatch(parse(decode(df, cfg.decompression), cfg.purpose), cfg, store,
-      metrics, now)
+      metrics, now, batchId = batchId)
 
   /** Streaming entry: micro-batches flush at maxDelay — the reference's
     * time-bound batch emission (T3); offsets commit after each batch ⇒
@@ -282,9 +310,9 @@ object LoaderPipeline {
       now: () => Instant = () => Instant.now(),
       health: ServiceHealth = new ServiceHealth): DataStreamWriter[Row] = {
     val w = df.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, id: Long) =>
         writeBatch(parse(decode(batch, cfg.decompression), cfg.purpose),
-          cfg, store, metrics, now, health)
+          cfg, store, metrics, now, health, batchId = Some(id))
       }
       .trigger(Trigger.ProcessingTime(cfg.batching.maxDelay.toMillis))
     cfg.checkpointLocation.fold(w)(p => w.option("checkpointLocation", p))

@@ -228,6 +228,39 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sizes.forall(_ <= 2))
   }
 
+  test("idempotent naming: a replayed batch overwrites its own objects, never duplicates") {
+    val cfg = LoaderConfig(Purpose.Enriched,
+      Output("mem://path", idempotentNames = true), BadOutput("mem://bad"))
+    val store = new InMemoryBlobStore
+    val metrics = new LoaderPipeline.Metrics
+    val lines = Seq(tsv("1970-01-01 00:00:01.000"), tsv("1970-01-01 00:00:02.000"))
+    LoaderPipeline.runBatch(rawDf(lines), cfg, store, metrics, () => fixedNow,
+      batchId = Some(7L))
+    val first = store.paths
+    assert(first.nonEmpty)
+    assert(first.forall(_.matches("mem://path/[0-9a-f-]{36}\\.gz"))) // no ts prefix
+
+    // same batch id replayed → identical names, content overwritten in place
+    LoaderPipeline.runBatch(rawDf(lines), cfg, store, metrics, () => fixedNow,
+      batchId = Some(7L))
+    assert(store.paths == first)
+
+    // a DIFFERENT batch id is new data → new objects
+    LoaderPipeline.runBatch(rawDf(lines), cfg, store, metrics, () => fixedNow,
+      batchId = Some(8L))
+    assert(store.paths.size == first.size * 2)
+
+    // default (UUID) mode still duplicates on replay — at-least-once
+    val cfg2 = cfg.copy(output = cfg.output.copy(idempotentNames = false))
+    val store2 = new InMemoryBlobStore
+    LoaderPipeline.runBatch(rawDf(lines), cfg2, store2, metrics, () => fixedNow,
+      batchId = Some(7L))
+    val n2 = store2.paths.size
+    LoaderPipeline.runBatch(rawDf(lines), cfg2, store2, metrics, () => fixedNow,
+      batchId = Some(7L))
+    assert(store2.paths.size == n2 * 2)
+  }
+
   test("decompression errors become bad rows end-to-end") {
     val cfg = LoaderConfig(Purpose.Enriched, Output("mem://path"), BadOutput("mem://bad"))
     val store = new InMemoryBlobStore
