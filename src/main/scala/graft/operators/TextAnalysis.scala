@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table — the per-document
@@ -104,6 +105,40 @@ object TextAnalysis {
           expr("size(fps)").as("n_fingerprints"),
           expr("element_at(fps, 1)").as("fp_min"),
           expr("md5(cast(concat_ws('', fps) as binary))").as("fp_set_hash"))
+        .orderBy("doc_id")
+    },
+
+    // The whole curation funnel in ONE plan — what a training-data run
+    // actually executes: exact-dedup (keep canonical) → quality floor →
+    // language filter → deterministic sample. Every stage is a narrow
+    // projection or one window; Catalyst fuses the maps into a single
+    // codegen'd pass over the scan, so the funnel costs one shuffle (the
+    // dedup window) end-to-end.
+    "q60_corpus_curation" -> { (s, dir) =>
+      val w = Window.partitionBy("content_hash")
+      Synth.documents(s, dir)
+        .withColumn("content_hash", md5(col("text").cast("binary")))
+        .withColumn("canonical_id", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("canonical_id")) // exact dedup
+        .withColumn("n_tokens", expr(s"size($toks)"))
+        .withColumn("n_stop", expr(s"size(filter($toks, t -> t in $EnSet))"))
+        .withColumn("n_distinct", expr(s"size(array_distinct($toks))"))
+        .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+        .withColumn("uniq_ratio", col("n_distinct").cast("double") / col("n_tokens"))
+        .withColumn("quality_score",
+          least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.3
+            + (lit(1.0) - col("stop_ratio")) * 0.3
+            + col("uniq_ratio") * 0.4)
+        .filter(col("quality_score") > 0.5) // quality floor
+        .withColumn("v_en", expr(s"size(filter($toks, t -> t in $EnSet))"))
+        .withColumn("v_es", expr(s"size(filter($toks, t -> t in $EsSet))"))
+        .withColumn("v_de", expr(s"size(filter($toks, t -> t in $DeSet))"))
+        .filter(col("v_en") + col("v_es") + col("v_de") > 0 &&
+          col("v_en") >= col("v_es") && col("v_en") >= col("v_de")) // lang = en
+        .withColumn("sample_key",
+          expr("substring(md5(cast(concat('sample:', cast(doc_id as string)) as binary)), 1, 4)"))
+        .filter(col("sample_key") < "cccc") // keep ~80%
+        .select("doc_id", "quality_score", "sample_key")
         .orderBy("doc_id")
     },
 
@@ -232,6 +267,34 @@ object TextAnalysis {
          |  fps[1] AS fp_min,
          |  md5(array_to_string(fps, '')) AS fp_set_hash
          |FROM fp ORDER BY doc_id""".stripMargin,
+
+    "q60_corpus_curation" ->
+      s"""WITH dedup AS (
+         |  SELECT doc_id, text,
+         |    min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id,
+         |    cast(len($dToks) as int) AS n_tokens,
+         |    cast(len(list_filter($dToks, t -> t in $EnSet)) as int) AS n_stop,
+         |    cast(len(list_distinct($dToks)) as int) AS n_distinct,
+         |    cast(len(list_filter($dToks, t -> t in $EnSet)) as double) / len($dToks) AS stop_ratio,
+         |    cast(len(list_distinct($dToks)) as double) / len($dToks) AS uniq_ratio,
+         |    cast(len(list_filter($dToks, t -> t in $EsSet)) as int) AS v_es,
+         |    cast(len(list_filter($dToks, t -> t in $DeSet)) as int) AS v_de
+         |  FROM dedup WHERE doc_id = canonical_id),
+         |q AS (
+         |  SELECT doc_id, n_stop AS v_en, v_es, v_de,
+         |    least(cast(n_tokens as double) / 100.0, 1.0) * 0.3
+         |      + (1.0 - stop_ratio) * 0.3 + uniq_ratio * 0.4 AS quality_score
+         |  FROM scored)
+         |SELECT doc_id, quality_score,
+         |  substring(md5('sample:' || cast(doc_id as varchar)), 1, 4) AS sample_key
+         |FROM q
+         |WHERE quality_score > 0.5
+         |  AND v_en + v_es + v_de > 0 AND v_en >= v_es AND v_en >= v_de
+         |  AND substring(md5('sample:' || cast(doc_id as varchar)), 1, 4) < 'cccc'
+         |ORDER BY doc_id""".stripMargin,
 
     "q29_stratified_sample" ->
       """SELECT doc_id, source,
