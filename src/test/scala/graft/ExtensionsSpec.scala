@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorDot
+
+/** `spark.sql.extensions=graft.functions.GraftExtensions` end-to-end: the
+  * native functions resolve without a manual register() call, and the
+  * NativeDotProduct optimizer rule rewrites the composed
+  * aggregate(zip_with(...)) dot product into the codegen'd VectorDot —
+  * exactly where bit-identical, and nowhere else.
+  *
+  * Inputs are derived from range(...)'s id so ConstantFolding can't collapse
+  * the projection into a LocalRelation before the pattern is visible.
+  */
+class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def hasVectorDot(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.expressions
+      .exists(_.exists(_.isInstanceOf[VectorDot]))
+
+  private val composed =
+    "aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+  private val composedCast = "aggregate(zip_with(a, b, " +
+    "(x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, x) -> acc + x)"
+
+  /** One row (id = 1) with non-foldable array columns `a` and `b`. */
+  private def vecs(aExpr: String, bExpr: String): DataFrame =
+    spark.range(1, 2).selectExpr(s"$aExpr AS a", s"$bExpr AS b")
+
+  test("injected functions resolve via SQL with no register() call") {
+    val r = spark.sql(
+      "SELECT graft_dot(array(1D, 2D), array(3D, 4D)) AS d").collect()(0)
+    assert(r.getDouble(0) == 11.0)
+  }
+
+  test("composed double dot product is rewritten to VectorDot, same result") {
+    val df = vecs("array(cast(id as double), 2D, 3D)", "array(4D, 5D, 6D)")
+      .selectExpr(s"$composed AS d")
+    assert(hasVectorDot(df))
+    assert(df.collect()(0).getDouble(0) == 32.0) // 1*4 + 2*5 + 3*6
+  }
+
+  test("float arrays with explicit double casts are rewritten") {
+    val df = vecs("array(cast(id as float), cast(2.5 as float))",
+      "array(cast(2 as float), cast(4 as float))")
+      .selectExpr(s"$composedCast AS d")
+    assert(hasVectorDot(df))
+    assert(df.collect()(0).getDouble(0) == 12.0) // 1*2 + 2.5*4
+  }
+
+  test("raw float*float multiply is NOT rewritten (different rounding)") {
+    val df = vecs("array(cast(id as float), cast(2.5 as float))",
+      "array(cast(2 as float), cast(4 as float))")
+      .selectExpr(s"$composed AS d")
+    assert(!hasVectorDot(df))
+  }
+
+  test("nullable-element arrays are NOT rewritten (null element nulls the sum)") {
+    // a null element makes containsNull = true; the composed form must stay,
+    // and must yield NULL — VectorDot would read the slot as 0.0
+    val df = vecs("array(cast(null as double), cast(id as double))",
+      "array(3D, 4D)").selectExpr(s"$composed AS d")
+    assert(!hasVectorDot(df))
+    assert(df.collect()(0).isNullAt(0))
+  }
+
+  test("rewritten length mismatch still yields NULL (zip_with pad parity)") {
+    val df = vecs("array(cast(id as double), 2D, 3D)",
+      "array(4D, cast(id as double))").selectExpr(s"$composed AS d")
+    assert(hasVectorDot(df))
+    assert(df.collect()(0).isNullAt(0))
+  }
+}
