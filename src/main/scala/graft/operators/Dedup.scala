@@ -68,6 +68,12 @@ object Dedup {
     */
   private val ShingleDfCap = 100
 
+  /** Exact-Jaccard floor for a verified near-dup edge (q61). LSH bands
+    * propose; this disposes — band collisions alone would merge unrelated
+    * docs that happen to share one band.
+    */
+  private val NearDupThreshold = 0.8
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy. At scale this is one shuffle on a
     // 16-byte key with map-side distinct — the cheapest possible dedup.
@@ -140,6 +146,56 @@ object Dedup {
         .groupBy("id_a", "id_b")
         .agg(count(lit(1)).as("n_bands"))
         .orderBy("id_a", "id_b")
+    },
+
+    // The full near-dup pipeline as ONE query — what a 100 TB dedup run
+    // actually executes end-to-end: map-only MinHash band buckets →
+    // band-collision candidate pairs (never the n² pair space) → exact
+    // Jaccard verification on just those pairs (array_intersect over the
+    // already-distinct shingle arrays — no re-explode) → connected
+    // components over verified edges → min-id canonical per cluster.
+    // Every doc comes out with its cluster and a keep/drop flag. Cost at
+    // scale: one explode-free signature pass, one bucket self-join
+    // bounded by band collisions, a |candidates|-sized verify join, and
+    // CC rounds proportional to cluster diameter (near-dup clusters are
+    // shallow). The shingled projection is referenced three times (bands,
+    // verify×2); a production pipeline would persist() it across those
+    // uses — a returned-DataFrame query can't manage that lifecycle, so
+    // the plan recomputes the map-only pass instead.
+    "q61_minhash_dedup" -> { (s, dir) =>
+      val docsSh = shingled(s, dir)
+      val lng = minhashBanded(s, dir).selectExpr("doc_id",
+        "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) AS (band, bucket)")
+      val a = lng.toDF("id_a", "band", "bucket")
+      val b = lng.toDF("id_b", "band", "bucket")
+      val cands = a.join(b.hint("shuffle_hash"), Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      val shA = docsSh.toDF("id_a", "sh_a")
+      val shB = docsSh.toDF("id_b", "sh_b")
+      val edges = cands
+        .join(shA, "id_a").join(shB, "id_b")
+        .withColumn("inter", expr("size(array_intersect(sh_a, sh_b))"))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (expr("size(sh_a)") + expr("size(sh_b)") - col("inter")))
+        .filter(col("jaccard") >= NearDupThreshold)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      // Iterate CC only over edge ENDPOINTS — docs with no verified
+      // near-dup are their own cluster by construction, so the per-round
+      // join/agg touches |near-dup docs| rows, not |corpus|. The cluster
+      // map joins back out to every doc; AQE picks broadcast when the
+      // near-dup set is small and falls back to a shuffle join when it
+      // isn't (web corpora can be 30-50% near-dup).
+      val touched = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id"))).distinct()
+      val clusters = ConnectedComponents.run(touched, edges)
+        .select(col("id").as("doc_id"), col("component"))
+      docsSh.select("doc_id")
+        .join(clusters, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("component"), col("doc_id")))
+        .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+        .select("doc_id", "cluster_id", "is_canonical")
+        .orderBy("doc_id")
     },
 
     // SimHash: 16-bit fingerprint. Bit b of each token's md5 votes ±1;
@@ -248,6 +304,40 @@ object Dedup {
          |FROM lng a JOIN lng b
          |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q61_minhash_dedup" ->
+      s"""WITH RECURSIVE mh AS (
+         |  SELECT doc_id, $duckMhCols
+         |  FROM (SELECT doc_id, $dShingles AS sh FROM documents)),
+         |wb AS (SELECT doc_id, $duckBandCols FROM mh),
+         |lng AS (
+         |  SELECT doc_id, 0 AS band, band0 AS bucket FROM wb UNION ALL
+         |  SELECT doc_id, 1, band1 FROM wb UNION ALL
+         |  SELECT doc_id, 2, band2 FROM wb UNION ALL
+         |  SELECT doc_id, 3, band3 FROM wb),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM lng a JOIN lng b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |shs AS (SELECT doc_id, $dShingles AS sh FROM documents),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst
+         |  FROM cand
+         |    JOIN shs sa ON sa.doc_id = cand.id_a
+         |    JOIN shs sb ON sb.doc_id = cand.id_b
+         |  WHERE cast(len(list_intersect(sa.sh, sb.sh)) as double)
+         |    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+         |    >= $NearDupThreshold),
+         |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM sym
+         |  UNION
+         |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
+         |SELECT d.doc_id AS doc_id,
+         |  least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id,
+         |  d.doc_id = least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS is_canonical
+         |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
 
     "q33_simhash" ->
       s"""WITH tok AS (
