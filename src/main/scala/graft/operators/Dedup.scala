@@ -48,8 +48,14 @@ object Dedup {
     * one pass over the doc's shingles (the composed array_min ∘ transform
     * form ran 12 interpreted lambda loops and 2× the md5 calls).
     */
-  private def minhashBanded(s: SparkSession, dir: String): DataFrame = {
-    val mh = shingled(s, dir)
+  private def minhashBanded(s: SparkSession, dir: String): DataFrame =
+    minhashBandedFrom(shingled(s, dir))
+
+  /** Band buckets from an already-shingled (doc_id, sh) frame — lets
+    * callers push a filter into the scan before the signature pass.
+    */
+  private def minhashBandedFrom(shDf: DataFrame): DataFrame = {
+    val mh = shDf
       .withColumn("mhs", expr(s"graft_minhash(sh, $nHashes)"))
       .select(col("doc_id") +:
         (0 until nHashes).map(i => col("mhs").getItem(i).as(s"mh$i")): _*)
@@ -59,6 +65,11 @@ object Dedup {
         expr(s"md5(cast(concat_ws('|', $cols) as binary))"))
     }
   }
+
+  /** Unpivot band columns to (doc_id, band, bucket) rows — map-only stack. */
+  private def bandsLong(banded: DataFrame): DataFrame =
+    banded.selectExpr("doc_id",
+      "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) AS (band, bucket)")
 
   /** Shingle document-frequency cap for q31. The inverted-index self-join
     * costs Σ_shingle (df choose 2): one stop-phrase shingle shared by a
@@ -137,8 +148,7 @@ object Dedup {
     // count shared bands per pair. At scale the join touches only docs
     // whose band hash collides — never the n² pair space.
     "q32b_lsh_pairs" -> { (s, dir) =>
-      val lng = minhashBanded(s, dir).selectExpr("doc_id",
-        "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) AS (band, bucket)")
+      val lng = bandsLong(minhashBanded(s, dir))
       val a = lng.toDF("id_a", "band", "bucket")
       val b = lng.toDF("id_b", "band", "bucket")
       a.join(b.hint("shuffle_hash"), Seq("band", "bucket"))
@@ -164,8 +174,7 @@ object Dedup {
     // the plan recomputes the map-only pass instead.
     "q61_minhash_dedup" -> { (s, dir) =>
       val docsSh = shingled(s, dir)
-      val lng = minhashBanded(s, dir).selectExpr("doc_id",
-        "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) AS (band, bucket)")
+      val lng = bandsLong(minhashBanded(s, dir))
       val a = lng.toDF("id_a", "band", "bucket")
       val b = lng.toDF("id_b", "band", "bucket")
       val cands = a.join(b.hint("shuffle_hash"), Seq("band", "bucket"))
@@ -195,6 +204,47 @@ object Dedup {
         .withColumn("cluster_id", coalesce(col("component"), col("doc_id")))
         .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
         .select("doc_id", "cluster_id", "is_canonical")
+        .orderBy("doc_id")
+    },
+
+    // Incremental dedup — the daily-ingest shape: a NEW batch (doc_id ≡ 0
+    // mod 5 stands in for today's arrivals) is deduped against the
+    // EXISTING corpus's band index plus itself, without re-signaturing the
+    // corpus' documents beyond the (in production: precomputed and
+    // persisted) band index. This is the operation that keeps 100 TB
+    // pipelines from re-minhashing the whole corpus every day: work is
+    // O(batch + collisions), never O(corpus). A batch doc is dropped if
+    // a band collision verifies at exact Jaccard ≥ threshold against a
+    // corpus doc or an earlier (smaller-id) batch doc; dup_of records the
+    // canonical survivor.
+    "q62_incremental_dedup" -> { (s, dir) =>
+      val isBatch = col("doc_id") % 5 === 0
+      val shAll = shingled(s, dir)
+      // filters sit under the signature pass, so the parquet scan prunes
+      val corpusBands = bandsLong(minhashBandedFrom(shAll.filter(!isBatch)))
+        .toDF("id_old", "band", "bucket")
+      val batchBands = bandsLong(minhashBandedFrom(shAll.filter(isBatch)))
+        .toDF("id_new", "band", "bucket")
+      val vsCorpus = batchBands
+        .join(corpusBands.hint("shuffle_hash"), Seq("band", "bucket"))
+      val vsBatch = batchBands
+        .join(batchBands.toDF("id_old", "band", "bucket").hint("shuffle_hash"),
+          Seq("band", "bucket"))
+        .filter(col("id_old") < col("id_new"))
+      val cands = vsCorpus.select("id_new", "id_old")
+        .union(vsBatch.select("id_new", "id_old")).distinct()
+      val shN = shAll.toDF("id_new", "sh_n")
+      val shO = shAll.toDF("id_old", "sh_o")
+      val dups = cands.join(shN, "id_new").join(shO, "id_old")
+        .withColumn("inter", expr("size(array_intersect(sh_n, sh_o))"))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (expr("size(sh_n)") + expr("size(sh_o)") - col("inter")))
+        .filter(col("jaccard") >= NearDupThreshold)
+        .groupBy("id_new").agg(min("id_old").as("dup_of"))
+      shAll.filter(isBatch).select("doc_id")
+        .join(dups.withColumnRenamed("id_new", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("keep", col("dup_of").isNull)
+        .select("doc_id", "dup_of", "keep")
         .orderBy("doc_id")
     },
 
@@ -338,6 +388,35 @@ object Dedup {
          |  d.doc_id = least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS is_canonical
          |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
          |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    "q62_incremental_dedup" ->
+      s"""WITH shs AS (SELECT doc_id, $dShingles AS sh FROM documents),
+         |mh AS (SELECT doc_id, $duckMhCols FROM shs),
+         |wb AS (SELECT doc_id, $duckBandCols FROM mh),
+         |lng AS (
+         |  SELECT doc_id, 0 AS band, band0 AS bucket FROM wb UNION ALL
+         |  SELECT doc_id, 1, band1 FROM wb UNION ALL
+         |  SELECT doc_id, 2, band2 FROM wb UNION ALL
+         |  SELECT doc_id, 3, band3 FROM wb),
+         |cand AS (
+         |  SELECT n.doc_id AS id_new, o.doc_id AS id_old
+         |  FROM lng n JOIN lng o ON n.band = o.band AND n.bucket = o.bucket
+         |  WHERE n.doc_id % 5 = 0
+         |    AND (o.doc_id % 5 <> 0 OR o.doc_id < n.doc_id)
+         |  GROUP BY 1, 2),
+         |dups AS (
+         |  SELECT id_new, min(id_old) AS dup_of
+         |  FROM cand
+         |    JOIN shs sn ON sn.doc_id = cand.id_new
+         |    JOIN shs so ON so.doc_id = cand.id_old
+         |  WHERE cast(len(list_intersect(sn.sh, so.sh)) as double)
+         |    / (len(sn.sh) + len(so.sh) - len(list_intersect(sn.sh, so.sh)))
+         |    >= $NearDupThreshold
+         |  GROUP BY 1)
+         |SELECT d.doc_id AS doc_id, dup_of, dup_of IS NULL AS keep
+         |FROM documents d LEFT JOIN dups ON dups.id_new = d.doc_id
+         |WHERE d.doc_id % 5 = 0
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q33_simhash" ->
       s"""WITH tok AS (
