@@ -73,4 +73,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty ||
       p.toString.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q60: the curation funnel costs one data shuffle end-to-end") {
+    val p = plan("q60_corpus_curation")
+    val shuffles = p.collect { case s: ShuffleExchangeExec => s }
+    // 1 hash exchange for the dedup window + 1 range exchange for the
+    // deterministic output ordering; every other stage is a fused
+    // narrow projection/filter
+    assert(shuffles.size <= 2, s"expected <=2 exchanges, got ${shuffles.size}:\n$p")
+  }
+
+  test("q62: the batch/corpus doc_id filters reach the documents scans") {
+    val scans = plan("q62_incremental_dedup").collect {
+      case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    // the mod-5 split sits under the signature pass, so each side's scan
+    // carries a data filter instead of signaturing the whole corpus
+    val filters = scans.map(_.dataFilters.mkString(","))
+    assert(filters.exists(_.contains("% 5")),
+      s"expected the doc_id %% 5 split at the scan, got: ${filters.mkString("; ")}")
+  }
 }
