@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2.11 declared queries Q1–Q8 — the relational content of the
@@ -117,35 +116,15 @@ object RefQueries {
     // a running sum of line bytes (+1 for the trailing newline the writer
     // adds, CompressedStream.scala:27-33) bucketed by a 64 KiB batch size.
     //
-    // Distributed two-pass prefix sum — a global Window.orderBy would
-    // single-partition the whole table. The block key comes from the DATA
-    // (`event_id div B` is monotone in the order key), so ordering is
-    // correct by construction and the plan needs only ONE full-table
-    // shuffle: hash on blk → per-block window (parallel); block totals
-    // are a tiny agg (window over #blocks rows) broadcast back as
-    // offsets. A spark_partition_id variant needs an extra range
-    // exchange first; a data-derived block does not.
+    // Distributed running size via [[PrefixSum.overBlocks]] — a global
+    // Window.orderBy would single-partition the whole table; the two-pass
+    // prefix sum needs one hash shuffle plus a #blocks-row offsets agg.
     "q06_size_batches" -> { (s, dir) =>
-      val blockSize = 65536L
       val sized = Synth.events(s, dir)
         .select(col("event_id"), Synth.enrichedLine().as("line"))
         .select(col("event_id"),
           (octet_length(col("line")) + lit(1)).cast("long").as("sz"))
-        .withColumn("blk", expr(s"event_id div $blockSize"))
-      val wLocal = Window.partitionBy("blk").orderBy("event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val local = sized.withColumn("local_cum", sum("sz").over(wLocal))
-      // block totals = the window's last running value, so both branches
-      // share the scan + exchange subtree; the offsets window runs over
-      // #blocks rows only
-      val wOff = Window.orderBy("blk")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = local.groupBy("blk").agg(max("local_cum").as("btotal"))
-        .withColumn("offset", coalesce(sum("btotal").over(wOff), lit(0L)))
-        .select("blk", "offset")
-      local
-        .join(broadcast(offsets), "blk")
-        .withColumn("cum_bytes", col("local_cum") + col("offset"))
+      PrefixSum.overBlocks(sized, "event_id", "sz", 65536L, "cum_bytes")
         .select(col("event_id"), col("cum_bytes"),
           floor((col("cum_bytes") - lit(1)) / lit(65536L)).as("batch_id"))
         .orderBy("event_id")

@@ -159,6 +159,23 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // Sequence packing: assign documents to fixed-token-budget training
+    // shards by running token count — the step that turns a curated corpus
+    // into context-window-sized bins. Shard boundaries come from a global
+    // running sum, which [[PrefixSum.overBlocks]] computes with one hash
+    // shuffle + a #blocks-row offsets window instead of a single-partition
+    // global sort.
+    "q63_shard_packing" -> { (s, dir) =>
+      val budget = 8192L
+      val sized = Synth.documents(s, dir)
+        .select(col("doc_id"), expr(s"size($toks)").cast("long").as("n_tokens"))
+      PrefixSum.overBlocks(sized, "doc_id", "n_tokens", 64L, "cum_tokens")
+        .withColumn("shard_id",
+          floor((col("cum_tokens") - lit(1)) / lit(budget)))
+        .select("doc_id", "n_tokens", "cum_tokens", "shard_id")
+        .orderBy("doc_id")
+    },
+
     // Vocabulary extraction: top tokens by document frequency — the
     // tokenizer-training / stopword-mining primitive. Explode-distinct →
     // one shuffle on the token, partial counts map-side.
@@ -303,6 +320,20 @@ object TextAnalysis {
         |WHERE substring(md5('sample:' || cast(doc_id as varchar)), 1, 4) <
         |  CASE source WHEN 'web' THEN '4000' WHEN 'wiki' THEN '8000' ELSE 'cccc' END
         |ORDER BY doc_id""".stripMargin,
+
+    "q63_shard_packing" ->
+      s"""WITH sized AS (
+         |  SELECT doc_id, cast(len($dToks) as bigint) AS n_tokens
+         |  FROM documents),
+         |cum AS (
+         |  SELECT doc_id, n_tokens,
+         |    cast(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint)
+         |      AS cum_tokens
+         |  FROM sized)
+         |SELECT doc_id, n_tokens, cum_tokens,
+         |  cast(floor((cum_tokens - 1) / 8192.0) as bigint) AS shard_id
+         |FROM cum ORDER BY doc_id""".stripMargin,
 
     "q24_vocab" ->
       s"""SELECT token, count(*) AS doc_freq

@@ -83,6 +83,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(shuffles.size <= 2, s"expected <=2 exchanges, got ${shuffles.size}:\n$p")
   }
 
+  test("q63: the packing prefix sum shuffles on the block key, not a global sort") {
+    val p = plan("q63_shard_packing")
+    // the full-table pass must be hash-partitioned per block; only the
+    // #blocks-row offsets aggregate may single-partition
+    assert(p.toString.contains("hashpartitioning(_psum_blk"),
+      s"expected a per-block hash exchange, got:\n$p")
+  }
+
   test("q62: the batch/corpus doc_id filters reach the documents scans") {
     val scans = plan("q62_incremental_dedup").collect {
       case f: FileSourceScanExec => f }
