@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.AnnIndex
+
+/** The persisted IVF index: probing a bucketed-by-cluster index must read
+  * only the probed clusters' buckets (bucket pruning visible in the scan)
+  * and never shuffle the index side — the property that makes a recurring
+  * ANN probe O(probed clusters), not O(index).
+  */
+class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val warehouse = Files.createTempDirectory("wh_ann").toString
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.warehouse.dir", warehouse)
+    .config("spark.sql.adaptive.enabled", "false")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private lazy val probed = {
+    import spark.implicits._
+    // 64 vectors in 4 clusters; dot with [1,0] orders by vec_id, so the
+    // expected top-k per cluster is known in closed form
+    val assigned = (0 until 64)
+      .map(i => (i.toLong, Array(i.toFloat, 1f), i % 4))
+      .toDF("vec_id", "embedding", "cid")
+    AnnIndex.write(assigned, "ivf_idx", 8)
+    val queries = Seq(
+      (0L, Array(1f, 0f), 1),  // wants the LARGEST vec_ids in cluster 1
+      (1L, Array(-1f, 0f), 2)) // wants the SMALLEST vec_ids in cluster 2
+      .toDF("query_id", "q_emb", "cid")
+    AnnIndex.probe(spark, "ivf_idx", queries, 3)
+  }
+
+  test("probe results: top-k cosine within each query's cluster") {
+    val rows = probed.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    // cluster 1 = {1,5,...,61} descending dot; cluster 2 = {2,6,...,62} ascending
+    assert(rows.toSeq == Seq(
+      (0L, 1, 61L), (0L, 2, 57L), (0L, 3, 53L),
+      (1L, 1, 2L), (1L, 2, 6L), (1L, 3, 10L)))
+  }
+
+  test("probe scan prunes to the probed clusters' buckets") {
+    val scans = probed.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    val sel = scans.flatMap(_.metadata.get("SelectedBucketsCount")).mkString
+    // 2 probed clusters → at most 2 of the 8 buckets read
+    val selected = "^(\\d+)".r.findFirstIn(sel.trim).map(_.toInt)
+    assert(sel.contains("out of 8") && selected.exists(_ <= 2),
+      s"expected a pruned bucketed scan, got: '$sel'")
+  }
+
+  test("the index side never shuffles: only the top-k window exchanges") {
+    val shuffles = probed.queryExecution.executedPlan.collect {
+      case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 1,
+      s"expected broadcast probe + one window exchange, got ${shuffles.size}")
+  }
+}
