@@ -248,6 +248,29 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // Benchmark decontamination — drop training docs sharing any token
+    // 3-gram with the eval set (doc_id ≡ 0 mod 97 stands in for the
+    // benchmark suite). The asymmetry is the whole design: benchmarks are
+    // KBs while the corpus is TBs, so the eval shingle set broadcasts and
+    // the corpus side is a map-side semi-join at scan speed — the 100 TB
+    // pass never shuffles. Flagging (not deleting) keeps the decision
+    // auditable downstream.
+    "q36_decontaminate" -> { (s, dir) =>
+      val isEval = col("doc_id") % 97 === 0
+      val sh = shingled(s, dir)
+      val evalSh = sh.filter(isEval)
+        .select(explode(col("sh")).as("shingle")).distinct()
+      val hits = sh.filter(!isEval)
+        .select(col("doc_id"), explode(col("sh")).as("shingle"))
+        .join(broadcast(evalSh), Seq("shingle"), "left_semi")
+        .select("doc_id").distinct()
+      sh.filter(!isEval).select("doc_id")
+        .join(hits.withColumn("hit", lit(true)), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("hit"), lit(false)).as("contaminated"))
+        .orderBy("doc_id")
+    },
+
     // SimHash: 16-bit fingerprint. Bit b of each token's md5 votes ±1;
     // fingerprint bit = sign of the vote sum. The native
     // [[graft.functions.SimHash16]] computes it per row — zero shuffles
@@ -417,6 +440,18 @@ object Dedup {
          |FROM documents d LEFT JOIN dups ON dups.id_new = d.doc_id
          |WHERE d.doc_id % 5 = 0
          |ORDER BY d.doc_id""".stripMargin,
+
+    "q36_decontaminate" ->
+      s"""WITH shs AS (SELECT doc_id, $dShingles AS sh FROM documents),
+         |ev AS (
+         |  SELECT DISTINCT unnest(sh) AS shingle FROM shs WHERE doc_id % 97 = 0),
+         |tr AS (
+         |  SELECT doc_id, unnest(sh) AS shingle FROM shs WHERE doc_id % 97 <> 0),
+         |bad AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev USING (shingle))
+         |SELECT s.doc_id AS doc_id, b.doc_id IS NOT NULL AS contaminated
+         |FROM shs s LEFT JOIN bad b ON b.doc_id = s.doc_id
+         |WHERE s.doc_id % 97 <> 0
+         |ORDER BY s.doc_id""".stripMargin,
 
     "q33_simhash" ->
       s"""WITH tok AS (

@@ -176,6 +176,56 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // Within-document repetition filter (the Gopher-rules shape): the
+    // fraction of duplicated 2-/3-grams inside each doc. Repetitive docs
+    // (boilerplate, scraped nav bars, degenerate generations) score high
+    // and are dropped before training. Duplicated fraction =
+    // (total − distinct) / total n-grams; both counts are row-local ints,
+    // the division is one exactly-rounded IEEE op, so the doubles are
+    // engine-portable. Map-only — at 100 TB this runs at scan speed.
+    "q37_repetition_filter" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      Synth.documents(s, dir)
+        .select(col("doc_id"),
+          expr(s"size($toks)").as("n_tokens"),
+          expr(s"greatest(size($toks) - 1, 1)").as("t2"),
+          expr(s"greatest(size($toks) - 2, 1)").as("t3"),
+          expr(s"size(graft_shingles($toks, 2))").as("d2"),
+          expr(s"size(graft_shingles($toks, 3))").as("d3"))
+        .withColumn("dup_2gram_frac",
+          (col("t2") - col("d2")).cast("double") / col("t2"))
+        .withColumn("dup_3gram_frac",
+          (col("t3") - col("d3")).cast("double") / col("t3"))
+        .withColumn("keep", col("dup_3gram_frac") < 0.2)
+        .select("doc_id", "n_tokens", "dup_2gram_frac", "dup_3gram_frac", "keep")
+        .orderBy("doc_id")
+    },
+
+    // TF-IDF top terms per document — the classic relevance weighting, in
+    // rational form: score = tf·N/df as ONE integer product and ONE IEEE
+    // division (bit-identical across engines; ln() is not, and the ranking
+    // is the same since ln is monotone). Shape at scale: tf is one shuffle
+    // on (doc, term) with map-side partial counts; df reuses tf (one more
+    // shuffle on term — no second scan); the df join shuffles on term
+    // because a 100 TB corpus's vocabulary is NOT broadcastable (AQE still
+    // picks broadcast when it is); N joins as a broadcast scalar.
+    "q38_tfidf" -> { (s, dir) =>
+      val docs = Synth.documents(s, dir)
+      val tf = docs.select(col("doc_id"), explode(expr(toks)).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term"))
+      tf.join(df, "term")
+        .crossJoin(broadcast(n))
+        .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rk")
+        .orderBy("doc_id", "rk")
+    },
+
     // Vocabulary extraction: top tokens by document frequency — the
     // tokenizer-training / stopword-mining primitive. Explode-distinct →
     // one shuffle on the token, partial counts map-side.
@@ -223,7 +273,44 @@ object TextAnalysis {
 
   private val dToks = "regexp_split_to_array(trim(text), '\\s+')"
 
+  /** DuckDB rendering of TokenShingles(toks, n) — distinct n-gram shingles
+    * with the same short-input edge (fewer than n tokens → one shingle).
+    */
+  private def dNgrams(n: Int) =
+    s"list_distinct(list_transform(generate_series(1, greatest(len($dToks) - ${n - 1}, 1)), " +
+      s"i -> array_to_string(list_slice($dToks, i, i + ${n - 1}), ' ')))"
+
   def oracle: Map[String, String] = Map(
+    "q37_repetition_filter" ->
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |    cast(len($dToks) as int) AS n_tokens,
+         |    cast(greatest(len($dToks) - 1, 1) as int) AS t2,
+         |    cast(greatest(len($dToks) - 2, 1) as int) AS t3,
+         |    cast(len(${dNgrams(2)}) as int) AS d2,
+         |    cast(len(${dNgrams(3)}) as int) AS d3
+         |  FROM documents)
+         |SELECT doc_id, n_tokens,
+         |  cast(t2 - d2 as double) / t2 AS dup_2gram_frac,
+         |  cast(t3 - d3 as double) / t3 AS dup_3gram_frac,
+         |  cast(t3 - d3 as double) / t3 < cast(0.2 as double) AS keep
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q38_tfidf" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($dToks) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT doc_id, term, tf, df,
+         |    cast(tf * n_docs as double) / df AS score
+         |  FROM tf JOIN df USING (term), n),
+         |ranked AS (
+         |  SELECT *, cast(row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY score DESC, term) as int) AS rk
+         |  FROM scored)
+         |SELECT doc_id, term, tf, df, score, rk
+         |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     "q20_token_stats" ->
       s"""SELECT doc_id,
          | cast(len($dToks) as int) AS n_tokens,
