@@ -20,6 +20,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // PrefixSum's offsets window (q06/q63) runs over #blocks rows by
+    // design; Spark's blanket single-partition-window warning is noise
+    // for it and would otherwise land in the recorded bench tail.
+    org.apache.log4j.Logger
+      .getLogger("org.apache.spark.sql.execution.window.WindowExec")
+      .setLevel(org.apache.log4j.Level.ERROR)
     val subset = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
     val explain = sys.env.contains("SPARK_GRAFT_EXPLAIN")
     // Uncounted warmup: pay JVM/codegen/shuffle-machinery startup here so

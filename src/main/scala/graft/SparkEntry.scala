@@ -25,7 +25,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RefQueries.queries ++ Relational.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ KMeans.queries ++
-      Multimodal.queries
+      Multimodal.queries ++ Curation.queries ++ RangeJoin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -33,5 +33,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RefQueries.oracle ++ Relational.oracle ++ TextAnalysis.oracle ++
       Dedup.oracle ++ Similarity.oracle ++ KMeans.oracle ++
-      Multimodal.oracle
+      Multimodal.oracle ++ Curation.oracle ++ RangeJoin.oracle
 }

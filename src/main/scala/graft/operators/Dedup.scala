@@ -20,14 +20,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  private val toks = "split(trim(text), '\\\\s+')"
+  private[operators] val toks = "split(trim(text), '\\\\s+')"
 
   /** doc_id + distinct-3-gram-shingle array, shared by q31/q32. Uses the
     * native [[graft.functions.TokenShingles]] expression — the composed
     * array_distinct/transform/slice form it replaces runs the lambda
     * interpreter per shingle and dominated both queries (~1 ms/doc).
     */
-  private def shingled(s: SparkSession, dir: String) = {
+  private[operators] def shingled(s: SparkSession, dir: String) = {
     graft.functions.GraftFunctions.register(s)
     Synth.documents(s, dir)
       .select(col("doc_id"), expr(s"graft_shingles($toks, 3)").as("sh"))
@@ -319,8 +319,8 @@ object Dedup {
     }
   )
 
-  private val dToks = "regexp_split_to_array(trim(text), '\\s+')"
-  private val dShingles =
+  private[operators] val dToks = "regexp_split_to_array(trim(text), '\\s+')"
+  private[operators] val dShingles =
     s"list_distinct(list_transform(generate_series(1, greatest(len($dToks) - 2, 1)), " +
       s"i -> array_to_string(list_slice($dToks, i, i + 2), ' ')))"
 

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Range (interval) join: pair rows whose numeric keys lie within a
+  * radius, optionally under an equi-key — `|l.ts − r.ts| ≤ radius AND
+  * l.k = r.k`.
+  *
+  * Spark plans a raw theta-join of this shape as
+  * BroadcastNestedLoopJoin / cartesian — O(|L|·|R|) comparisons, the
+  * classic range-join scale-killer. The standard fix (used by every
+  * engine with a native range join — bin the domain so equality on the
+  * bin key carries the range predicate): bucket both sides by
+  * `value div radius`, replicate the LEFT side to its 3 adjacent bins,
+  * hash-join on (key, bin), then apply the exact range filter. Any pair
+  * within `radius` differs by at most one bin, so adjacent-bin equality
+  * is a complete candidate set; cost is bounded by per-bin co-occurrence
+  * (data-dependent, never |L|·|R|), the join is a plain shuffled/broadcast
+  * hash join, and AQE handles skewed bins.
+  */
+object RangeJoin {
+
+  /** Joins `left` and `right` on `equiKeys` plus `|left.lVal − right.rVal|
+    * ≤ radius`. `lVal` / `rVal` are long columns (e.g. unix micros).
+    * Output = all left columns + all right columns (caller ensures
+    * disjoint names apart from `equiKeys`).
+    */
+  def withinRadius(left: DataFrame, right: DataFrame, equiKeys: Seq[String],
+      lVal: String, rVal: String, radius: Long): DataFrame = {
+    require(radius > 0, "radius must be positive")
+    // left replicates ×3 (cheap, map-only); right gets one bin per row
+    val l = left.withColumn("_rj_bin",
+      explode(array(
+        expr(s"$lVal div $radius - 1"),
+        expr(s"$lVal div $radius"),
+        expr(s"$lVal div $radius + 1"))))
+    val r = right.withColumn("_rj_bin", expr(s"$rVal div $radius"))
+    l.join(r, Seq("_rj_bin") ++ equiKeys)
+      .filter(abs(col(lVal) - col(rVal)) <= radius)
+      .drop("_rj_bin")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Temporal neighborhood count: for each probe event (id ≡ 0 mod 100),
+    // how many same-type events land within ±60 s. Timestamps compare as
+    // integer microseconds on both engines (Synth.events truncates nanos
+    // with `div 1000`; DuckDB's epoch_us truncates the same way), so the
+    // boundary is exact.
+    "q47_range_join" -> { (s, dir) =>
+      val ev = Synth.events(s, dir).withColumn("us", expr("unix_micros(ts)"))
+      val probes = ev.filter(col("event_id") % 100 === 0)
+        .select(col("event_id").as("probe_id"), col("event_type"),
+          col("us").as("p_us"))
+      val others = ev.select(col("event_id").as("other_id"),
+        col("event_type"), col("us").as("o_us"))
+      withinRadius(probes, others, Seq("event_type"), "p_us", "o_us",
+          60000000L)
+        .filter(col("other_id") =!= col("probe_id"))
+        .groupBy("probe_id")
+        .agg(count(lit(1)).as("n_nearby"))
+        .orderBy("probe_id")
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q47_range_join" ->
+      """SELECT p.event_id AS probe_id, count(*) AS n_nearby
+        |FROM events p JOIN events e
+        |  ON e.event_type = p.event_type
+        |  AND epoch_us(e.ts) BETWEEN epoch_us(p.ts) - 60000000
+        |    AND epoch_us(p.ts) + 60000000
+        |  AND e.event_id <> p.event_id
+        |WHERE p.event_id % 100 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

@@ -92,21 +92,34 @@ object Similarity {
       .map(p => s"CASE WHEN ${dotDuck(col, planeArrayDuck(p))} > 0 THEN '1' ELSE '0' END")
       .mkString("concat(", ", ", ")")
 
+  /** Broadcast-query top-k ranking, shared by q40/q41/q42/q46: the query
+    * side (with optional blocking column) broadcasts, true cosine ranks
+    * inside each query's candidate set. `blockCol = None` → exact
+    * brute-force over every vector (crossJoin); `Some(c)` → candidates
+    * restricted to the query's block (LSH bucket / IVF cluster).
+    */
+  private def rankTopK(e: DataFrame, blockCol: Option[String]): DataFrame = {
+    val qCols = Seq(col("vec_id").as("query_id"), col("embedding").as("q_emb")) ++
+      blockCol.map(col)
+    val q = broadcast(e.filter(col("vec_id") < nQueries).select(qCols: _*))
+    val joined = blockCol match {
+      case Some(c) => q.join(e, c)
+      case None    => q.crossJoin(e)
+    }
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    joined
+      .withColumn("cosine", expr(Dedup.dot("q_emb", "embedding")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select("query_id", "rk", "vec_id", "cosine")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-k: broadcast queries × all vectors.
     "q40_knn_brute" -> { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
-      val e = Synth.embeddings(s, dir)
-      val q = e.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("cosine").desc, col("vec_id"))
-      broadcast(q).crossJoin(e)
-        .withColumn("cosine", expr(Dedup.dot("q_emb", "embedding")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= topK)
-        .select("query_id", "rk", "vec_id", "cosine")
-        .orderBy("query_id", "rk")
+      rankTopK(Synth.embeddings(s, dir), None).orderBy("query_id", "rk")
     },
 
     // LSH-bucketed ANN: assign every vector its hyperplane bucket
@@ -115,17 +128,30 @@ object Similarity {
       graft.functions.GraftFunctions.register(s)
       val e = Synth.embeddings(s, dir)
         .withColumn("bucket", expr(bucketExprSpark("embedding")))
-      val q = e.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-          col("bucket"))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("cosine").desc, col("vec_id"))
-      broadcast(q).join(e, "bucket")
-        .withColumn("cosine", expr(Dedup.dot("q_emb", "embedding")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= topK)
-        .select("query_id", "rk", "vec_id", "cosine")
-        .orderBy("query_id", "rk")
+      rankTopK(e, Some("bucket")).orderBy("query_id", "rk")
+    },
+
+    // ANN quality measurement: recall@k of the LSH index against the
+    // exact brute-force ranking — the metric that decides whether an
+    // approximate index is usable. Both sides are deterministic top-k
+    // sets; the overlap count joins them on (query_id, vec_id). At scale
+    // this runs on a sampled probe set: cost = one exact pass for the
+    // sample + the index probes, never index-wide.
+    "q46_ann_recall" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val e = Synth.embeddings(s, dir)
+      val exact = rankTopK(e, None).select("query_id", "vec_id")
+      val approx = rankTopK(
+          e.withColumn("bucket", expr(bucketExprSpark("embedding"))),
+          Some("bucket"))
+        .select("query_id", "vec_id").withColumn("hit", lit(1))
+      exact.join(approx, Seq("query_id", "vec_id"), "left")
+        .groupBy("query_id")
+        .agg(count(col("hit")).as("n_hit"))
+        .withColumn("recall",
+          col("n_hit").cast("double") / lit(topK.toDouble))
+        .select("query_id", "n_hit", "recall")
+        .orderBy("query_id")
     },
 
     // IVF-style ANN: assign every vector to its nearest pseudo-centroid
@@ -138,17 +164,7 @@ object Similarity {
       graft.functions.GraftFunctions.register(s)
       val e = Synth.embeddings(s, dir)
         .withColumn("cluster", expr(clusterExprSpark("embedding")))
-      val q = e.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-          col("cluster"))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("cosine").desc, col("vec_id"))
-      broadcast(q).join(e, "cluster")
-        .withColumn("cosine", expr(Dedup.dot("q_emb", "embedding")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= topK)
-        .select("query_id", "rk", "vec_id", "cosine")
-        .orderBy("query_id", "rk")
+      rankTopK(e, Some("cluster")).orderBy("query_id", "rk")
     }
   )
 
@@ -175,6 +191,33 @@ object Similarity {
          | FROM b q JOIN b e ON q.bucket = e.bucket
          | WHERE q.vec_id < $nQueries)
          |WHERE rk <= $topK ORDER BY query_id, rk""".stripMargin,
+
+    "q46_ann_recall" ->
+      s"""WITH ex AS (
+         | SELECT query_id, vec_id FROM (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |     ORDER BY ${dotDuck("q.embedding", "e.embedding")} DESC, e.vec_id) AS rk
+         |  FROM embeddings q CROSS JOIN embeddings e
+         |  WHERE q.vec_id < $nQueries)
+         | WHERE rk <= $topK),
+         |b AS (
+         | SELECT vec_id, embedding, ${bucketExprDuck("embedding")} AS bucket
+         | FROM embeddings),
+         |ap AS (
+         | SELECT query_id, vec_id FROM (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |     ORDER BY ${dotDuck("q.embedding", "e.embedding")} DESC, e.vec_id) AS rk
+         |  FROM b q JOIN b e ON q.bucket = e.bucket
+         |  WHERE q.vec_id < $nQueries)
+         | WHERE rk <= $topK)
+         |SELECT ex.query_id AS query_id,
+         |  cast(count(ap.vec_id) as bigint) AS n_hit,
+         |  cast(count(ap.vec_id) as double) / $topK AS recall
+         |FROM ex LEFT JOIN ap
+         |  ON ap.query_id = ex.query_id AND ap.vec_id = ex.vec_id
+         |GROUP BY ex.query_id ORDER BY query_id""".stripMargin,
 
     "q42_knn_ivf" ->
       s"""WITH c AS (
