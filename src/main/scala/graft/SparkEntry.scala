@@ -25,7 +25,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RefQueries.queries ++ Relational.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ KMeans.queries ++
-      Multimodal.queries ++ Curation.queries ++ RangeJoin.queries
+      Multimodal.queries ++ Curation.queries ++ RangeJoin.queries ++
+      ProductQuantization.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -33,5 +34,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RefQueries.oracle ++ Relational.oracle ++ TextAnalysis.oracle ++
       Dedup.oracle ++ Similarity.oracle ++ KMeans.oracle ++
-      Multimodal.oracle ++ Curation.oracle ++ RangeJoin.oracle
+      Multimodal.oracle ++ Curation.oracle ++ RangeJoin.oracle ++
+      ProductQuantization.oracle
 }

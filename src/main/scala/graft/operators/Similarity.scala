@@ -28,7 +28,7 @@ object Similarity {
   private val nQueries = 5
   private val topK = 10
 
-  private def md5hex(s: String): String =
+  private[operators] def md5hex(s: String): String =
     MessageDigest.getInstance("MD5")
       .digest(s.getBytes(StandardCharsets.UTF_8))
       .map(b => f"${b & 0xff}%02x").mkString
