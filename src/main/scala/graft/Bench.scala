@@ -56,13 +56,43 @@ object Bench {
         }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v, ok) =>
+    // Loader-path throughput: the production dataflow end-to-end (decode →
+    // parse → salted repartition → rolling gzip objects on disk), timed as
+    // its own entry. This is the path the reference engine IS; the query
+    // surface above is the analytics layer on top of it.
+    val loaderResult: Option[(String, Double, Boolean)] =
+      if (subset.forall(_.exists("loader_batch_sink".startsWith))) Some {
+        import org.apache.spark.sql.functions._
+        val outDir = java.nio.file.Files.createTempDirectory("bench_loader").toString
+        val t0 = System.nanoTime()
+        val ok =
+          try {
+            val raw = graft.operators.Synth.events(spark, sfDir)
+              .select(encode(graft.operators.Synth.enrichedLine(), "utf-8").as("value"))
+            val cfg = graft.config.LoaderConfig.validate(graft.config.LoaderConfig(
+              graft.config.Purpose.Enriched,
+              graft.config.Output(s"file://$outDir/good"),
+              graft.config.BadOutput(s"file://$outDir/bad")))
+              .fold(e => throw new IllegalArgumentException(e), identity)
+            val metrics = new graft.streaming.LoaderPipeline.Metrics
+            graft.streaming.LoaderPipeline.runBatch(
+              raw, cfg, new graft.sinks.HadoopBlobStore(Map.empty), metrics)
+            require(metrics.count.get() > 0, "loader wrote no records")
+            true
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] loader_batch_sink failed: ${e.getMessage}")
+            false
+          }
+        ("loader_batch_sink", (System.nanoTime() - t0) / 1e9, ok)
+      } else None
+
+    val qs = (results ++ loaderResult).map { case (k, v, ok) =>
       "\"" + k + "\":" + (if (ok) v.toString else "\"failed\"") }
       .mkString("{", ",", "}")
     // failed queries are excluded from the total AND flagged — a crash must
     // never read as a speedup
-    val total = results.collect { case (_, v, true) => v }.sum
-    val failed = results.count(!_._3)
+    val total = (results ++ loaderResult).collect { case (_, v, true) => v }.sum
+    val failed = (results ++ loaderResult).count(!_._3)
     println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

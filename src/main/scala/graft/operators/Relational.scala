@@ -176,6 +176,41 @@ object Relational {
         .orderBy("p_partkey")
     },
 
+    // Correlated scalar subquery (TPC-H Q17 shape) through the SQL entry
+    // path: small-quantity lineitems vs 0.2× the per-part average.
+    // Catalyst decorrelates the subquery into an aggregate + join — no
+    // per-row re-execution — and the DataFrame and SQL surfaces share one
+    // optimizer, so everything the other queries pin (pushdown, broadcast,
+    // partial agg) holds here too. Quantities are whole numbers stored as
+    // doubles, so sums/averages are exact and the threshold compare is
+    // bit-identical across engines.
+    "q70_correlated_subquery" -> { (s, dir) =>
+      Synth.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      Synth.part(s, dir).createOrReplaceTempView("part")
+      s.sql("""
+        SELECT l_partkey, count(*) AS n_small,
+          cast(sum(cast(l_extendedprice as decimal(18,2))) as double)
+            AS small_revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#1'
+          AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                            FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        GROUP BY l_partkey ORDER BY l_partkey""")
+    },
+
+    // Correlated EXISTS (TPC-H Q4 shape): orders with any high-quantity
+    // line, counted by priority. Decorrelates to a left-semi join.
+    "q71_exists_subquery" -> { (s, dir) =>
+      Synth.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      Synth.orders(s, dir).createOrReplaceTempView("orders")
+      s.sql("""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    },
+
     // Approximate sketches: HLL distinct counts + approximate quantiles —
     // single-pass mergeable state, the 100 TB substitute for exact
     // distinct/percentile. No SQL-exact oracle (sketch estimates are
@@ -213,6 +248,23 @@ object Relational {
   )
 
   def oracle: Map[String, String] = Map(
+    "q70_correlated_subquery" ->
+      """SELECT l_partkey, count(*) AS n_small,
+        | cast(sum(cast(l_extendedprice as decimal(18,2))) as double)
+        |   AS small_revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#1'
+        |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
+
+    "q71_exists_subquery" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     "q10_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty,
