@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic PageRank — iterative graph analytics with fixed-point
+  * integer numerics.
+  *
+  * Float PageRank is order-dependent (parallel double sums), so two runs
+  * — or two engines — disagree in the last ulps. Ranks here are bigint
+  * micro-units (SCALE = 10^12) and every step is integer division:
+  * bigint sums are associative, so the result is bit-identical across
+  * partitionings and engines (the same trick [[KMeans]] uses for
+  * trainable centroids, q43).
+  *
+  * Per iteration: contribution = rank div out-degree per edge, one
+  * shuffle to sum by destination, then base + 85% of the incoming sum.
+  * Lineage is cut per round (`localCheckpoint`, as [[ConnectedComponents]]
+  * does) so plans stay flat over many iterations. Cost at scale: edges
+  * join ranks on src (shuffle bounded by |edges|), never adjacency
+  * matrices.
+  */
+object PageRank {
+
+  val Scale = 1000000000000L
+
+  /** `vertices`: one `id` column. `edges`: (src, dst) directed multigraph
+    * rows — parallel edges each carry their own contribution, which is
+    * how a transition log ranks naturally without pre-aggregation.
+    */
+  def run(vertices: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    val n = vertices.count()
+    require(n > 0, "empty vertex set")
+    val base = Scale * 15 / 100 / n
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    var ranks = vertices.withColumn("rank_fp", lit(Scale / n))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(deg, "src")
+        .withColumn("c", expr("rank_fp div deg"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("c")).as("in_sum"))
+      ranks = vertices
+        .join(contrib, Seq("id"), "left")
+        .withColumn("rank_fp",
+          lit(base) + expr("coalesce(in_sum, 0L) * 85 div 100"))
+        .select("id", "rank_fp")
+        .localCheckpoint()
+    }
+    ranks
+  }
+
+  private val nIters = 3
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Rank event types by their position in user journeys: consecutive
+    // events per user form a directed transition multigraph (lead over
+    // event time), PageRank scores the types. The full log-to-graph-to-
+    // rank pipeline in one query.
+    "q67_pagerank" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val ev = Synth.events(s, dir)
+      val edges = ev
+        .select(col("event_type").as("src"),
+          lead(col("event_type"), 1).over(w).as("dst"))
+        .filter(col("dst").isNotNull)
+      val vertices = ev.select(col("event_type").as("id")).distinct()
+      run(vertices, edges, nIters).orderBy("id")
+    }
+  )
+
+  def oracle: Map[String, String] = {
+    // the same three integer-arithmetic iterations, unrolled as CTEs
+    val iterCtes = (1 to nIters).map { i =>
+      s"""r$i AS (
+         |  SELECT v.id,
+         |    (SELECT base FROM consts)
+         |      + coalesce(c.in_sum, 0) * 85 // 100 AS rank_fp
+         |  FROM verts v LEFT JOIN (
+         |    SELECT e.dst AS id,
+         |      cast(sum(r.rank_fp // d.deg) as bigint) AS in_sum
+         |    FROM edges e
+         |      JOIN r${i - 1} r ON r.id = e.src
+         |      JOIN deg d ON d.src = e.src
+         |    GROUP BY e.dst) c ON c.id = v.id)""".stripMargin
+    }.mkString(",\n")
+    Map(
+      "q67_pagerank" ->
+        s"""WITH trans AS (
+           |  SELECT event_type AS src,
+           |    lead(event_type) OVER (PARTITION BY user_id
+           |      ORDER BY ts, event_id) AS dst
+           |  FROM events),
+           |edges AS (SELECT src, dst FROM trans WHERE dst IS NOT NULL),
+           |verts AS (SELECT DISTINCT event_type AS id FROM events),
+           |consts AS (
+           |  SELECT $Scale * 15 // 100 // count(*) AS base,
+           |         $Scale // count(*) AS r_init
+           |  FROM verts),
+           |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+           |r0 AS (SELECT id, (SELECT r_init FROM consts) AS rank_fp FROM verts),
+           |$iterCtes
+           |SELECT id, cast(rank_fp as bigint) AS rank_fp
+           |FROM r$nIters ORDER BY id""".stripMargin
+    )
+  }
+}

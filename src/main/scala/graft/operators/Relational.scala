@@ -176,6 +176,42 @@ object Relational {
         .orderBy("p_partkey")
     },
 
+    // The wider window-function surface in one query: lead, first_value,
+    // ntile, percent_rank, cume_dist over per-user event-time order.
+    // percent_rank/cume_dist are exact small-integer ratios, so the
+    // doubles are bit-identical cross-engine; ties in ts break on
+    // event_id for full determinism.
+    "q72_window_suite" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Synth.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          lead(col("event_id"), 1).over(w).as("next_id"),
+          first(col("event_id")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("first_id"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("event_id")
+    },
+
+    // CUBE with grouping ids — all four aggregation levels of
+    // (event_type × user_id) in one pass. Spark plans cube as a single
+    // Expand + one shuffle, not 4 scans. Output ordered by grouping ids
+    // first so the NULL super-aggregate rows sort identically in both
+    // engines (their default NULL order differs).
+    "q73_cube" -> { (s, dir) =>
+      Synth.events(s, dir)
+        .cube(col("event_type"), col("user_id"))
+        .agg(
+          grouping(col("event_type")).cast("int").as("g_type"),
+          grouping(col("user_id")).cast("int").as("g_user"),
+          count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("sum_value"))
+        .orderBy(col("g_type"), col("g_user"),
+          col("event_type").asc_nulls_first, col("user_id").asc_nulls_first)
+    },
+
     // Correlated scalar subquery (TPC-H Q17 shape) through the SQL entry
     // path: small-quantity lineitems vs 0.2× the per-part average.
     // Catalyst decorrelates the subquery into an aggregate + join — no
@@ -248,6 +284,28 @@ object Relational {
   )
 
   def oracle: Map[String, String] = Map(
+    "q72_window_suite" ->
+      """SELECT event_id, user_id,
+        | lead(event_id) OVER w AS next_id,
+        | first_value(event_id) OVER
+        |   (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_id,
+        | cast(ntile(4) OVER w as int) AS quartile,
+        | percent_rank() OVER w AS pr,
+        | cume_dist() OVER w AS cd
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "q73_cube" ->
+      """SELECT event_type, user_id,
+        | cast(grouping(event_type) as int) AS g_type,
+        | cast(grouping(user_id) as int) AS g_user,
+        | count(*) AS n,
+        | cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
+        |FROM events
+        |GROUP BY CUBE (event_type, user_id)
+        |ORDER BY g_type, g_user, event_type NULLS FIRST, user_id NULLS FIRST""".stripMargin,
+
     "q70_correlated_subquery" ->
       """SELECT l_partkey, count(*) AS n_small,
         | cast(sum(cast(l_extendedprice as decimal(18,2))) as double)
