@@ -91,6 +91,34 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected a per-block hash exchange, got:\n$p")
   }
 
+  test("q64: per-language thresholds broadcast — the corpus side never shuffles for the join") {
+    val p = plan("q64_temperature_resample")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"expected the |langs|-row threshold table to broadcast:\n$p")
+  }
+
+  test("q66: the eval shingle set broadcasts against the exploded corpus") {
+    val p = plan("q66_contamination_score")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"expected a broadcast join on the eval shingles:\n$p")
+  }
+
+  test("q70: the correlated subquery decorrelates — no per-row subquery in the physical plan") {
+    val p = plan("q70_correlated_subquery")
+    assert(!p.toString.contains("Subquery"),
+      s"expected Catalyst to decorrelate into aggregate+join:\n$p")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty ||
+      p.toString.contains("SortMergeJoin"),
+      s"expected real joins after decorrelation:\n$p")
+  }
+
+  test("q73: cube computes all four grouping sets in one shuffle (Expand, not 4 scans)") {
+    val p = plan("q73_cube")
+    assert(p.toString.contains("Expand"), s"expected an Expand node:\n$p")
+    val scans = p.collect { case f: FileSourceScanExec => f }
+    assert(scans.size == 1, s"cube must scan events once, got ${scans.size}")
+  }
+
   test("q62: the batch/corpus doc_id filters reach the documents scans") {
     val scans = plan("q62_incremental_dedup").collect {
       case f: FileSourceScanExec => f }
