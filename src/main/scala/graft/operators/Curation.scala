@@ -42,6 +42,13 @@ object Curation {
   /** α = 0.5: keep rate per language = sqrt(c_min / c_lang). */
   private val TwoPow32 = "4294967296.0"
 
+  /** Bloom geometry for q49: m bits, k hashes. Sized for the test eval
+    * sets so the FP rate is visible but small; production would size m
+    * from |eval| at the usual m ≈ 1.44·k·n.
+    */
+  private val BloomBits = 4096
+  private val BloomK = 3
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Temperature resampling: per-language keep thresholds from the
     // language histogram (tiny, broadcast), then one map-only pass keeps
@@ -78,6 +85,51 @@ object Curation {
           "CASE WHEN grp_key < 'cccc' THEN 'train' " +
             "WHEN grp_key < 'e666' THEN 'val' ELSE 'test' END"))
         .select("doc_id", "source", "grp_key", "split")
+        .orderBy("doc_id")
+    },
+
+    // Bloom-filter decontamination — the membership structure that
+    // replaces q36's exact broadcast at 100 TB: the eval set compresses
+    // to a BloomBits-position set (~KB regardless of eval size; here
+    // materialized as a distinct-position table), each probe shingle
+    // checks its k=BloomK md5-derived positions, a doc is flagged iff
+    // some shingle has ALL k positions set. Zero false negatives by
+    // construction; false positives are the price of the compression,
+    // so the query also carries the exact answer and an is_fp column —
+    // the FP rate is measured, not assumed. Deterministic md5 position
+    // hashing makes even the false positives oracle-exact.
+    "q49_bloom_decon" -> { (s, dir) =>
+      val isEval = col("doc_id") % 97 === 0
+      val sh = Dedup.shingled(s, dir)
+      def positions(shingleCol: String): Seq[org.apache.spark.sql.Column] =
+        (0 until BloomK).map { i =>
+          expr(s"cast(conv(substring(md5(cast(concat($shingleCol, '#b$i') as binary)), 1, 8), 16, 10) as bigint) % $BloomBits")
+        }
+      val evalPos = sh.filter(isEval)
+        .select(explode(col("sh")).as("shingle"))
+        .select(array(positions("shingle"): _*).as("ps"))
+        .select(explode(col("ps")).as("pos")).distinct()
+        .withColumn("set", lit(1))
+      val probe = sh.filter(!isEval)
+        .select(col("doc_id"), explode(col("sh")).as("shingle"))
+        .withColumn("pos", explode(array(positions("shingle"): _*)))
+      val shingleHits = probe
+        .join(broadcast(evalPos), Seq("pos"), "left")
+        .groupBy("doc_id", "shingle")
+        .agg((count(col("set")) === BloomK).as("all_set"))
+        .groupBy("doc_id")
+        .agg(max(col("all_set")).as("bloom_hit"))
+      val exact = sh.filter(!isEval)
+        .select(col("doc_id"), explode(col("sh")).as("shingle"))
+        .join(broadcast(sh.filter(isEval)
+          .select(explode(col("sh")).as("shingle")).distinct()),
+          Seq("shingle"), "left_semi")
+        .select("doc_id").distinct().withColumn("exact_hit", lit(true))
+      shingleHits
+        .join(exact, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("bloom_hit"),
+          coalesce(col("exact_hit"), lit(false)).as("exact_hit"))
+        .withColumn("is_fp", col("bloom_hit") && !col("exact_hit"))
         .orderBy("doc_id")
     },
 
@@ -127,6 +179,37 @@ object Curation {
         |   WHEN substring(md5('split:' || source), 1, 4) < 'e666' THEN 'val'
         |   ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q49_bloom_decon" -> {
+      val posExprs = (0 until BloomK).map { i =>
+        s"cast(('0x' || substring(md5(shingle || '#b$i'), 1, 8)) as bigint) % $BloomBits"
+      }
+      s"""WITH shs AS (SELECT doc_id, ${Dedup.dShingles} AS sh FROM documents),
+         |evsh AS (
+         |  SELECT DISTINCT unnest(sh) AS shingle FROM shs WHERE doc_id % 97 = 0),
+         |evpos AS (
+         |  SELECT DISTINCT unnest([${posExprs.mkString(", ")}]) AS pos FROM evsh),
+         |probe AS (
+         |  SELECT doc_id, shingle, unnest([${posExprs.mkString(", ")}]) AS pos
+         |  FROM (SELECT doc_id, unnest(sh) AS shingle FROM shs
+         |        WHERE doc_id % 97 <> 0)),
+         |shhit AS (
+         |  SELECT doc_id, shingle,
+         |    count(evpos.pos) = $BloomK AS all_set
+         |  FROM probe LEFT JOIN evpos ON probe.pos = evpos.pos
+         |  GROUP BY doc_id, shingle),
+         |bloom AS (
+         |  SELECT doc_id, max(all_set) AS bloom_hit FROM shhit GROUP BY doc_id),
+         |exact AS (
+         |  SELECT DISTINCT doc_id FROM
+         |    (SELECT doc_id, unnest(sh) AS shingle FROM shs WHERE doc_id % 97 <> 0) t
+         |  WHERE shingle IN (SELECT shingle FROM evsh))
+         |SELECT b.doc_id AS doc_id, b.bloom_hit AS bloom_hit,
+         |  e.doc_id IS NOT NULL AS exact_hit,
+         |  b.bloom_hit AND e.doc_id IS NULL AS is_fp
+         |FROM bloom b LEFT JOIN exact e ON e.doc_id = b.doc_id
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "q66_contamination_score" ->
       s"""WITH shs AS (SELECT doc_id, ${Dedup.dShingles} AS sh FROM documents),

@@ -80,6 +80,22 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q49: the bloom filter never misses — bloom hits are a superset of exact hits") {
+    val rows = run("q49_bloom_decon").collect()
+    assert(rows.nonEmpty)
+    var fps = 0
+    rows.foreach { r =>
+      val (bloom, exact, isFp) = (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))
+      assert(!(exact && !bloom),
+        s"doc ${r.getLong(0)}: false negative — bloom filters must never miss")
+      assert(isFp == (bloom && !exact))
+      if (isFp) fps += 1
+    }
+    // the geometry is deliberately tight so the FP column is exercised;
+    // the rate must still stay far from useless
+    assert(fps < rows.length / 2, s"$fps FPs of ${rows.length} — filter degenerate")
+  }
+
   test("q46: recall@k is in [0,1] with one row per probe query") {
     val rows = run("q46_ann_recall").collect()
     assert(rows.length == 5)
