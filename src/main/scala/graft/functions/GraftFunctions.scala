@@ -43,6 +43,11 @@ object GraftFunctions {
       new ExpressionInfo(classOf[Winnow].getName, "graft_winnow"),
       (children: Seq[Expression]) => Winnow(children(0),
         children(1).eval().asInstanceOf[Int],
+        children(2).eval().asInstanceOf[Int])),
+    (FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKByScore].getName, "graft_topk"),
+      // the analyzer wraps AggregateFunctions in AggregateExpression
+      (children: Seq[Expression]) => TopKByScore(children(0), children(1),
         children(2).eval().asInstanceOf[Int])))
 
   /** Idempotent session-level registration. */

@@ -176,6 +176,25 @@ object Relational {
         .orderBy("p_partkey")
     },
 
+    // Per-group top-k WITHOUT the window sort: the native
+    // [[graft.functions.TopKByScore]] aggregate keeps a k-bounded heap
+    // per group (O(log k) updates, map-side partial agg, k rows per
+    // group across the wire) where the row_number window idiom (q12)
+    // sorts every group in full. Same deterministic (score DESC, id ASC)
+    // order — the oracle IS the window rendering.
+    "q74_topk_per_group" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      Synth.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(expr("graft_topk(o_totalprice, o_orderkey, 3)").as("top"))
+        .select(col("o_orderpriority"), posexplode(col("top")))
+        .select(col("o_orderpriority"),
+          (col("pos") + 1).cast("int").as("rk"),
+          col("col.id").as("o_orderkey"),
+          col("col.score").as("o_totalprice"))
+        .orderBy("o_orderpriority", "rk")
+    },
+
     // The wider window-function surface in one query: lead, first_value,
     // ntile, percent_rank, cume_dist over per-user event-time order.
     // percent_rank/cume_dist are exact small-integer ratios, so the
@@ -284,6 +303,14 @@ object Relational {
   )
 
   def oracle: Map[String, String] = Map(
+    "q74_topk_per_group" ->
+      """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+        | SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  cast(row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey) as int) AS rk
+        | FROM orders)
+        |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+
     "q72_window_suite" ->
       """SELECT event_id, user_id,
         | lead(event_id) OVER w AS next_id,
