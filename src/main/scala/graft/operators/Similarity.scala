@@ -97,6 +97,14 @@ object Similarity {
     * inside each query's candidate set. `blockCol = None` → exact
     * brute-force over every vector (crossJoin); `Some(c)` → candidates
     * restricted to the query's block (LSH bucket / IVF cluster).
+    *
+    * Ranking is the bounded-heap [[graft.functions.TopKByScore]]
+    * aggregate, not a row_number window: the window form sorts each
+    * query's ENTIRE candidate set (for brute force, the whole corpus per
+    * query) to keep k rows; the heap keeps k candidates per query per
+    * task and merges map-side, so only k·|queries| rows ever shuffle.
+    * Same (cosine DESC, vec_id ASC) order — results are bit-identical
+    * (the oracles still use the window rendering).
     */
   private def rankTopK(e: DataFrame, blockCol: Option[String]): DataFrame = {
     val qCols = Seq(col("vec_id").as("query_id"), col("embedding").as("q_emb")) ++
@@ -106,13 +114,13 @@ object Similarity {
       case Some(c) => q.join(e, c)
       case None    => q.crossJoin(e)
     }
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("vec_id"))
     joined
       .withColumn("cosine", expr(Dedup.dot("q_emb", "embedding")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= topK)
-      .select("query_id", "rk", "vec_id", "cosine")
+      .groupBy("query_id")
+      .agg(expr(s"graft_topk(cosine, vec_id, $topK)").as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rk"),
+        col("col.id").as("vec_id"), col("col.score").as("cosine"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
