@@ -105,6 +105,39 @@ object ProductQuantization {
         .filter(col("rk") <= topK)
         .select("query_id", "rk", "vec_id", "pq_score")
         .orderBy("query_id", "rk")
+    },
+
+    // IVF + PQ — the trillion-vector index layout: IVF clusters prune
+    // the candidate set to ~n/k (the cluster id doubles as partition
+    // key), PQ codes score the survivors by table lookup. The probe
+    // touches one cluster's codes per query and never a float vector:
+    // candidate count AND bytes-per-candidate both shrink. Ranking is
+    // the bounded-heap aggregate, so only k rows per query shuffle.
+    "q48b_ivf_pq" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val e = Synth.embeddings(s, dir)
+      val encoded = (0 until nSub).foldLeft(
+          e.select(col("vec_id"), col("embedding"))
+            .withColumn("cluster", expr(Similarity.clusterExprSpark("embedding")))) {
+        (df, m) => df.withColumn(s"code$m", expr(codeSpark("embedding", m)))
+      }.drop("embedding")
+      val q = (0 until nSub).foldLeft(
+          e.filter(col("vec_id") < nQueries)
+            .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+              expr(Similarity.clusterExprSpark("embedding")).as("cluster"))) {
+        (df, m) => df.withColumn(s"tab$m", expr(tableSpark("q_emb", m)))
+      }.drop("q_emb")
+      val score = (0 until nSub)
+        .map(m => s"element_at(tab$m, cast(code$m as int))")
+        .reduce((a, b) => s"($a + $b)")
+      broadcast(q).join(encoded, "cluster")
+        .withColumn("pq_score", expr(score))
+        .groupBy("query_id")
+        .agg(expr(s"graft_topk(pq_score, vec_id, $topK)").as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), (col("pos") + 1).cast("int").as("rk"),
+          col("col.id").as("vec_id"), col("col.score").as("pq_score"))
+        .orderBy("query_id", "rk")
     }
   )
 
@@ -128,6 +161,30 @@ object ProductQuantization {
          |  cast(row_number() OVER (PARTITION BY q.query_id
          |    ORDER BY $score DESC, e.vec_id) as int) AS rk
          | FROM qt q CROSS JOIN enc e)
+         |WHERE rk <= $topK ORDER BY query_id, rk""".stripMargin
+    },
+
+    "q48b_ivf_pq" -> {
+      val codeCols = (0 until nSub)
+        .map(m => s"${codeDuck("embedding", m)} AS code$m").mkString(",\n  ")
+      val tabCols = (0 until nSub)
+        .map(m => s"${tableDuck("embedding", m)} AS tab$m").mkString(",\n  ")
+      val score = (0 until nSub)
+        .map(m => s"q.tab$m[cast(e.code$m as int)]")
+        .reduce((a, b) => s"($a + $b)")
+      s"""WITH enc AS (
+         | SELECT vec_id, ${Similarity.clusterExprDuck("embedding")} AS cluster,
+         |  $codeCols FROM embeddings),
+         |qt AS (
+         | SELECT vec_id AS query_id,
+         |  ${Similarity.clusterExprDuck("embedding")} AS cluster, $tabCols
+         | FROM embeddings WHERE vec_id < $nQueries)
+         |SELECT query_id, rk, vec_id, pq_score FROM (
+         | SELECT q.query_id AS query_id, e.vec_id AS vec_id,
+         |  $score AS pq_score,
+         |  cast(row_number() OVER (PARTITION BY q.query_id
+         |    ORDER BY $score DESC, e.vec_id) as int) AS rk
+         | FROM qt q JOIN enc e ON q.cluster = e.cluster)
          |WHERE rk <= $topK ORDER BY query_id, rk""".stripMargin
     }
   )

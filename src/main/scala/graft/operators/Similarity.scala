@@ -58,13 +58,13 @@ object Similarity {
     centroids(c).mkString("[", ", ", "]")
 
   /** 1-based index of the max-dot centroid (first occurrence on ties). */
-  private def clusterExprSpark(col: String): String = {
+  private[operators] def clusterExprSpark(col: String): String = {
     val ds = (0 until nCentroids)
       .map(c => Dedup.dot(col, centroidArraySpark(c)))
       .mkString("array(", ", ", ")")
     s"array_position($ds, array_max($ds))"
   }
-  private def clusterExprDuck(col: String): String = {
+  private[operators] def clusterExprDuck(col: String): String = {
     val ds = (0 until nCentroids)
       .map(c => dotDuck(col, centroidArrayDuck(c)))
       .mkString("[", ", ", "]")
