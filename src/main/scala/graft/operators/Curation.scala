@@ -33,7 +33,7 @@ object Curation {
   /** Salted 32-bit uniform from a row key — first 8 md5 hex digits as an
     * integer in [0, 2^32). Identical construction in the DuckDB oracle.
     */
-  private def u32Spark(salt: String, key: String): String =
+  private[graft] def u32Spark(salt: String, key: String): String =
     s"cast(conv(substring(md5(cast(concat('$salt', $key) as binary)), 1, 8), 16, 10) as bigint)"
 
   private def u32Duck(salt: String, key: String): String =

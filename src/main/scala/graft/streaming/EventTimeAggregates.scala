@@ -48,6 +48,35 @@ object EventTimeAggregates {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming corpus curation — the streaming twin of the batch
+    * q60/q64 funnel: quality gate (map-only) → watermark-bounded exact
+    * dedup on the content hash → temperature sampling via a
+    * STREAM-STATIC join against a precomputed per-language threshold
+    * table. A streaming job cannot see global language counts, so
+    * production computes thresholds offline from the existing corpus
+    * (exactly [[graft.operators.Curation]]'s q64 aggregation) and the
+    * static side broadcasts into every micro-batch. Dedup state is
+    * O(docs per watermark window); everything else is stateless.
+    *
+    * `docs` columns: doc_id, text, lang, ts (event time).
+    * `langThresholds` columns: lang, thresh (u32 keep threshold).
+    */
+  def streamingCuration(
+      docs: DataFrame,
+      langThresholds: DataFrame,
+      minChars: Int,
+      watermarkDelay: String = "30 minutes"): DataFrame =
+    docs
+      .filter(length(trim(col("text"))) >= minChars)
+      .withColumn("content_hash", md5(col("text").cast("binary")))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("content_hash")
+      .withColumn("sample_u", expr(
+        graft.operators.Curation.u32Spark("resample:", "cast(doc_id as string)")))
+      .join(broadcast(langThresholds), "lang")
+      .filter(col("sample_u") < col("thresh"))
+      .select("doc_id", "lang", "content_hash", "sample_u")
+
   final case class SessionEvent(user_id: Long, event_id: Long, ts_us: Long)
   final case class SessionState(sessionSeq: Long, lastTsUs: Long, nEvents: Long)
   final case class SessionAssignment(

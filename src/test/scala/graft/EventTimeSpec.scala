@@ -56,6 +56,40 @@ class EventTimeSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming curation: quality gate + watermark dedup + stream-static temperature sample") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    val docs = mem.toDF().toDF("doc_id", "text", "lang", "ts")
+    // thresholds as production would precompute them: rare lang keeps all
+    // (2^32), common lang keeps none (0), a mid lang keeps by hash
+    val thresholds = Seq(
+      ("rare", 4294967296L), ("common", 0L), ("mid", 2147483648L))
+      .toDF("lang", "thresh")
+    val out = EventTimeAggregates.streamingCuration(docs, thresholds, 5)
+    val q = out.writeStream.format("memory").queryName("cur")
+      .outputMode(OutputMode.Append()).start()
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    try {
+      mem.addData(
+        (1L, "a good long document", "rare", t(1)),
+        (2L, "tiny", "rare", t(1)), // fails the quality gate
+        (3L, "a good long document", "rare", t(2)), // dup of doc 1's content
+        (4L, "another document body", "common", t(2)), // lang keeps nothing
+        (5L, "distinct content here", "rare", t(3)))
+      q.processAllAvailable()
+      val rows = spark.sql("select doc_id, lang from cur").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      // doc 2 quality-gated, doc 4 threshold-0, dup pair (1,3) collapses
+      // to its first arrival, doc 5 survives
+      assert(rows.map(_._1).contains(5L))
+      assert(!rows.map(_._1).contains(2L) && !rows.map(_._1).contains(4L))
+      assert(rows.map(_._1).intersect(Set(1L, 3L)).size == 1,
+        s"exactly one of the duplicate pair must survive, got $rows")
+      assert(rows.forall(_._2 == "rare"))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join with watermarks matches views to purchases") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
