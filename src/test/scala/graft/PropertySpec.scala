@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{PrefixSum, RangeJoin}
+
+/** Property-based equivalence: the distributed rewrites must equal their
+  * naive single-node renderings on arbitrary inputs, not just the
+  * hand-picked spec cases — random keys, radii, duplicates, skew. Inputs
+  * come from ScalaCheck generators sampled under FIXED seeds, so a
+  * failure reproduces exactly.
+  */
+class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def samples[A](g: Gen[A], n: Int): Seq[(Long, A)] =
+    (0L until n.toLong).flatMap { seed =>
+      g.apply(Gen.Parameters.default.withSize(40), Seed(seed))
+        .map(seed -> _)
+    }
+
+  private val rowsGen = Gen.nonEmptyListOf(for {
+    k <- Gen.oneOf("a", "b", "c")
+    v <- Gen.chooseNum(0L, 500L)
+  } yield (k, v))
+
+  test("range join ≡ naive theta-join for random keys, values and radii") {
+    import spark.implicits._
+    val cases = samples(for {
+      ls <- rowsGen; rs <- rowsGen; radius <- Gen.chooseNum(1L, 120L)
+    } yield (ls, rs, radius), 8)
+    assert(cases.size >= 6)
+    cases.foreach { case (seed, (ls, rs, radius)) =>
+      val l = ls.zipWithIndex.map { case ((k, v), i) => (i.toLong, k, v) }
+        .toDF("lid", "k", "lv")
+      val r = rs.zipWithIndex.map { case ((k, v), i) => (i.toLong, k, v) }
+        .toDF("rid", "k", "rv")
+      val binned = RangeJoin.withinRadius(l, r, Seq("k"), "lv", "rv", radius)
+        .select("lid", "rid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      val naive = l.join(r, Seq("k"))
+        .filter(abs(col("lv") - col("rv")) <= radius)
+        .select("lid", "rid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(binned == naive, s"seed=$seed radius=$radius")
+    }
+  }
+
+  test("graft_topk ≡ window row_number for random scores (ties included)") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val gen = for {
+      rows <- Gen.nonEmptyListOf(for {
+        g <- Gen.oneOf("x", "y")
+        s <- Gen.chooseNum(0, 5) // small domain → frequent score ties
+      } yield (g, s.toDouble))
+      k <- Gen.chooseNum(1, 6)
+    } yield (rows, k)
+    samples(gen, 8).foreach { case (seed, (rows, k)) =>
+      val df = rows.zipWithIndex.map { case ((g, s), i) => (g, s, i.toLong) }
+        .toDF("g", "s", "i")
+      val agg = df.groupBy("g")
+        .agg(expr(s"graft_topk(s, i, $k)").as("top"))
+        .select(col("g"), explode(col("top")).as("t"))
+        .select(col("g"), col("t.score"), col("t.id"))
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy(col("s").desc, col("i"))
+      val win = df.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k).select("g", "s", "i")
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+      assert(agg == win, s"seed=$seed k=$k")
+    }
+  }
+
+  test("PrefixSum.overBlocks ≡ sequential running sum for random values and block sizes") {
+    import spark.implicits._
+    val gen = for {
+      vals <- Gen.nonEmptyListOf(Gen.chooseNum(0L, 100L))
+      blockSize <- Gen.chooseNum(1L, 16L)
+    } yield (vals, blockSize)
+    samples(gen, 8).foreach { case (seed, (vals, blockSize)) =>
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+      val got = PrefixSum.overBlocks(df, "id", "v", blockSize, "cum")
+        .select("id", "cum").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val expect = vals.scanLeft(0L)(_ + _).tail.zipWithIndex
+        .map { case (c, i) => (i.toLong, c) }.toMap
+      assert(got == expect, s"seed=$seed blockSize=$blockSize")
+    }
+  }
+}
