@@ -128,6 +128,75 @@ object Dedup {
         .limit(50)
     },
 
+    // Prefix-filtered set-similarity self-join (the PPJoin/Vernica-et-al
+    // shape): for Jaccard ≥ 1/2, two shingle sets sorted by one GLOBAL
+    // order (ascending document frequency, shingle as tiebreak) must share
+    // a shingle within their first n − ceil(n/2) + 1 elements — so the
+    // inverted index is built over PREFIXES only, not all shingles. Against
+    // q31's full index this cuts candidate generation twice over: each doc
+    // posts about half its shingles, and those are its RAREST ones, so
+    // posting lists are short where q31's were quadratic. The length filter
+    // (n_b ≤ 2·n_a ∧ n_a ≤ 2·n_b, integer-exact for t = 1/2) prunes
+    // mismatched-size pairs before the verify join. The filter is lossless:
+    // the oracle computes the UNFILTERED exact join, so a hash match proves
+    // no qualifying pair was dropped.
+    "q31b_prefix_jaccard" -> { (s, dir) =>
+      val sh = shingled(s, dir)
+      val tok = sh.select(col("doc_id"), expr("size(sh)").as("n"),
+        explode(col("sh")).as("shingle"))
+      val dfs = tok.groupBy("shingle").agg(count(lit(1)).as("df"))
+      // vocabulary is not broadcastable at corpus scale → shuffle join on
+      // the shingle; per-doc rank window is partitioned (never global)
+      val wDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+      val prefix = tok.join(dfs.hint("shuffle_hash"), "shingle")
+        .withColumn("rn", row_number().over(wDoc))
+        .filter(col("rn") <= expr("n div 2 + 1")) // n − ceil(n/2) + 1
+        .select("shingle", "doc_id", "n")
+      val a = prefix.toDF("shingle", "id_a", "n_a")
+      val b = prefix.toDF("shingle", "id_b", "n_b")
+      val cands = a.join(b.hint("shuffle_hash"), "shingle")
+        .filter(col("id_a") < col("id_b"))
+        .filter(col("n_b") <= col("n_a") * 2 && col("n_a") <= col("n_b") * 2)
+        .select("id_a", "id_b").distinct()
+      val shA = sh.toDF("id_a", "sh_a")
+      val shB = sh.toDF("id_b", "sh_b")
+      cands.join(shA, "id_a").join(shB, "id_b")
+        .withColumn("inter", expr("size(array_intersect(sh_a, sh_b))"))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (expr("size(sh_a)") + expr("size(sh_b)") - col("inter")))
+        .filter(col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    },
+
+    // SimHash Hamming-neighbor pairs via pigeonhole blocking: split the
+    // 16-bit fingerprint into 4 nibble blocks; a pair within Hamming
+    // distance 3 differs in at most 3 blocks, so it MUST agree on at least
+    // one — candidates come from 4 equality joins (one per block), never
+    // the n² pair space. Exact Hamming (bit_count of xor) then disposes.
+    // The signature pass is map-only (native graft_simhash); each block
+    // join is a hash join on a (block, nibble) key. At corpus scale the
+    // block key is coarse (16 values per block) — production widens the
+    // fingerprint (64/128-bit) and block count to keep buckets sparse; the
+    // plan shape is unchanged.
+    "q33b_simhash_pairs" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val sim = Synth.documents(s, dir)
+        .select(col("doc_id"), expr(s"graft_simhash($toks)").as("sim"))
+      val lng = sim
+        .select(col("doc_id"), col("sim"), explode(expr("array(0, 1, 2, 3)")).as("blk"))
+        .withColumn("nib", expr("shiftright(sim, blk * 4) & 15"))
+      val a = lng.select(col("blk"), col("nib"), col("doc_id").as("id_a"), col("sim").as("sim_a"))
+      val b = lng.select(col("blk"), col("nib"), col("doc_id").as("id_b"), col("sim").as("sim_b"))
+      a.join(b.hint("shuffle_hash"), Seq("blk", "nib"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b").distinct()
+        .withColumn("hamming", expr("cast(bit_count(sim_a ^ sim_b) as int)"))
+        .filter(col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    },
+
     // MinHash signatures + LSH band buckets. Lexicographic min over
     // fixed-width hex == numeric min, so signatures stay strings and stay
     // engine-portable. Map-only: the minimum is taken over each doc's
@@ -355,6 +424,45 @@ object Dedup {
          |FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
          |ORDER BY jaccard DESC, id_a, id_b LIMIT 50""".stripMargin,
+
+    // Oracle is the UNFILTERED exact similarity join — no prefix filter, no
+    // length filter. A hash match therefore proves the Spark-side pruning
+    // is lossless, not just self-consistent.
+    "q31b_prefix_jaccard" ->
+      s"""WITH allsh AS (
+         |  SELECT doc_id, unnest(sh) AS shingle, len(sh) AS n
+         |  FROM (SELECT doc_id, $dShingles AS sh FROM documents)
+         |)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  cast(count(*) as double) / (a.n + b.n - count(*)) AS jaccard
+         |FROM allsh a JOIN allsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id, a.n, b.n
+         |HAVING cast(count(*) as double) / (a.n + b.n - count(*)) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Oracle is the ALL-PAIRS exact Hamming join (no blocking) — a hash
+    // match proves the 4-block pigeonhole candidate generation misses no
+    // pair within distance 3.
+    "q33b_simhash_pairs" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, md5(unnest($dToks)) AS h FROM documents),
+         |bits AS (
+         |  SELECT doc_id, b,
+         |    strpos('0123456789abcdef', substring(h, b // 4 + 1, 1)) - 1 AS d
+         |  FROM tok, (SELECT unnest(generate_series(0, 15)) AS b)),
+         |votes AS (
+         |  SELECT doc_id, b,
+         |    sum(CASE WHEN (d >> (3 - b % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+         |  FROM bits GROUP BY doc_id, b),
+         |sims AS (
+         |  SELECT doc_id,
+         |    cast(sum(CASE WHEN vote > 0 THEN cast(pow(2, b) as bigint) ELSE 0 END) as bigint) AS sim
+         |  FROM votes GROUP BY doc_id)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  cast(bit_count(xor(a.sim, b.sim)) as int) AS hamming
+         |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q32_minhash_lsh" ->
       s"""WITH mh AS (

@@ -266,6 +266,61 @@ object Relational {
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")
     },
 
+    // Pivot — long-to-wide reshaping with an EXPLICIT value list. Spark
+    // plans this as one ordinary aggregate whose expressions are
+    // conditional on the pivot column (no extra shuffle vs the groupBy);
+    // the fixed value list is what keeps it scale-safe — an unlisted
+    // pivot would need a distinct-values pre-pass and a dynamic schema.
+    "q75_pivot" -> { (s, dir) =>
+      Synth.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(dec(col("l_quantity"))).cast("double"))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+        .orderBy("l_returnflag")
+    },
+
+    // Full-outer join over pre-aggregated sides — the reconciliation
+    // shape (both sides keyed, either may be absent). Aggregating BEFORE
+    // the join shrinks both inputs to one row per key, so the outer join
+    // shuffles group counts, not raw rows; coalesce supplies the
+    // zero-filled identity for unmatched keys. At sf0.01 only 4 of 25
+    // nations have negative-balance suppliers, so both null sides are
+    // genuinely exercised.
+    "q76_full_outer" -> { (s, dir) =>
+      val cust = Synth.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n_customers"))
+      val supp = Synth.supplier(s, dir)
+        .filter(col("s_acctbal") < 0)
+        .groupBy("s_nationkey").agg(count(lit(1)).as("n_suppliers"))
+      cust.join(supp, col("c_nationkey") === col("s_nationkey"), "full_outer")
+        .select(
+          coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+          coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+          coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+        .orderBy("nationkey")
+    },
+
+    // GROUPING SETS — the explicit-level cousin of q73's CUBE: exactly
+    // the levels asked for ((pri, status), (pri), ()), one Expand + one
+    // shuffle, not one scan per level. SQL path, same text both engines.
+    "q77_grouping_sets" -> { (s, dir) =>
+      Synth.orders(s, dir).createOrReplaceTempView("orders")
+      s.sql("""
+        SELECT o_orderpriority, o_orderstatus,
+          cast(grouping(o_orderpriority) as int) AS g_pri,
+          cast(grouping(o_orderstatus) as int) AS g_st,
+          count(*) AS n,
+          cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), ())
+        ORDER BY g_pri, g_st, o_orderpriority NULLS FIRST,
+          o_orderstatus NULLS FIRST""")
+    },
+
     // Approximate sketches: HLL distinct counts + approximate quantiles —
     // single-pass mergeable state, the 100 TB substitute for exact
     // distinct/percentile. No SQL-exact oracle (sketch estimates are
@@ -349,6 +404,39 @@ object Relational {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q75_pivot" ->
+      """SELECT l_returnflag,
+        | cast(sum(CASE WHEN l_linestatus = 'F'
+        |   THEN cast(l_quantity as decimal(18,2)) END) as double) AS qty_f,
+        | cast(sum(CASE WHEN l_linestatus = 'O'
+        |   THEN cast(l_quantity as decimal(18,2)) END) as double) AS qty_o
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q76_full_outer" ->
+      """WITH c AS (
+        |  SELECT c_nationkey, count(*) AS n_customers
+        |  FROM customer WHERE c_mktsegment = 'BUILDING' GROUP BY 1),
+        |s AS (
+        |  SELECT s_nationkey, count(*) AS n_suppliers
+        |  FROM supplier WHERE s_acctbal < 0 GROUP BY 1)
+        |SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+        |  coalesce(n_customers, 0) AS n_customers,
+        |  coalesce(n_suppliers, 0) AS n_suppliers
+        |FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+        |ORDER BY nationkey""".stripMargin,
+
+    "q77_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        | cast(grouping(o_orderpriority) as int) AS g_pri,
+        | cast(grouping(o_orderstatus) as int) AS g_st,
+        | count(*) AS n,
+        | cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+        |                        (o_orderpriority), ())
+        |ORDER BY g_pri, g_st, o_orderpriority NULLS FIRST,
+        |  o_orderstatus NULLS FIRST""".stripMargin,
 
     "q10_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

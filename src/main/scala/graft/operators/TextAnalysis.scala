@@ -262,6 +262,44 @@ object TextAnalysis {
         .limit(50)
     },
 
+    // Bigram-LM familiarity — the perplexity-filter shape without the
+    // floating-point log: train a corpus bigram table, keep bigrams seen
+    // ≥ 5 times, score each doc by the fraction of its bigram OCCURRENCES
+    // found in that table. Low-familiarity docs are gibberish/boilerplate
+    // the way high-perplexity docs are, but the score is a ratio of two
+    // row-local integer counts — one exactly-rounded IEEE division,
+    // engine-portable (ln() is not). Two phases, like every LM filter at
+    // 100 TB: ONE count shuffle builds the table, then the scoring pass is
+    // a semi-join per occurrence + one count shuffle on doc_id. The ≥ 5
+    // floor keeps the table to the head of the Zipf curve (production
+    // would cap to top-N and broadcast); here the join strategy is left to
+    // AQE, which broadcasts when the table is small and shuffles when a
+    // corpus-scale vocabulary isn't broadcastable.
+    "q39_lm_familiarity" -> { (s, dir) =>
+      val bigramsOf =
+        "transform(sequence(1, size(t) - 1), " +
+          "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1)))"
+      val docs = Synth.documents(s, dir)
+      val occ = docs.select(col("doc_id"), expr(toks).as("t"))
+        .filter(expr("size(t) >= 2"))
+        .select(col("doc_id"), explode(expr(bigramsOf)).as("bigram"))
+      val lm = occ.groupBy("bigram")
+        .agg(count(lit(1)).as("n")).filter(col("n") >= 5)
+        .select("bigram")
+      val hits = occ.join(lm, Seq("bigram"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_known"))
+      docs.select(col("doc_id"),
+          expr(s"greatest(size($toks) - 1, 0)").as("n_bigrams"))
+        .join(hits, Seq("doc_id"), "left")
+        .withColumn("n_known", coalesce(col("n_known"), lit(0L)))
+        .withColumn("familiarity",
+          when(col("n_bigrams") === 0, lit(0.0))
+            .otherwise(col("n_known").cast("double") / col("n_bigrams")))
+        .withColumn("keep", col("familiarity") >= 0.2)
+        .select("doc_id", "n_bigrams", "n_known", "familiarity", "keep")
+        .orderBy("doc_id")
+    },
+
     // Document length histogram (100-char buckets) — corpus shape stats.
     "q27_length_hist" -> { (s, dir) =>
       Synth.documents(s, dir)
@@ -439,6 +477,29 @@ object TextAnalysis {
          | FROM (SELECT $dToks AS t FROM documents)
          | WHERE len(t) >= 2)
          |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""".stripMargin,
+
+    "q39_lm_familiarity" ->
+      s"""WITH t AS (SELECT doc_id, $dToks AS t FROM documents),
+         |occ AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+         |    i -> t[i] || ' ' || t[i + 1])) AS bigram
+         |  FROM t WHERE len(t) >= 2),
+         |lm AS (SELECT bigram FROM occ GROUP BY bigram HAVING count(*) >= 5),
+         |hits AS (
+         |  SELECT doc_id, count(*) AS n_known
+         |  FROM occ JOIN lm USING (bigram) GROUP BY doc_id),
+         |base AS (
+         |  SELECT doc_id, cast(greatest(len(t) - 1, 0) as int) AS n_bigrams
+         |  FROM t)
+         |SELECT b.doc_id AS doc_id, n_bigrams,
+         |  cast(coalesce(n_known, 0) as bigint) AS n_known,
+         |  CASE WHEN n_bigrams = 0 THEN 0.0
+         |       ELSE cast(coalesce(n_known, 0) as double) / n_bigrams END
+         |    AS familiarity,
+         |  CASE WHEN n_bigrams = 0 THEN 0.0
+         |       ELSE cast(coalesce(n_known, 0) as double) / n_bigrams END
+         |    >= cast(0.2 as double) AS keep
+         |FROM base b LEFT JOIN hits USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q27_length_hist" ->
       """SELECT cast(floor(n_chars / 100) * 100 as bigint) AS bucket,
