@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) clustering key — the multi-dimensional data-layout
+  * primitive. Sorting / range-partitioning a table by the bit-interleaved
+  * key of two filter dimensions gives every output file a SMALL bounding
+  * box in BOTH dimensions, so parquet min/max stats prune files for
+  * predicates on either dimension — where a single-column sort clusters
+  * one dimension and leaves the other's per-file range near-full. This is
+  * how large tables stay skippable for two-dimensional scan predicates at
+  * 100 TB (the layout trick behind Delta/Iceberg Z-ORDER, computed here
+  * with plain integer arithmetic — no engine extension needed).
+  *
+  * The interleave is pure codegen-friendly integer bit arithmetic
+  * (shift/and/add), identical in Spark and DuckDB, so the whole key
+  * computation is oracle-checkable. Production then writes with
+  * `repartitionByRange(zval)` + within-partition sort; the key computation
+  * below is the operator — the write is a layout policy.
+  */
+object ZOrder {
+
+  /** Bit-interleave two non-negative ints (x in even bit positions, y in
+    * odd): the Morton code. A sum of shift/mask terms — Catalyst folds it
+    * into one codegen'd expression, no UDF.
+    */
+  def interleave(x: Column, y: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** DuckDB rendering of [[interleave]] — same terms, same order. */
+  private[operators] def duckInterleave(x: String, y: String, bits: Int): String =
+    (0 until bits).flatMap { i =>
+      Seq(s"((($x >> $i) & 1) << ${2 * i})", s"((($y >> $i) & 1) << ${2 * i + 1})")
+    }.mkString(" + ")
+
+  private val Bits = 8
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Z-value per lineitem over the two scan-predicate dimensions a
+    // pricing workload filters on (quantity, price bucket), plus the
+    // range-partition bucket a production writer would feed to
+    // repartitionByRange. Map-only — the key costs a few dozen integer
+    // ops per row at scan speed.
+    "q69_zorder" -> { (s, dir) =>
+      val x = col("l_quantity").cast("int").bitwiseAND(lit(255))
+      val y = least(floor(col("l_extendedprice") / 1000).cast("int"), lit(255))
+      Synth.lineitem(s, dir)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          x.as("zx"), y.as("zy"),
+          interleave(x, y, Bits).as("zval"))
+        .withColumn("zbucket", expr("cast(zval div 1024 as int)"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }
+  )
+
+  def oracle: Map[String, String] = {
+    val x = "(cast(l_quantity as int) & 255)"
+    val y = "least(cast(floor(l_extendedprice / 1000) as int), 255)"
+    Map(
+      "q69_zorder" ->
+        s"""SELECT l_orderkey, l_linenumber,
+           |  $x AS zx, cast($y as int) AS zy,
+           |  cast(${duckInterleave(x, y, Bits)} as int) AS zval,
+           |  cast((${duckInterleave(x, y, Bits)}) // 1024 as int) AS zbucket
+           |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+    )
+  }
+}
