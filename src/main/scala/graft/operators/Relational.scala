@@ -267,10 +267,11 @@ object Relational {
     },
 
     // Pivot — long-to-wide reshaping with an EXPLICIT value list. Spark
-    // plans this as one ordinary aggregate whose expressions are
-    // conditional on the pivot column (no extra shuffle vs the groupBy);
-    // the fixed value list is what keeps it scale-safe — an unlisted
-    // pivot would need a distinct-values pre-pass and a dynamic schema.
+    // plans this as a pre-aggregate on (group, pivot-value) followed by a
+    // pivotfirst aggregate on the group — both with map-side partials, so
+    // only group-count-sized rows ever shuffle. The fixed value list is
+    // what keeps it scale-safe — an unlisted pivot would need a
+    // distinct-values pre-pass and a dynamic schema.
     "q75_pivot" -> { (s, dir) =>
       Synth.lineitem(s, dir)
         .groupBy("l_returnflag")

@@ -119,6 +119,40 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scans.size == 1, s"cube must scan events once, got ${scans.size}")
   }
 
+  test("q31b/q33b: candidate generation is hash joins, never a cartesian pair space") {
+    for (q <- Seq("q31b_prefix_jaccard", "q33b_simhash_pairs")) {
+      val s = plan(q).toString
+      assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+        s"$q must join on index keys, got:\n$s")
+    }
+  }
+
+  test("q31b: every window is partitioned (no global sort in the prefix ranking)") {
+    val s = plan("q31b_prefix_jaccard").toString
+    assert(!s.contains("SinglePartition, Window") &&
+      !s.contains("Window [row_number()], [df"), // global order-only window
+      s"expected per-doc partitioned windows:\n$s")
+  }
+
+  test("q69: the z-value is map-only — at most the output-sort exchange") {
+    val p = plan("q69_zorder")
+    val shuffles = p.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 1, s"expected map-only + sort, got ${shuffles.size}:\n$p")
+  }
+
+  test("q75/q77: pivot and grouping sets scan once, bounded exchanges") {
+    for ((q, maxEx) <- Seq(("q75_pivot", 3), ("q77_grouping_sets", 2))) {
+      val p = plan(q)
+      val scans = p.collect { case f: FileSourceScanExec => f }
+      assert(scans.size == 1, s"$q must scan once, got ${scans.size}")
+      val shuffles = p.collect { case s: ShuffleExchangeExec => s }
+      // pivot: pre-agg on (group, value) + pivotfirst agg + output sort;
+      // grouping sets: Expand + one agg exchange + output sort. Both
+      // shuffle only group-count-sized rows after the map-side partials.
+      assert(shuffles.size <= maxEx, s"$q: expected <=$maxEx exchanges, got ${shuffles.size}:\n$p")
+    }
+  }
+
   test("q62: the batch/corpus doc_id filters reach the documents scans") {
     val scans = plan("q62_incremental_dedup").collect {
       case f: FileSourceScanExec => f }
