@@ -135,28 +135,37 @@ object Dedup {
     // inverted index is built over PREFIXES only, not all shingles. Against
     // q31's full index this cuts candidate generation twice over: each doc
     // posts about half its shingles, and those are its RAREST ones, so
-    // posting lists are short where q31's were quadratic. The length filter
-    // (n_b ≤ 2·n_a ∧ n_a ≤ 2·n_b, integer-exact for t = 1/2) prunes
-    // mismatched-size pairs before the verify join. The filter is lossless:
-    // the oracle computes the UNFILTERED exact join, so a hash match proves
-    // no qualifying pair was dropped.
+    // posting lists are short where q31's were quadratic. Two more exact
+    // prunes run inside the candidate join, both integer arithmetic for
+    // t = 1/2: the length filter (n_b ≤ 2·n_a ∧ n_a ≤ 2·n_b) and PPJoin's
+    // POSITIONAL filter — a prefix match at ranks (rn_a, rn_b) bounds the
+    // overlap by min(n_a − rn_a, n_b − rn_b) + 1, which must reach
+    // ceil(t/(1+t)·(n_a+n_b)) = (n_a+n_b+2) div 3 (cuts candidates a
+    // further ~2.5× here). Every prune is lossless: the oracle computes
+    // the UNFILTERED exact join, so a hash match proves no qualifying
+    // pair was dropped.
     "q31b_prefix_jaccard" -> { (s, dir) =>
       val sh = shingled(s, dir)
       val tok = sh.select(col("doc_id"), expr("size(sh)").as("n"),
         explode(col("sh")).as("shingle"))
-      val dfs = tok.groupBy("shingle").agg(count(lit(1)).as("df"))
-      // vocabulary is not broadcastable at corpus scale → shuffle join on
-      // the shingle; per-doc rank window is partitioned (never global)
+      // df via a shingle-partitioned window, not groupBy + join-back: one
+      // exchange on the same key, and no second scan/explode subtree. The
+      // vocabulary is never driver-side (not broadcastable at corpus
+      // scale); the rank window is per-doc partitioned (never global).
+      val wSh = Window.partitionBy("shingle")
       val wDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
-      val prefix = tok.join(dfs.hint("shuffle_hash"), "shingle")
+      val prefix = tok
+        .withColumn("df", count(lit(1)).over(wSh))
         .withColumn("rn", row_number().over(wDoc))
         .filter(col("rn") <= expr("n div 2 + 1")) // n − ceil(n/2) + 1
-        .select("shingle", "doc_id", "n")
-      val a = prefix.toDF("shingle", "id_a", "n_a")
-      val b = prefix.toDF("shingle", "id_b", "n_b")
+        .select("shingle", "doc_id", "n", "rn")
+      val a = prefix.toDF("shingle", "id_a", "n_a", "rn_a")
+      val b = prefix.toDF("shingle", "id_b", "n_b", "rn_b")
       val cands = a.join(b.hint("shuffle_hash"), "shingle")
         .filter(col("id_a") < col("id_b"))
         .filter(col("n_b") <= col("n_a") * 2 && col("n_a") <= col("n_b") * 2)
+        .filter(least(col("n_a") - col("rn_a"), col("n_b") - col("rn_b")) + 1
+          >= expr("(n_a + n_b + 2) div 3"))
         .select("id_a", "id_b").distinct()
       val shA = sh.toDF("id_a", "sh_a")
       val shB = sh.toDF("id_b", "sh_b")
