@@ -135,21 +135,23 @@ object Curation {
 
     // Contamination score: |doc shingles ∩ eval shingles| / |doc
     // shingles| per training doc (eval set = doc_id ≡ 0 mod 97, as q36).
-    // The eval shingle set broadcasts; the corpus side is explode +
-    // map-side hash-join + re-aggregate on doc_id — shuffle bounded by
-    // |corpus shingles|, never pairwise.
+    // The eval shingle set (benchmarks are KBs) collapses to ONE
+    // broadcast array row and the corpus pass is array_intersect per doc
+    // — map-only at scan speed, no explode and no re-aggregation
+    // shuffle of the 100 TB side (the previous explode+groupBy form
+    // shuffled |corpus shingles| rows; this shuffles nothing). For an
+    // eval suite too big for one array, the fallback is q36's
+    // broadcast semi-join shape.
     "q66_contamination_score" -> { (s, dir) =>
       val isEval = col("doc_id") % 97 === 0
       val sh = Dedup.shingled(s, dir)
-      val evalSh = sh.filter(isEval)
+      val evalArr = sh.filter(isEval)
         .select(explode(col("sh")).as("shingle")).distinct()
-        .withColumn("hit", lit(1))
+        .agg(collect_list(col("shingle")).as("eval_sh"))
       sh.filter(!isEval)
+        .crossJoin(broadcast(evalArr))
         .select(col("doc_id"), expr("size(sh)").as("n_sh"),
-          explode(col("sh")).as("shingle"))
-        .join(broadcast(evalSh), Seq("shingle"), "left")
-        .groupBy("doc_id", "n_sh")
-        .agg(count(col("hit")).as("n_hit"))
+          expr("cast(size(array_intersect(sh, eval_sh)) as bigint)").as("n_hit"))
         .withColumn("contamination",
           col("n_hit").cast("double") / col("n_sh").cast("double"))
         .select("doc_id", "n_sh", "n_hit", "contamination")

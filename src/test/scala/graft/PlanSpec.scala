@@ -97,10 +97,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected the |langs|-row threshold table to broadcast:\n$p")
   }
 
-  test("q66: the eval shingle set broadcasts against the exploded corpus") {
+  test("q66: eval shingles broadcast as one array row; the corpus side never shuffles") {
     val p = plan("q66_contamination_score")
-    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
-      s"expected a broadcast join on the eval shingles:\n$p")
+    assert(p.toString.contains("BroadcastNestedLoopJoin"),
+      s"expected the single-row eval array to broadcast:\n$p")
+    // corpus-side shuffles: none — the exchanges are the tiny eval
+    // side's distinct + single-row collect plus the output sort; the
+    // corpus scan feeds the join directly (map-only intersect, no
+    // explode + re-aggregation)
+    val shuffles = p.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 3, s"expected <=3 exchanges, got ${shuffles.size}:\n$p")
+    val corpusScanToJoin = p.toString
+    assert(!corpusScanToJoin.contains("Generate explode") ||
+      corpusScanToJoin.indexOf("Generate") > corpusScanToJoin.indexOf("BroadcastNestedLoopJoin"),
+      s"corpus side must not explode before the join:\n$p")
   }
 
   test("q70: the correlated subquery decorrelates — no per-row subquery in the physical plan") {
