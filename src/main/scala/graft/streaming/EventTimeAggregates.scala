@@ -77,6 +77,30 @@ object EventTimeAggregates {
       .filter(col("sample_u") < col("thresh"))
       .select("doc_id", "lang", "content_hash", "sample_u")
 
+  /** Streaming ANN probe — online retrieval against the persisted IVF
+    * index ([[graft.operators.AnnIndex]] layout): a stream of query
+    * vectors stream-static joins the index on the cluster id and each
+    * query's top-k ranks via the bounded-heap `graft_topk` aggregate, so
+    * only k rows per query ever hold state. The static side is a plain
+    * (bucketed, in production) table joined into every micro-batch —
+    * Spark re-plans the static scan per batch, so IVF bucket pruning
+    * applies batch by batch. Update output mode: a query's top-k emits
+    * when its micro-batch completes (each query_id arrives once).
+    *
+    * `queries` (streaming): query_id, q_emb, cid. `index` (static):
+    * vec_id, embedding, cid.
+    */
+  def streamingAnnProbe(queries: DataFrame, index: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    queries.join(index, "cid")
+      .withColumn("cosine", expr(graft.operators.Dedup.dot("q_emb", "embedding")))
+      .groupBy("query_id")
+      .agg(expr(s"graft_topk(cosine, vec_id, $k)").as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rk"),
+        col("col.id").as("vec_id"), col("col.score").as("cosine"))
+  }
+
   final case class SessionEvent(user_id: Long, event_id: Long, ts_us: Long)
   final case class SessionState(sessionSeq: Long, lastTsUs: Long, nEvents: Long)
   final case class SessionAssignment(

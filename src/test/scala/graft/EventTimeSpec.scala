@@ -90,6 +90,30 @@ class EventTimeSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming ANN probe: stream-static index join, heap-bounded top-k per query") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // static IVF index: cluster 0 holds axis-ish vectors, cluster 1 others
+    val index = Seq(
+      (10L, Array(1.0f, 0.0f), 0), (11L, Array(0.8f, 0.6f), 0),
+      (12L, Array(0.0f, 1.0f), 0), (20L, Array(-1.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "cid")
+    val mem = MemoryStream[(Long, Array[Float], Int)]
+    val queries = mem.toDF().toDF("query_id", "q_emb", "cid")
+    val out = EventTimeAggregates.streamingAnnProbe(queries, index, 2)
+    val q = out.writeStream.format("memory").queryName("ann")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData((100L, Array(1.0f, 0.0f), 0), (200L, Array(-1.0f, 0.1f), 1))
+      q.processAllAvailable()
+      val rows = spark.sql("select query_id, rk, vec_id from ann").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      // query 100 in cluster 0: best = vec 10 (cos 1.0), then 11 (0.8);
+      // vec 20 is in the unprobed cluster. query 200: only vec 20.
+      assert(rows == Set((100L, 1, 10L), (100L, 2, 11L), (200L, 1, 20L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join with watermarks matches views to purchases") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
