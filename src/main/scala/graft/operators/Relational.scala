@@ -322,6 +322,25 @@ object Relational {
           o_orderstatus NULLS FIRST""")
     },
 
+    // RANGE-framed sliding window — the VALUE-based frame q72's ROWS
+    // frames don't cover: each event sees the count/sum of its user's
+    // events in the trailing 10 minutes of EVENT TIME. Range frames are
+    // tie-safe by construction (peers by value, not row order), so no
+    // tiebreak column is needed for determinism. One hash exchange on
+    // user_id + per-partition sort — the batch twin of the streaming
+    // sliding-window aggregate.
+    "q78_range_window" -> { (s, dir) =>
+      Synth.events(s, dir).createOrReplaceTempView("events")
+      s.sql("""
+        SELECT event_id, user_id,
+          count(*) OVER w AS n_10m,
+          cast(sum(cast(value as decimal(18,2))) OVER w as double) AS sum_10m
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+          RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW)
+        ORDER BY event_id""")
+    },
+
     // Approximate sketches: HLL distinct counts + approximate quantiles —
     // single-pass mergeable state, the 100 TB substitute for exact
     // distinct/percentile. No SQL-exact oracle (sketch estimates are
@@ -405,6 +424,15 @@ object Relational {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q78_range_window" ->
+      """SELECT event_id, user_id,
+        | count(*) OVER w AS n_10m,
+        | cast(sum(cast(value as decimal(18,2))) OVER w as double) AS sum_10m
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "q75_pivot" ->
       """SELECT l_returnflag,

@@ -123,7 +123,7 @@ object Similarity {
         col("col.id").as("vec_id"), col("col.score").as("cosine"))
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = queriesNormalized ++ Map(
     // Brute-force cosine top-k: broadcast queries × all vectors.
     "q40_knn_brute" -> { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
@@ -176,7 +176,53 @@ object Similarity {
     }
   )
 
-  def oracle: Map[String, String] = Map(
+  private val normCosExpr =
+    // ONE rendering of the normalized cosine, shared comment for both
+    // engines: dot / (sqrt(|a|²) · sqrt(|b|²)). Every step — the
+    // left-fold dot, both sqrts, the multiply, the divide — is an IEEE
+    // correctly-rounded double op in a fixed order, so the doubles are
+    // engine-identical without any decimal quantization.
+    (a: String, b: String, dot: (String, String) => String) =>
+      s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+
+  def queriesNormalized: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TRUE cosine (normalized, not the raw dot the other ANN queries
+    // rank by — those operate on unit-normalized synthetic data where
+    // dot ≡ cosine; this one proves the full normalization path): top-20
+    // neighbors of one broadcast query vector under dot/(‖a‖‖b‖).
+    // Map-only scan + one broadcast row + bounded-heap ranking.
+    "q53_true_cosine" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val e = Synth.embeddings(s, dir)
+      val q = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb")))
+      e.crossJoin(q)
+        .filter(col("vec_id") =!= 0)
+        .withColumn("cosine",
+          expr(normCosExpr("q_emb", "embedding", Dedup.dot)))
+        .groupBy(lit(0).as("query_id"))
+        .agg(expr("graft_topk(cosine, vec_id, 20)").as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), (col("pos") + 1).cast("int").as("rk"),
+          col("col.id").as("vec_id"), col("col.score").as("cosine"))
+        .orderBy("rk")
+    }
+  )
+
+  def oracleNormalized: Map[String, String] = Map(
+    "q53_true_cosine" -> {
+      val cos = normCosExpr("q.embedding", "e.embedding", dotDuck)
+      s"""SELECT 0 AS query_id,
+         |  cast(row_number() OVER (ORDER BY $cos DESC, e.vec_id) as int) AS rk,
+         |  e.vec_id AS vec_id, $cos AS cosine
+         |FROM embeddings e CROSS JOIN (
+         |  SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         |WHERE e.vec_id <> 0
+         |ORDER BY rk LIMIT 20""".stripMargin
+    }
+  )
+
+  def oracle: Map[String, String] = oracleNormalized ++ Map(
     "q40_knn_brute" ->
       s"""SELECT query_id, rk, vec_id, cosine FROM (
          | SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
