@@ -85,6 +85,43 @@ object Dedup {
     */
   private val NearDupThreshold = 0.8
 
+  /** Verified Jaccard ≥ 1/2 pairs from a (doc_id, sh) frame via the
+    * q31b prefix/length/positional prunes — shared by the query and the
+    * PropertySpec completeness property (prefix filtering must find
+    * EVERY qualifying pair on arbitrary inputs, not just the corpus).
+    */
+  private[graft] def prefixJaccardPairs(sh: DataFrame): DataFrame = {
+    val tok = sh.select(col("doc_id"), expr("size(sh)").as("n"),
+      explode(col("sh")).as("shingle"))
+    // df via a shingle-partitioned window, not groupBy + join-back: one
+    // exchange on the same key, and no second scan/explode subtree. The
+    // vocabulary is never driver-side (not broadcastable at corpus
+    // scale); the rank window is per-doc partitioned (never global).
+    val wSh = Window.partitionBy("shingle")
+    val wDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+    val prefix = tok
+      .withColumn("df", count(lit(1)).over(wSh))
+      .withColumn("rn", row_number().over(wDoc))
+      .filter(col("rn") <= expr("n div 2 + 1")) // n − ceil(n/2) + 1
+      .select("shingle", "doc_id", "n", "rn")
+    val a = prefix.toDF("shingle", "id_a", "n_a", "rn_a")
+    val b = prefix.toDF("shingle", "id_b", "n_b", "rn_b")
+    val cands = a.join(b.hint("shuffle_hash"), "shingle")
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("n_b") <= col("n_a") * 2 && col("n_a") <= col("n_b") * 2)
+      .filter(least(col("n_a") - col("rn_a"), col("n_b") - col("rn_b")) + 1
+        >= expr("(n_a + n_b + 2) div 3"))
+      .select("id_a", "id_b").distinct()
+    val shA = sh.toDF("id_a", "sh_a")
+    val shB = sh.toDF("id_b", "sh_b")
+    cands.join(shA, "id_a").join(shB, "id_b")
+      .withColumn("inter", expr("size(array_intersect(sh_a, sh_b))"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (expr("size(sh_a)") + expr("size(sh_b)") - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy. At scale this is one shuffle on a
     // 16-byte key with map-side distinct — the cheapest possible dedup.
@@ -145,37 +182,7 @@ object Dedup {
     // the UNFILTERED exact join, so a hash match proves no qualifying
     // pair was dropped.
     "q31b_prefix_jaccard" -> { (s, dir) =>
-      val sh = shingled(s, dir)
-      val tok = sh.select(col("doc_id"), expr("size(sh)").as("n"),
-        explode(col("sh")).as("shingle"))
-      // df via a shingle-partitioned window, not groupBy + join-back: one
-      // exchange on the same key, and no second scan/explode subtree. The
-      // vocabulary is never driver-side (not broadcastable at corpus
-      // scale); the rank window is per-doc partitioned (never global).
-      val wSh = Window.partitionBy("shingle")
-      val wDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
-      val prefix = tok
-        .withColumn("df", count(lit(1)).over(wSh))
-        .withColumn("rn", row_number().over(wDoc))
-        .filter(col("rn") <= expr("n div 2 + 1")) // n − ceil(n/2) + 1
-        .select("shingle", "doc_id", "n", "rn")
-      val a = prefix.toDF("shingle", "id_a", "n_a", "rn_a")
-      val b = prefix.toDF("shingle", "id_b", "n_b", "rn_b")
-      val cands = a.join(b.hint("shuffle_hash"), "shingle")
-        .filter(col("id_a") < col("id_b"))
-        .filter(col("n_b") <= col("n_a") * 2 && col("n_a") <= col("n_b") * 2)
-        .filter(least(col("n_a") - col("rn_a"), col("n_b") - col("rn_b")) + 1
-          >= expr("(n_a + n_b + 2) div 3"))
-        .select("id_a", "id_b").distinct()
-      val shA = sh.toDF("id_a", "sh_a")
-      val shB = sh.toDF("id_b", "sh_b")
-      cands.join(shA, "id_a").join(shB, "id_b")
-        .withColumn("inter", expr("size(array_intersect(sh_a, sh_b))"))
-        .withColumn("jaccard", col("inter").cast("double") /
-          (expr("size(sh_a)") + expr("size(sh_b)") - col("inter")))
-        .filter(col("jaccard") >= 0.5)
-        .select("id_a", "id_b", "jaccard")
-        .orderBy("id_a", "id_b")
+      prefixJaccardPairs(shingled(s, dir)).orderBy("id_a", "id_b")
     },
 
     // SimHash Hamming-neighbor pairs via pigeonhole blocking: split the

@@ -7,7 +7,7 @@ import org.scalacheck.rng.Seed
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{PrefixSum, RangeJoin}
+import graft.operators.{Dedup, PrefixSum, RangeJoin}
 
 /** Property-based equivalence: the distributed rewrites must equal their
   * naive single-node renderings on arbitrary inputs, not just the
@@ -82,6 +82,37 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
         .filter(col("rk") <= k).select("g", "s", "i")
         .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
       assert(agg == win, s"seed=$seed k=$k")
+    }
+  }
+
+  test("q31b prefix/length/positional filters find EVERY Jaccard ≥ 1/2 pair on random docs") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // local mirror of graft_shingles: distinct token-3-grams, short-input
+    // edge = one whole-doc shingle
+    def shingles(toks: List[String]): Set[String] =
+      if (toks.size < 3) Set(toks.mkString(" "))
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    val docGen = Gen.nonEmptyListOf(
+      Gen.chooseNum(1, 12).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("w0", "w1", "w2", "w3", "w4", "w5"))))
+    samples(docGen, 6).foreach { case (seed, docs0) =>
+      val docs = docs0.filter(_.nonEmpty).take(25)
+      val df = docs.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+        .select(col("doc_id"),
+          expr("graft_shingles(split(trim(text), '\\\\s+'), 3)").as("sh"))
+      val got = Dedup.prefixJaccardPairs(df)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sets = docs.map(d => shingles(d))
+      val expect = (for {
+        i <- sets.indices; j <- sets.indices if i < j
+        inter = (sets(i) & sets(j)).size
+        if inter.toDouble / (sets(i).size + sets(j).size - inter) >= 0.5
+      } yield (i.toLong, j.toLong)).toSet
+      assert(got == expect, s"seed=$seed docs=${docs.size}")
     }
   }
 
