@@ -322,6 +322,47 @@ object Relational {
           o_orderstatus NULLS FIRST""")
     },
 
+    // Ordered funnel (view → click → purchase per user): the sequence-
+    // pattern shape of product analytics. ONE aggregation: per user,
+    // collect the event sequence, sort it in event time (struct sort —
+    // (ts, event_id) makes the order total), and WALK it with the
+    // aggregate() higher-order function carrying the stage reached as
+    // fold state. The walk is a codegen'd lambda over an in-memory
+    // array — no self-joins, no re-shuffles per stage. The oracle
+    // reaches the same stages RELATIONALLY (three min-seq CTE steps), so
+    // the hash match cross-checks two different formulations, not one
+    // implementation against itself.
+    "q79_funnel" -> { (s, dir) =>
+      Synth.events(s, dir)
+        .groupBy("user_id")
+        .agg(expr(
+          """aggregate(
+            |  array_sort(collect_list(struct(ts, event_id, event_type))),
+            |  0,
+            |  (acc, e) -> CASE
+            |    WHEN acc = 0 AND e.event_type = 'view' THEN 1
+            |    WHEN acc = 1 AND e.event_type = 'click' THEN 2
+            |    WHEN acc = 2 AND e.event_type = 'purchase' THEN 3
+            |    ELSE acc END)""".stripMargin).as("funnel_stage"))
+        .orderBy("user_id")
+    },
+
+    // Cohort retention: users bucketed by first-seen day, activity
+    // counted per (cohort day, day offset) — the retention-matrix
+    // primitive. First-seen is one shuffle on user_id; the join back is
+    // user-keyed (AQE broadcasts when the user dimension fits); the
+    // final distinct-count shuffles (cohort, offset, user) once.
+    "q80_cohort_retention" -> { (s, dir) =>
+      val ev = Synth.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val first = ev.groupBy("user_id").agg(min(col("d")).as("cohort_day"))
+      ev.join(first, "user_id")
+        .withColumn("day_offset", datediff(col("d"), col("cohort_day")))
+        .groupBy("cohort_day", "day_offset")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    },
+
     // RANGE-framed sliding window — the VALUE-based frame q72's ROWS
     // frames don't cover: each event sees the count/sum of its user's
     // events in the trailing 10 minutes of EVENT TIME. Range frames are
@@ -424,6 +465,42 @@ object Relational {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // relational unrolling of the HOF walk: seq = per-user event-time
+    // rank; stage k's anchor = min seq of the k-th event type after the
+    // previous anchor
+    "q79_funnel" ->
+      """WITH seqd AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+        |  FROM events),
+        |s1 AS (
+        |  SELECT user_id, min(CASE WHEN event_type = 'view' THEN seq END) AS a1
+        |  FROM seqd GROUP BY user_id),
+        |s2 AS (
+        |  SELECT q.user_id, min(CASE WHEN q.event_type = 'click'
+        |    AND q.seq > s1.a1 THEN q.seq END) AS a2
+        |  FROM seqd q JOIN s1 ON s1.user_id = q.user_id GROUP BY q.user_id),
+        |s3 AS (
+        |  SELECT q.user_id, min(CASE WHEN q.event_type = 'purchase'
+        |    AND q.seq > s2.a2 THEN q.seq END) AS a3
+        |  FROM seqd q JOIN s2 ON s2.user_id = q.user_id GROUP BY q.user_id)
+        |SELECT s1.user_id AS user_id,
+        |  CASE WHEN a3 IS NOT NULL THEN 3
+        |       WHEN a2 IS NOT NULL THEN 2
+        |       WHEN a1 IS NOT NULL THEN 1
+        |       ELSE 0 END AS funnel_stage
+        |FROM s1 JOIN s2 ON s2.user_id = s1.user_id
+        |        JOIN s3 ON s3.user_id = s1.user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "q80_cohort_retention" ->
+      """WITH ev AS (SELECT user_id, cast(ts as date) AS d FROM events),
+        |first AS (SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY user_id)
+        |SELECT cohort_day, cast(d - cohort_day as int) AS day_offset,
+        |  count(DISTINCT ev.user_id) AS n_users
+        |FROM ev JOIN first USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q78_range_window" ->
       """SELECT event_id, user_id,
