@@ -300,6 +300,24 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // BPE merge-pair statistics — the tokenizer-training inner loop:
+    // weight every adjacent character pair by its word's corpus
+    // frequency; the argmax pair is the next BPE merge. The shape is
+    // what makes it tractable at 100 TB: the corpus compacts to the
+    // VOCABULARY first (one shuffle, output vocab-sized), and all
+    // symbol statistics run over distinct words × their counts — the
+    // corpus is never re-scanned per merge round.
+    "q81_bpe_pairs" -> { (s, dir) =>
+      val words = Synth.documents(s, dir)
+        .select(explode(expr(toks)).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("wc"))
+      words.filter(length(col("w")) >= 2)
+        .select(col("wc"), explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+        .groupBy("pair").agg(sum(col("wc")).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(50)
+    },
+
     // Document length histogram (100-char buckets) — corpus shape stats.
     "q27_length_hist" -> { (s, dir) =>
       Synth.documents(s, dir)
@@ -477,6 +495,17 @@ object TextAnalysis {
          | FROM (SELECT $dToks AS t FROM documents)
          | WHERE len(t) >= 2)
          |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""".stripMargin,
+
+    "q81_bpe_pairs" ->
+      s"""WITH words AS (
+         |  SELECT w, count(*) AS wc
+         |  FROM (SELECT unnest($dToks) AS w FROM documents) GROUP BY w),
+         |pairs AS (
+         |  SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+         |    i -> substring(w, i, 2))) AS pair, wc
+         |  FROM words WHERE length(w) >= 2)
+         |SELECT pair, cast(sum(wc) as bigint) AS n
+         |FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
 
     "q39_lm_familiarity" ->
       s"""WITH t AS (SELECT doc_id, $dToks AS t FROM documents),
