@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Runtime (AQE) plan properties that the static PlanSpec session
+  * (adaptive off, for inspectability) cannot observe: self-join queries
+  * whose two sides share a lineage must REUSE the materialized exchange
+  * at execution, not recompute the subtree per side.
+  */
+class AdaptiveReuseSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("q31b: the duplicated prefix subtree reuses its exchange at runtime") {
+    val df = SparkEntry.queries("q31b_prefix_jaccard")(spark, sf)
+    df.collect() // AQE finalizes stages during execution
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), "expected an executed adaptive plan")
+    assert(plan.contains("ReusedExchange"),
+      s"expected the self-join's shared prefix subtree to reuse:\n${plan.take(4000)}")
+  }
+
+  test("q32b: the band-bucket self-join reuses the signature subtree") {
+    val df = SparkEntry.queries("q32b_lsh_pairs")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"expected signature-pass reuse:\n${plan.take(4000)}")
+  }
+}
