@@ -322,6 +322,51 @@ object Relational {
           o_orderstatus NULLS FIRST""")
     },
 
+    // Equi-depth histogram: exact interpolated quartile boundaries (one
+    // aggregate pass, 3 doubles to the driver-free broadcast) then a
+    // map-only bucket assignment + count. The value-distribution
+    // primitive behind range-partition planning and feature binning.
+    // Boundary doubles are bit-identical cross-engine (q44b proves the
+    // interpolation), so bucket membership — a <= compare against them —
+    // is too.
+    "q84_equidepth_hist" -> { (s, dir) =>
+      val ev = Synth.events(s, dir)
+      val bounds = ev.agg(
+        expr("percentile(value, 0.25)").as("b1"),
+        expr("percentile(value, 0.5)").as("b2"),
+        expr("percentile(value, 0.75)").as("b3"))
+      ev.crossJoin(broadcast(bounds))
+        .withColumn("bucket",
+          when(col("value") <= col("b1"), 0)
+            .when(col("value") <= col("b2"), 1)
+            .when(col("value") <= col("b3"), 2)
+            .otherwise(3))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min(dec(col("value"))).cast("double").as("lo"),
+          max(dec(col("value"))).cast("double").as("hi"))
+        .orderBy("bucket")
+    },
+
+    // Salted two-phase aggregation — the skew-mitigation pattern for
+    // aggregates (SkewJoin covers joins): phase 1 groups on
+    // (key, hash-salt) so a hot key's rows spread across 16 reducers and
+    // partially aggregate there; phase 2 merges the 16 partials per key.
+    // Counts/sums are associative, so the result is IDENTICAL to the
+    // plain groupBy — and the oracle IS the plain groupBy, proving it.
+    // (For uniform keys Spark's map-side partial agg already does this;
+    // salting matters when one key dominates entire partitions at 100 TB
+    // — the decomposition is the same one a SUM/COUNT rollup uses.)
+    "q82_salted_agg" -> { (s, dir) =>
+      val salted = Synth.events(s, dir)
+        .groupBy(col("event_type"), pmod(hash(col("event_id")), lit(16)).as("salt"))
+        .agg(count(lit(1)).as("pn"), sum(dec(col("value"))).as("psum"))
+      salted.groupBy("event_type")
+        .agg(sum(col("pn")).as("n"),
+          sum(col("psum")).cast("double").as("sum_value"))
+        .orderBy("event_type")
+    },
+
     // Ordered funnel (view → click → purchase per user): the sequence-
     // pattern shape of product analytics. ONE aggregation: per user,
     // collect the event sequence, sort it in event time (struct sort —
@@ -465,6 +510,28 @@ object Relational {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q84_equidepth_hist" ->
+      """WITH b AS (
+        |  SELECT quantile_cont(value, 0.25) AS b1,
+        |         quantile_cont(value, 0.5) AS b2,
+        |         quantile_cont(value, 0.75) AS b3
+        |  FROM events)
+        |SELECT CASE WHEN value <= b1 THEN 0
+        |            WHEN value <= b2 THEN 1
+        |            WHEN value <= b3 THEN 2 ELSE 3 END AS bucket,
+        |  count(*) AS n,
+        |  cast(min(cast(value as decimal(18,2))) as double) AS lo,
+        |  cast(max(cast(value as decimal(18,2))) as double) AS hi
+        |FROM events CROSS JOIN b
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the oracle is the UNSALTED aggregation — associativity makes the
+    // two-phase rewrite invisible
+    "q82_salted_agg" ->
+      """SELECT event_type, count(*) AS n,
+        | cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // relational unrolling of the HOF walk: seq = per-user event-time
     // rank; stage k's anchor = min seq of the k-th event type after the
