@@ -322,6 +322,42 @@ object Relational {
           o_orderstatus NULLS FIRST""")
     },
 
+    // Declarative sessionization via the session_window built-in — the
+    // gap-merge q17 implements manually with lag/cumsum, as one grouping
+    // expression (and the exact batch twin of the streaming sessionizer's
+    // state semantics). Session end = last event + gap; two events are
+    // one session iff their gap is STRICTLY under 30 min ([ts, ts+gap)
+    // windows merge on overlap) — the oracle's lag/cumsum rendering
+    // breaks on >= gap to match. One shuffle on user_id.
+    "q85_session_window" -> { (s, dir) =>
+      Synth.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+    },
+
+    // Map-typed intermediate — builds per-user event-type count MAPS
+    // (map_from_entries over the grouped counts), then explodes the map
+    // back to rows. The map exists only inside the plan (map columns
+    // don't cross the parquet/oracle boundary portably); the oracle is
+    // the plain two-key groupBy, so the hash match proves the
+    // build-then-explode roundtrip is the identity.
+    "q86_map_roundtrip" -> { (s, dir) =>
+      Synth.events(s, dir)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("user_id")
+        .agg(map_from_entries(
+          sort_array(collect_list(struct(col("event_type"), col("cnt")))))
+          .as("type_counts"))
+        .select(col("user_id"), explode(col("type_counts")).as(Seq("event_type", "n")))
+        .orderBy("user_id", "event_type")
+    },
+
     // Equi-depth histogram: exact interpolated quartile boundaries (one
     // aggregate pass, 3 doubles to the driver-free broadcast) then a
     // map-only bucket assignment + count. The value-distribution
@@ -510,6 +546,29 @@ object Relational {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q85_session_window" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM o)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "q86_map_roundtrip" ->
+      """SELECT user_id, event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q84_equidepth_hist" ->
       """WITH b AS (
