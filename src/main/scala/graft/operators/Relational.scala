@@ -322,6 +322,38 @@ object Relational {
           o_orderstatus NULLS FIRST""")
     },
 
+    // Fuzzy string matching: supplier-name pairs within edit distance 2,
+    // blocked by nation (the generic fuzzy-dedup shape: block on a cheap
+    // equality key, exact Levenshtein — a well-defined integer DP metric,
+    // identical across engines — only inside blocks; never all-pairs).
+    "q87_edit_distance" -> { (s, dir) =>
+      val sup = Synth.supplier(s, dir).select(
+        col("s_suppkey"), col("s_nationkey"), col("s_name"))
+      val a = sup.toDF("id_a", "nk", "name_a")
+      val b = sup.toDF("id_b", "nk", "name_b")
+      a.join(b, "nk")
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 2)
+        .select(col("nk").as("nationkey"), col("id_a"), col("id_b"), col("dist"))
+        .orderBy("nationkey", "id_a", "id_b")
+    },
+
+    // Calendar-function projection over order dates: truncation, month
+    // ends, day extraction, month arithmetic — the date surface a
+    // reporting layer leans on, all exact calendar integers (no
+    // timezone arithmetic — o_orderdate is a DATE).
+    "q88_calendar" -> { (s, dir) =>
+      Synth.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate"))
+        .withColumn("month_start", date_trunc("month", col("o_orderdate")).cast("date"))
+        .withColumn("month_end", last_day(col("o_orderdate")))
+        .withColumn("day_of_month", dayofmonth(col("o_orderdate")))
+        .withColumn("quarter", quarter(col("o_orderdate")))
+        .withColumn("plus_2m", add_months(col("o_orderdate"), 2))
+        .orderBy("o_orderkey")
+    },
+
     // Declarative sessionization via the session_window built-in — the
     // gap-merge q17 implements manually with lag/cumsum, as one grouping
     // expression (and the exact batch twin of the streaming sessionizer's
@@ -546,6 +578,24 @@ object Relational {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q87_edit_distance" ->
+      """SELECT a.s_nationkey AS nationkey,
+        | a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+        | cast(levenshtein(a.s_name, b.s_name) as int) AS dist
+        |FROM supplier a JOIN supplier b
+        |  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+        |WHERE levenshtein(a.s_name, b.s_name) <= 2
+        |ORDER BY nationkey, id_a, id_b""".stripMargin,
+
+    "q88_calendar" ->
+      """SELECT o_orderkey, o_orderdate,
+        | cast(date_trunc('month', o_orderdate) as date) AS month_start,
+        | last_day(o_orderdate) AS month_end,
+        | cast(day(o_orderdate) as int) AS day_of_month,
+        | cast(quarter(o_orderdate) as int) AS quarter,
+        | cast(o_orderdate + INTERVAL 2 MONTH as date) AS plus_2m
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q85_session_window" ->
       """WITH o AS (
