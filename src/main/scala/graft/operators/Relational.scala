@@ -322,6 +322,23 @@ object Relational {
           o_orderstatus NULLS FIRST""")
     },
 
+    // UNPIVOT — q75's inverse: melt the pivoted wide table back to
+    // (key, variable, value) rows. Wide-to-long is a zero-shuffle
+    // Expand over the already-aggregated rows; null cells (combinations
+    // absent from the data) are dropped to land exactly on the plain
+    // long-form aggregate, which is the oracle — so the hash match
+    // proves pivot∘unpivot is the identity on present combinations.
+    "q89_unpivot" -> { (s, dir) =>
+      Synth.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(dec(col("l_quantity"))).cast("double"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("F"), col("O")), "l_linestatus", "qty")
+        .filter(col("qty").isNotNull)
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
     // Fuzzy string matching: supplier-name pairs within edit distance 2,
     // blocked by nation (the generic fuzzy-dedup shape: block on a cheap
     // equality key, exact Levenshtein — a well-defined integer DP metric,
@@ -578,6 +595,11 @@ object Relational {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q89_unpivot" ->
+      """SELECT l_returnflag, l_linestatus,
+        | cast(sum(cast(l_quantity as decimal(18,2))) as double) AS qty
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q87_edit_distance" ->
       """SELECT a.s_nationkey AS nationkey,
