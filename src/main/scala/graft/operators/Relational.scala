@@ -322,6 +322,55 @@ object Relational {
           o_orderstatus NULLS FIRST""")
     },
 
+    // Association mining (market-basket): lift between event-type pairs
+    // over per-user baskets. PMI's log is not cross-engine-exact; LIFT
+    // is the same ordering in rational form — (n_ab · N) / (n_a · n_b)
+    // from exact integer counts, one IEEE division. The basket self-join
+    // is per-user (bounded by basket size, never the type² space times
+    // users), and the distinct pass compacts the corpus to |users|×|types|
+    // first.
+    "q90_event_lift" -> { (s, dir) =>
+      val ut = Synth.events(s, dir)
+        .select(col("user_id"), col("event_type")).distinct()
+      val nUsers = Synth.events(s, dir)
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      val singles = ut.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      val a = ut.toDF("user_id", "t_a")
+      val b = ut.toDF("user_id", "t_b")
+      a.join(b, "user_id")
+        .filter(col("t_a") < col("t_b"))
+        .groupBy("t_a", "t_b").agg(count(lit(1)).as("n_ab"))
+        .join(singles.toDF("t_a", "n_a"), "t_a")
+        .join(singles.toDF("t_b", "n_b"), "t_b")
+        .crossJoin(broadcast(nUsers))
+        .withColumn("lift",
+          (col("n_ab") * col("n_users")).cast("double") /
+            (col("n_a") * col("n_b")).cast("double"))
+        .select("t_a", "t_b", "n_ab", "lift")
+        .orderBy("t_a", "t_b")
+    },
+
+    // Inter-event time distribution: per-user think-time gaps bucketed
+    // by decade — the latency-histogram primitive over event-time lag.
+    // Gap arithmetic is integer microseconds end-to-end; one window +
+    // one small aggregate.
+    "q91_interevent_hist" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Synth.events(s, dir)
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .withColumn("gap_s",
+          expr("(unix_micros(ts) - unix_micros(prev)) div 1000000"))
+        .withColumn("bucket",
+          when(col("gap_s") < 10, 0).when(col("gap_s") < 100, 1)
+            .when(col("gap_s") < 1000, 2).when(col("gap_s") < 10000, 3)
+            .otherwise(4))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min(col("gap_s")).as("min_gap_s"), max(col("gap_s")).as("max_gap_s"))
+        .orderBy("bucket")
+    },
+
     // UNPIVOT — q75's inverse: melt the pivoted wide table back to
     // (key, variable, value) rows. Wide-to-long is a zero-shuffle
     // Expand over the already-aggregated rows; null cells (combinations
@@ -595,6 +644,39 @@ object Relational {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q90_event_lift" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |n AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+        |singles AS (SELECT event_type, count(*) AS cnt FROM ut GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.event_type AS t_a, b.event_type AS t_b, count(*) AS n_ab
+        |  FROM ut a JOIN ut b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT t_a, t_b, n_ab,
+        |  cast(n_ab * n_users as double) / cast(sa.cnt * sb.cnt as double)
+        |    AS lift
+        |FROM pairs
+        |  JOIN singles sa ON sa.event_type = t_a
+        |  JOIN singles sb ON sb.event_type = t_b
+        |  CROSS JOIN n
+        |ORDER BY t_a, t_b""".stripMargin,
+
+    "q91_interevent_hist" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    (epoch_us(ts) - epoch_us(lag(ts) OVER w)) // 1000000 AS gap_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |b AS (
+        |  SELECT CASE WHEN gap_s < 10 THEN 0 WHEN gap_s < 100 THEN 1
+        |              WHEN gap_s < 1000 THEN 2 WHEN gap_s < 10000 THEN 3
+        |              ELSE 4 END AS bucket, gap_s
+        |  FROM g WHERE gap_s IS NOT NULL)
+        |SELECT bucket, count(*) AS n,
+        |  min(gap_s) AS min_gap_s, max(gap_s) AS max_gap_s
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q89_unpivot" ->
       """SELECT l_returnflag, l_linestatus,
