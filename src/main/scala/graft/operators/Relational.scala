@@ -322,6 +322,56 @@ object Relational {
           o_orderstatus NULLS FIRST""")
     },
 
+    // Ratio-to-report: each nation's share of its region's revenue — the
+    // percent-of-total window (sum over an unordered partition frame).
+    // Numerator and denominator both pass through decimal(18,2) sums, so
+    // the single share division is cross-engine-exact.
+    "q92_revenue_share" -> { (s, dir) =>
+      val rev = Synth.customer(s, dir)
+        .join(Synth.orders(s, dir),
+          col("c_custkey") === col("o_custkey"))
+        .join(broadcast(Synth.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_regionkey").as("regionkey"), col("n_name").as("nation"))
+        .agg(sum(dec(col("o_totalprice"))).as("rev"))
+      rev.withColumn("region_rev",
+          sum(col("rev")).over(Window.partitionBy("regionkey")))
+        .withColumn("share",
+          col("rev").cast("double") / col("region_rev").cast("double"))
+        .select(col("regionkey"), col("nation"),
+          col("rev").cast("double").as("revenue"), col("share"))
+        .orderBy("regionkey", "nation")
+    },
+
+    // FILTER-clause aggregates — several conditionally-filtered
+    // aggregates in ONE pass over one scan (the idiom that replaces N
+    // self-joins for side-by-side conditional stats). SQL path, same
+    // text both engines.
+    "q93_filtered_agg" -> { (s, dir) =>
+      Synth.orders(s, dir).createOrReplaceTempView("orders")
+      s.sql("""
+        SELECT o_orderpriority,
+          count(*) AS n,
+          count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+          count(*) FILTER (WHERE o_totalprice > 200000) AS n_large,
+          cast(sum(cast(o_totalprice as decimal(18,2)))
+            FILTER (WHERE o_orderstatus = 'O') as double) AS open_revenue
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    },
+
+    // Ordered string aggregation: deterministic listagg via sorted
+    // collect — group members concatenated in a TOTAL order, so the
+    // string is reproducible across partitionings and engines (an
+    // unordered listagg is not a well-defined value).
+    "q94_string_agg" -> { (s, dir) =>
+      Synth.nation(s, dir)
+        .groupBy(col("n_regionkey").as("regionkey"))
+        .agg(
+          concat_ws(",", sort_array(collect_list(col("n_name")))).as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy("regionkey")
+    },
+
     // Association mining (market-basket): lift between event-type pairs
     // over per-user baskets. PMI's log is not cross-engine-exact; LIFT
     // is the same ordering in rational form — (n_ab · N) / (n_a · n_b)
@@ -644,6 +694,34 @@ object Relational {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q92_revenue_share" ->
+      """WITH rev AS (
+        |  SELECT n_regionkey AS regionkey, n_name AS nation,
+        |    sum(cast(o_totalprice as decimal(18,2))) AS rev
+        |  FROM customer
+        |    JOIN orders ON o_custkey = c_custkey
+        |    JOIN nation ON n_nationkey = c_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT regionkey, nation, cast(rev as double) AS revenue,
+        |  cast(rev as double) /
+        |    cast(sum(rev) OVER (PARTITION BY regionkey) as double) AS share
+        |FROM rev ORDER BY regionkey, nation""".stripMargin,
+
+    "q93_filtered_agg" ->
+      """SELECT o_orderpriority,
+        |  count(*) AS n,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+        |  count(*) FILTER (WHERE o_totalprice > 200000) AS n_large,
+        |  cast(sum(cast(o_totalprice as decimal(18,2)))
+        |    FILTER (WHERE o_orderstatus = 'O') as double) AS open_revenue
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q94_string_agg" ->
+      """SELECT n_regionkey AS regionkey,
+        | string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        | count(*) AS n
+        |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q90_event_lift" ->
       """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
