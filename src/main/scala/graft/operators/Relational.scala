@@ -322,6 +322,38 @@ object Relational {
           o_orderstatus NULLS FIRST""")
     },
 
+    // Time-series gap fill + forward fill: a complete per-user daily
+    // calendar spine (map-only sequence+explode — never a cartesian
+    // against a date table), activity counts zero-filled, and the
+    // last-seen event type carried forward over silent days
+    // (last(ignoreNulls) over an ordered per-user frame) — the
+    // state-as-of-day shape of financial/IoT time series. The per-day
+    // last event is max(struct(ts, event_id, type)) here and a
+    // row_number DESC in the oracle: two formulations, one value.
+    "q95_gap_fill" -> { (s, dir) =>
+      val ev = Synth.events(s, dir)
+      val daily = ev.withColumn("d", to_date(col("ts")))
+        .groupBy("user_id", "d")
+        .agg(count(lit(1)).as("n"),
+          max(struct(col("ts"), col("event_id"), col("event_type"))).as("le"))
+        .select(col("user_id"), col("d"), col("n"),
+          col("le.event_type").as("day_last_type"))
+      val bounds = ev.agg(
+        min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+      val spine = ev.select("user_id").distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("user_id"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+      val w = Window.partitionBy("user_id").orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("user_id", "d"), "left")
+        .withColumn("n_events", coalesce(col("n"), lit(0L)))
+        .withColumn("state_type",
+          last(col("day_last_type"), ignoreNulls = true).over(w))
+        .select("user_id", "d", "n_events", "state_type")
+        .orderBy("user_id", "d")
+    },
+
     // Ratio-to-report: each nation's share of its region's revenue — the
     // percent-of-total window (sum over an unordered partition frame).
     // Numerator and denominator both pass through decimal(18,2) sums, so
@@ -694,6 +726,34 @@ object Relational {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q95_gap_fill" ->
+      """WITH b AS (
+        |  SELECT min(cast(ts as date)) AS d0, max(cast(ts as date)) AS d1
+        |  FROM events),
+        |users AS (SELECT DISTINCT user_id FROM events),
+        |spine AS (
+        |  SELECT user_id,
+        |    cast(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) as date) AS d
+        |  FROM users, b),
+        |counts AS (
+        |  SELECT user_id, cast(ts as date) AS d, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |lastev AS (
+        |  SELECT user_id, d, event_type AS day_last_type FROM (
+        |    SELECT user_id, cast(ts as date) AS d, event_type,
+        |      row_number() OVER (PARTITION BY user_id, cast(ts as date)
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1)
+        |SELECT s.user_id AS user_id, s.d AS d,
+        |  coalesce(n, 0) AS n_events,
+        |  last_value(day_last_type IGNORE NULLS) OVER (
+        |    PARTITION BY s.user_id ORDER BY s.d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS state_type
+        |FROM spine s
+        |  LEFT JOIN counts c ON c.user_id = s.user_id AND c.d = s.d
+        |  LEFT JOIN lastev l ON l.user_id = s.user_id AND l.d = s.d
+        |ORDER BY user_id, d""".stripMargin,
 
     "q92_revenue_share" ->
       """WITH rev AS (
