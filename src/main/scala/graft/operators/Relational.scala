@@ -322,6 +322,29 @@ object Relational {
           o_orderstatus NULLS FIRST""")
     },
 
+    // Rolling 7-day distinct users (DAU/WAU): count-distinct over a
+    // sliding window — not directly expressible as a window aggregate in
+    // either engine, so the scale-correct decomposition: compact to
+    // per-day USER SETS first (one shuffle on the day; output = calendar
+    // days, independent of data volume), then merge sets over a 7-day
+    // range frame. The only unpartitioned window runs over #days rows —
+    // a cardinality that does NOT grow with the corpus (same argument as
+    // PrefixSum's offsets window). Production swaps the exact sets for
+    // mergeable HLL sketches at identical plan shape.
+    "q96_rolling_dau" -> { (s, dir) =>
+      val du = Synth.events(s, dir)
+        .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+      val daySets = du.groupBy("d")
+        .agg(collect_set(col("user_id")).as("us"), count(lit(1)).as("dau"))
+      val w = Window.orderBy(col("dn")).rangeBetween(-6, 0)
+      daySets
+        .withColumn("dn", datediff(col("d"), lit("2024-01-01").cast("date")))
+        .withColumn("wau",
+          size(array_distinct(flatten(collect_list(col("us")).over(w)))))
+        .select("d", "dau", "wau")
+        .orderBy("d")
+    },
+
     // Time-series gap fill + forward fill: a complete per-user daily
     // calendar spine (map-only sequence+explode — never a cartesian
     // against a date table), activity counts zero-filled, and the
@@ -726,6 +749,15 @@ object Relational {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q96_rolling_dau" ->
+      """WITH du AS (
+        |  SELECT DISTINCT cast(ts as date) AS d, user_id FROM events),
+        |days AS (SELECT d, count(*) AS dau FROM du GROUP BY d)
+        |SELECT d, dau,
+        |  cast((SELECT count(DISTINCT u.user_id) FROM du u
+        |        WHERE u.d BETWEEN days.d - 6 AND days.d) as int) AS wau
+        |FROM days ORDER BY d""".stripMargin,
 
     "q95_gap_fill" ->
       """WITH b AS (
