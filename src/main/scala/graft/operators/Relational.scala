@@ -567,7 +567,10 @@ object Relational {
     // primitive behind range-partition planning and feature binning.
     // Boundary doubles are bit-identical cross-engine (q44b proves the
     // interpolation), so bucket membership — a <= compare against them —
-    // is too.
+    // is too. Scale note: EXACT percentile state is O(distinct values);
+    // it is used here for oracle-checkability — at 100 TB the boundary
+    // pass swaps to approx_percentile (q44's sketch, mergeable bounded
+    // state) with the downstream bucket pass unchanged.
     "q84_equidepth_hist" -> { (s, dir) =>
       val ev = Synth.events(s, dir)
       val bounds = ev.agg(
