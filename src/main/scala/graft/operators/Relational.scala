@@ -322,6 +322,30 @@ object Relational {
           o_orderstatus NULLS FIRST""")
     },
 
+    // Robust outlier detection (median absolute deviation): per group,
+    // med = median(x), MAD = median(|x − med|), outlier ⇔ |x − med| >
+    // 3·MAD — the curation filter that survives heavy tails where
+    // mean/stddev get dragged by the outliers themselves. Two aggregate
+    // passes + two tiny broadcasts; every double op (interpolated
+    // median, subtraction, abs, one multiply) is correctly rounded in a
+    // fixed order, so the stats AND the outlier counts hash-match. Same
+    // scale note as q84: exact medians for oracle-checkability,
+    // approx_percentile at 100 TB with the shape unchanged.
+    "q97_robust_outliers" -> { (s, dir) =>
+      val ev = Synth.events(s, dir).select(col("event_type"), col("value"))
+      val meds = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val dev = ev.join(broadcast(meds), "event_type")
+        .withColumn("dev", abs(col("value") - col("med")))
+      val mads = dev.groupBy("event_type")
+        .agg(expr("percentile(dev, 0.5)").as("mad"))
+      dev.join(broadcast(mads), "event_type")
+        .groupBy("event_type")
+        .agg(first(col("med")).as("med"), first(col("mad")).as("mad"),
+          sum(when(col("dev") > col("mad") * 3, 1L).otherwise(0L)).as("n_outliers"))
+        .orderBy("event_type")
+    },
+
     // Rolling 7-day distinct users (DAU/WAU): count-distinct over a
     // sliding window — not directly expressible as a window aggregate in
     // either engine, so the scale-correct decomposition: compact to
@@ -752,6 +776,23 @@ object Relational {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q97_robust_outliers" ->
+      """WITH meds AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |dev AS (
+        |  SELECT e.event_type, abs(value - med) AS dev, med
+        |  FROM events e JOIN meds USING (event_type)),
+        |mads AS (
+        |  SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT d.event_type AS event_type, any_value(d.med) AS med,
+        |  any_value(m.mad) AS mad,
+        |  cast(sum(CASE WHEN d.dev > m.mad * 3 THEN 1 ELSE 0 END) as bigint)
+        |    AS n_outliers
+        |FROM dev d JOIN mads m USING (event_type)
+        |GROUP BY d.event_type ORDER BY event_type""".stripMargin,
 
     "q96_rolling_dau" ->
       """WITH du AS (
