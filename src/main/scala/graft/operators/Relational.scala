@@ -322,6 +322,28 @@ object Relational {
           o_orderstatus NULLS FIRST""")
     },
 
+    // Typed JSON round-trip: to_json over a sorted struct array, then
+    // from_json back through an explicit DDL schema and re-explosion —
+    // the schema-full half of the JSON surface (the loader path uses
+    // schema-less get_json_object). The oracle is the plain projection:
+    // a hash match proves serialize∘parse is the identity, including
+    // field order and long/string typing through the JSON text.
+    "q98_json_roundtrip" -> { (s, dir) =>
+      val arr = Synth.events(s, dir)
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(
+          struct(col("event_id"), col("event_type")))).as("evs"))
+        .withColumn("js", to_json(col("evs")))
+      arr
+        .withColumn("parsed", from_json(col("js"),
+          org.apache.spark.sql.types.DataType.fromDDL(
+            "array<struct<event_id: bigint, event_type: string>>")))
+        .select(col("user_id"), explode(col("parsed")).as("e"))
+        .select(col("user_id"), col("e.event_id").as("event_id"),
+          col("e.event_type").as("event_type"))
+        .orderBy("user_id", "event_id")
+    },
+
     // Robust outlier detection (median absolute deviation): per group,
     // med = median(x), MAD = median(|x − med|), outlier ⇔ |x − med| >
     // 3·MAD — the curation filter that survives heavy tails where
@@ -776,6 +798,10 @@ object Relational {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q98_json_roundtrip" ->
+      """SELECT user_id, event_id, event_type
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
 
     "q97_robust_outliers" ->
       """WITH meds AS (
