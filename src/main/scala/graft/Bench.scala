@@ -44,8 +44,14 @@ object Bench {
     // multi-stage plans, 1.5–2× run-to-run noise on this host); the
     // minimum is the steady-state figure a recurring production job
     // sees, and is far more stable across bench invocations.
-    val runsPerQuery =
-      sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(2)
+    val runsPerQuery = {
+      val raw = sys.env.get("SPARK_GRAFT_RUNS")
+      val parsed = raw.flatMap(_.toIntOption).filter(_ >= 1)
+      if (raw.isDefined && parsed.isEmpty)
+        System.err.println(
+          s"[bench] ignoring invalid SPARK_GRAFT_RUNS=${raw.get}; using 2")
+      parsed.getOrElse(2)
+    }
     val results = selected.map { case (name, fn) =>
       val times = (1 to runsPerQuery).map { _ =>
         val t0 = System.nanoTime()

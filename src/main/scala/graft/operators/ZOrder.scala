@@ -46,7 +46,10 @@ object ZOrder {
     // repartitionByRange. Map-only — the key costs a few dozen integer
     // ops per row at scan speed.
     "q69_zorder" -> { (s, dir) =>
-      val x = col("l_quantity").cast("int").bitwiseAND(lit(255))
+      // floor() before the int cast: Spark's cast truncates toward zero
+      // while DuckDB's rounds, so both renderings go through an explicit
+      // floor to stay semantically identical on non-integer quantities.
+      val x = floor(col("l_quantity")).cast("int").bitwiseAND(lit(255))
       val y = least(floor(col("l_extendedprice") / 1000).cast("int"), lit(255))
       Synth.lineitem(s, dir)
         .select(
@@ -59,7 +62,7 @@ object ZOrder {
   )
 
   def oracle: Map[String, String] = {
-    val x = "(cast(l_quantity as int) & 255)"
+    val x = "(cast(floor(l_quantity) as int) & 255)"
     val y = "least(cast(floor(l_extendedprice / 1000) as int), 255)"
     Map(
       "q69_zorder" ->

@@ -11,7 +11,9 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class AdaptiveReuseSpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  private val sf = "/root/testdata/sf0.001"
+  private val sf = sys.props.get("graft.testdata")
+    .orElse(sys.env.get("GRAFT_TESTDATA"))
+    .getOrElse("/root/testdata") + "/sf0.001"
 
   private lazy val spark = SparkSession.builder()
     .master("local[4]")

@@ -1,9 +1,10 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+import org.apache.spark.sql.execution.{FileSourceScanExec, GenerateExec}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -107,10 +108,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // explode + re-aggregation)
     val shuffles = p.collect { case s: ShuffleExchangeExec => s }
     assert(shuffles.size <= 3, s"expected <=3 exchanges, got ${shuffles.size}:\n$p")
-    val corpusScanToJoin = p.toString
-    assert(!corpusScanToJoin.contains("Generate explode") ||
-      corpusScanToJoin.indexOf("Generate") > corpusScanToJoin.indexOf("BroadcastNestedLoopJoin"),
-      s"corpus side must not explode before the join:\n$p")
+    // walk the tree: no GenerateExec may sit in the join's STREAMED
+    // (corpus) subtree — a substring/index check on the printed plan
+    // cannot distinguish the two sides
+    val joins = p.collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(joins.nonEmpty)
+    joins.foreach { j =>
+      val streamed = j.buildSide match {
+        case BuildLeft => j.right
+        case BuildRight => j.left
+      }
+      val gens = streamed.collect { case g: GenerateExec => g }
+      assert(gens.isEmpty,
+        s"corpus (streamed) side must not explode before the join:\n$p")
+    }
   }
 
   test("q70: the correlated subquery decorrelates — no per-row subquery in the physical plan") {

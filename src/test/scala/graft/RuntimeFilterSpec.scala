@@ -21,11 +21,17 @@ class RuntimeFilterSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  override def afterAll(): Unit = spark.stop()
+  private val dir = java.nio.file.Files.createTempDirectory("dpp").toString
+
+  override def afterAll(): Unit = {
+    spark.stop()
+    // clean the parquet fixture — createTempDirectory does not auto-delete
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(dir)).deleteRecursively()
+  }
 
   test("a selective dim filter prunes fact partitions at runtime (DPP)") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("dpp").toString
     spark.range(10000)
       .select((col("id") % 5).cast("string").as("k"), col("id").as("v"))
       .write.partitionBy("k").mode("overwrite").parquet(dir)
