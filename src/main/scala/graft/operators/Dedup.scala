@@ -192,9 +192,10 @@ object Dedup {
     // the n² pair space. Exact Hamming (bit_count of xor) then disposes.
     // The signature pass is map-only (native graft_simhash); each block
     // join is a hash join on a (block, nibble) key. At corpus scale the
-    // block key is coarse (16 values per block) — production widens the
-    // fingerprint (64/128-bit) and block count to keep buckets sparse; the
-    // plan shape is unchanged.
+    // 16-value block key is too coarse — q33c is the production variant
+    // (64-bit fingerprint, 4×16-bit blocks, same plan shape) whose
+    // buckets stay sparse; this one remains the oracle-anchored small
+    // geometry.
     "q33b_simhash_pairs" -> { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
       val sim = Synth.documents(s, dir)
@@ -205,6 +206,34 @@ object Dedup {
       val a = lng.select(col("blk"), col("nib"), col("doc_id").as("id_a"), col("sim").as("sim_a"))
       val b = lng.select(col("blk"), col("nib"), col("doc_id").as("id_b"), col("sim").as("sim_b"))
       a.join(b.hint("shuffle_hash"), Seq("blk", "nib"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b").distinct()
+        .withColumn("hamming", expr("cast(bit_count(sim_a ^ sim_b) as int)"))
+        .filter(col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    },
+
+    // Production SimHash geometry: 64-bit fingerprint, pigeonhole over 4
+    // SIXTEEN-BIT blocks. Same lossless argument as q33b (distance ≤ 3 ⇒
+    // at least one of 4 blocks agrees), but the block key now spans 65536
+    // values instead of 16. Measured at sf0.1 (5,000 docs): q33b's
+    // nibble buckets average 312.5 docs (max 2,087) → 8.47M candidate
+    // pairs, these 16-bit blocks average 2.98 (max 291, near-dup text
+    // clusters share fingerprints) → 191k pairs — a 44× cut whose margin
+    // grows with corpus size (random occupancy is n/65536 per block vs
+    // n/16). The fingerprint pass is map-only native codegen
+    // (graft_simhash64); plan shape is q33b's.
+    "q33c_simhash64_pairs" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val sim = Synth.documents(s, dir)
+        .select(col("doc_id"), expr(s"graft_simhash64($toks)").as("sim"))
+      val lng = sim
+        .select(col("doc_id"), col("sim"), explode(expr("array(0, 1, 2, 3)")).as("blk"))
+        .withColumn("block", expr("shiftright(sim, blk * 16) & 65535"))
+      val a = lng.select(col("blk"), col("block"), col("doc_id").as("id_a"), col("sim").as("sim_a"))
+      val b = lng.select(col("blk"), col("block"), col("doc_id").as("id_b"), col("sim").as("sim_b"))
+      a.join(b.hint("shuffle_hash"), Seq("blk", "block"))
         .filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b", "sim_a", "sim_b").distinct()
         .withColumn("hamming", expr("cast(bit_count(sim_a ^ sim_b) as int)"))
@@ -474,6 +503,35 @@ object Dedup {
          |  SELECT doc_id,
          |    cast(sum(CASE WHEN vote > 0 THEN cast(pow(2, b) as bigint) ELSE 0 END) as bigint) AS sim
          |  FROM votes GROUP BY doc_id)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  cast(bit_count(xor(a.sim, b.sim)) as int) AS hamming
+         |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Same all-pairs-exact oracle contract as q33b, over the 64-bit
+    // fingerprint: a hash match proves the 4×16-bit pigeonhole blocking
+    // misses no pair within distance 3. Bit 63 may set the sign, so the
+    // HUGEINT vote sum wraps to the two's-complement BIGINT Spark holds.
+    "q33c_simhash64_pairs" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, md5(unnest($dToks)) AS h FROM documents),
+         |bits AS (
+         |  SELECT doc_id, b,
+         |    strpos('0123456789abcdef', substring(h, b // 4 + 1, 1)) - 1 AS d
+         |  FROM tok, (SELECT unnest(generate_series(0, 63)) AS b)),
+         |votes AS (
+         |  SELECT doc_id, b,
+         |    sum(CASE WHEN (d >> (3 - b % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+         |  FROM bits GROUP BY doc_id, b),
+         |sums AS (
+         |  SELECT doc_id,
+         |    sum(CASE WHEN vote > 0 THEN CAST(1 AS HUGEINT) << b ELSE 0 END) AS s
+         |  FROM votes GROUP BY doc_id),
+         |sims AS (
+         |  SELECT doc_id, CAST(CASE WHEN s >= 9223372036854775808
+         |    THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS sim
+         |  FROM sums)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |  cast(bit_count(xor(a.sim, b.sim)) as int) AS hamming
          |FROM sims a JOIN sims b ON a.doc_id < b.doc_id

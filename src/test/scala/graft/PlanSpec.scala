@@ -140,8 +140,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scans.size == 1, s"cube must scan events once, got ${scans.size}")
   }
 
-  test("q31b/q33b: candidate generation is hash joins, never a cartesian pair space") {
-    for (q <- Seq("q31b_prefix_jaccard", "q33b_simhash_pairs")) {
+  test("q31b/q33b/q33c: candidate generation is hash joins, never a cartesian pair space") {
+    for (q <- Seq("q31b_prefix_jaccard", "q33b_simhash_pairs",
+        "q33c_simhash64_pairs")) {
       val s = plan(q).toString
       assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
         s"$q must join on index keys, got:\n$s")
