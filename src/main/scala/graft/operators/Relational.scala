@@ -391,6 +391,30 @@ object Relational {
         .orderBy("d")
     },
 
+    // The promised production form of q96: per-day mergeable HLL
+    // sketches instead of exact user sets, at the IDENTICAL plan shape
+    // (one shuffle on the day, a #days-row range-frame window). The
+    // difference is the day-row payload: collect_set makes each day row
+    // O(DAU) bytes (GBs at 100 TB scale); an HLL sketch is a fixed few
+    // KB regardless of cardinality, and sketches union losslessly inside
+    // the window frame (hll_union_agg — DataSketches HLL, the same
+    // mergeability contract q44 exercises). Estimates are
+    // engine-specific ⇒ rows-only correctness check, with q96 kept as
+    // the exact oracle-checked twin.
+    "q96b_rolling_dau_hll" -> { (s, dir) =>
+      val daySk = Synth.events(s, dir)
+        .select(to_date(col("ts")).as("d"), col("user_id"))
+        .groupBy("d")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val w = Window.orderBy(col("dn")).rangeBetween(-6, 0)
+      daySk
+        .withColumn("dn", datediff(col("d"), lit("2024-01-01").cast("date")))
+        .withColumn("dau", hll_sketch_estimate(col("sk")))
+        .withColumn("wau", hll_sketch_estimate(hll_union_agg(col("sk")).over(w)))
+        .select("d", "dau", "wau")
+        .orderBy("d")
+    },
+
     // Time-series gap fill + forward fill: a complete per-user daily
     // calendar spine (map-only sequence+explode — never a cartesian
     // against a date table), activity counts zero-filled, and the
