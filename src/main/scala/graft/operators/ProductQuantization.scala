@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.{array, broadcast, col, count, element_at, expr, floor, lit, posexplode, row_number, sum}
 
 /** Product-quantization ANN — the memory-bound scale path.
   *
@@ -15,12 +15,12 @@ import org.apache.spark.sql.functions._
   * query side, before the join), and each candidate scores with M table
   * lookups — no float vector is touched at probe time.
   *
-  * Codebooks are deterministic md5-derived halves (hexdigit − 7.5 —
-  * exactly representable, same construction as the LSH planes), so
-  * encode, table and scores are bit-identical in the DuckDB oracle.
-  * Trained codebooks would come from per-subspace [[KMeans]]; the
-  * fixed-contract set keeps the oracle closed-form, exactly as q42 does
-  * for IVF centroids.
+  * q48/q48b use deterministic md5-derived codebooks (hexdigit − 7.5 —
+  * exactly representable, same construction as the LSH planes), keeping
+  * the oracle closed-form exactly as q42 does for IVF centroids. q48c
+  * TRAINS the codebooks — a fused one-pass Lloyd round over all 8
+  * subspaces ([[trainedCodebooks]]) — with the training replayed in the
+  * oracle as unrolled CTEs (the q43 pattern).
   */
 object ProductQuantization {
 
@@ -80,6 +80,68 @@ object ProductQuantization {
       .map(k => dotDuck(subDuck(col, m), cbDuck(m, k)))
       .mkString("[", ", ", "]")
 
+  private val trainScale = 1048576L // 2^20, the KMeans fixed-point contract
+
+  /** Per-code distance expressions for subspace m against a concrete
+    * codebook: −2·(sub·c) + |c|² (the |x|² term is rank-invariant).
+    * Centroid doubles embed as literals — Double.toString round-trips
+    * exactly, the same contract [[KMeans]] proves for q43.
+    */
+  private def distsSpark(
+      cb: Array[Array[Array[Double]]], colName: String, m: Int): String =
+    (0 until nCodes).map { k =>
+      val c = cb(m)(k)
+      val norm2 = c.foldLeft(0.0)((acc, v) => acc + v * v)
+      s"-2D * ${Dedup.dot(subSpark(colName, m),
+        c.map(w => s"${w}D").mkString("array(", ", ", ")"))} + ${norm2}D"
+    }.mkString("array(", ", ", ")")
+
+  /** 1-based argmin code (first-min tiebreak = smallest code id). */
+  private def argminSpark(
+      cb: Array[Array[Array[Double]]], colName: String, m: Int): String = {
+    val ds = distsSpark(cb, colName, m)
+    s"array_position($ds, array_min($ds))"
+  }
+
+  /** Trained codebooks: one Lloyd round per subspace, ALL subspaces in a
+    * single fused distributed pass — not 8 sequential KMeans.train calls
+    * (at 100 TB that is 1 data pass instead of 8). Init: codebook m entry
+    * k = subspace-m slice of vector k (k < 16), the deterministic q43
+    * seeding. The one job assigns every vector to its per-subspace code
+    * and accumulates per-(subspace, code, dim) FIXED-POINT sums in one
+    * shuffle of nSub·nCodes·subDim = 1024 rows; only those reach the
+    * driver. Integer sums are reduce-order-independent, so the trained
+    * doubles are bit-identical to the oracle's CTE rendering.
+    */
+  private[operators] def trainedCodebooks(e: DataFrame): Array[Array[Array[Double]]] = {
+    val seed: Array[Array[Double]] = e
+      .filter(col("vec_id") < nCodes).orderBy("vec_id")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val init: Array[Array[Array[Double]]] =
+      Array.tabulate(nSub, nCodes, subDim)((m, k, d) => seed(k)(m * subDim + d))
+    val codes = (0 until nSub).map(m => expr(argminSpark(init, "embedding", m)))
+    val sums = e
+      .select(array(codes: _*).as("codes"), posexplode(col("embedding")).as(Seq("gd", "x")))
+      .select(
+        (col("gd") / subDim).cast("int").as("m"),
+        (col("gd") % subDim).cast("int").as("d"),
+        element_at(col("codes"), (col("gd") / subDim).cast("int") + 1).as("cid"),
+        col("x"))
+      .groupBy("m", "cid", "d")
+      .agg(
+        sum(floor(col("x").cast("double") * trainScale).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .collect()
+    // empty codes keep their init entry (the KMeans empty-cluster rule)
+    val next = init.map(_.map(_.clone()))
+    sums.foreach { r =>
+      next(r.getInt(0))(r.getLong(1).toInt - 1)(r.getInt(2)) =
+        r.getLong(3).toDouble / r.getLong(4).toDouble / trainScale.toDouble
+    }
+    next
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Encode every vector (map-only), broadcast the queries WITH their
     // ADC tables, score candidates by M table lookups, rank top-k.
@@ -138,6 +200,39 @@ object ProductQuantization {
         .select(col("query_id"), (col("pos") + 1).cast("int").as("rk"),
           col("col.id").as("vec_id"), col("col.score").as("pq_score"))
         .orderBy("query_id", "rk")
+    },
+
+    // PQ with TRAINED codebooks — closes q48's fixed-codebook caveat.
+    // Training is the fused one-pass Lloyd round ([[trainedCodebooks]]);
+    // encode/search then follow q48's shape with the proper trained-PQ
+    // metric: code = argmin quantization distance, ADC table carries
+    // −2·(q·c) + |c|² per code, candidates rank by the SUMMED distance
+    // ascending. The oracle replays the training round as unrolled CTEs
+    // per subspace (the q43 pattern), so the hash match covers training,
+    // encode, and search end-to-end.
+    "q48c_pq_trained" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val e = Synth.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val cb = trainedCodebooks(e)
+      val encoded = (0 until nSub).foldLeft(e) {
+        (df, m) => df.withColumn(s"code$m", expr(argminSpark(cb, "embedding", m)))
+      }.drop("embedding")
+      val q = (0 until nSub).foldLeft(
+          e.filter(col("vec_id") < nQueries)
+            .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))) {
+        (df, m) => df.withColumn(s"tab$m", expr(distsSpark(cb, "q_emb", m)))
+      }.drop("q_emb")
+      val dist = (0 until nSub)
+        .map(m => s"element_at(tab$m, cast(code$m as int))")
+        .reduce((a, b) => s"($a + $b)")
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("pq_dist").asc, col("vec_id"))
+      broadcast(q).crossJoin(encoded)
+        .withColumn("pq_dist", expr(dist))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= topK)
+        .select("query_id", "rk", "vec_id", "pq_dist")
+        .orderBy("query_id", "rk")
     }
   )
 
@@ -185,6 +280,65 @@ object ProductQuantization {
          |  cast(row_number() OVER (PARTITION BY q.query_id
          |    ORDER BY $score DESC, e.vec_id) as int) AS rk
          | FROM qt q JOIN enc e ON q.cluster = e.cluster)
+         |WHERE rk <= $topK ORDER BY query_id, rk""".stripMargin
+    },
+
+    // Unrolled-CTE replay of the fused training round, per subspace:
+    // init slice → assign (argmin −2·dot + |c|², min-cid ties) →
+    // fixed-point per-dim means → trained codebook → encode → ADC
+    // search. cid is 1-based (= Spark's array_position code).
+    "q48c_pq_trained" -> {
+      def sub(c: String, m: Int) =
+        s"list_slice($c, ${m * subDim + 1}, ${(m + 1) * subDim})"
+      def assignCte(name: String, cbTable: String, m: Int) =
+        s"""$name AS (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT v.vec_id, c.cid, row_number() OVER (PARTITION BY v.vec_id
+           |      ORDER BY (-2 * ${dotDuck(sub("v.embedding", m), "c.embedding")}
+           |        + ${dotDuck("c.embedding", "c.embedding")}), c.cid) AS rn
+           |    FROM e v CROSS JOIN $cbTable c) WHERE rn = 1)""".stripMargin
+      val perSubspace = (0 until nSub).map { m =>
+        s"""c0_$m AS (
+           |  SELECT vec_id + 1 AS cid,
+           |    list_transform(${sub("embedding", m)}, x -> CAST(x AS DOUBLE)) AS embedding
+           |  FROM embeddings WHERE vec_id < $nCodes),
+           |${assignCte(s"a0_$m", s"c0_$m", m)},
+           |m_c1_$m AS (
+           |  SELECT a.cid, r.d,
+           |    cast(sum(cast(floor(CAST(v.embedding[${m * subDim} + r.d] AS DOUBLE)
+           |        * $trainScale) as bigint)) as double)
+           |      / count(*) / $trainScale AS val
+           |  FROM a0_$m a JOIN e v USING (vec_id)
+           |  CROSS JOIN range(1, ${subDim + 1}) r(d)
+           |  GROUP BY a.cid, r.d),
+           |c1_$m AS (
+           |  SELECT p.cid, coalesce(mm.emb, p.embedding) AS embedding
+           |  FROM c0_$m p LEFT JOIN (
+           |    SELECT cid, list(val ORDER BY d) AS emb FROM m_c1_$m GROUP BY cid) mm
+           |  USING (cid)),
+           |${assignCte(s"a1_$m", s"c1_$m", m)}""".stripMargin
+      }.mkString(",\n")
+      val encJoin = (1 until nSub)
+        .map(m => s"JOIN a1_$m USING (vec_id)").mkString(" ")
+      val codeCols = (0 until nSub).map(m => s"a1_$m.cid AS code$m").mkString(", ")
+      val cbJoins = (0 until nSub)
+        .map(m => s"JOIN c1_$m cb$m ON cb$m.cid = e2.code$m").mkString("\n    ")
+      val dist = (0 until nSub)
+        .map(m => s"(-2 * ${dotDuck(sub("q.embedding", m), s"cb$m.embedding")}" +
+          s" + ${dotDuck(s"cb$m.embedding", s"cb$m.embedding")})")
+        .reduce((a, b) => s"($a + $b)")
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |$perSubspace,
+         |enc AS (SELECT a1_0.vec_id, $codeCols FROM a1_0 $encJoin),
+         |qt AS (SELECT vec_id AS query_id, embedding FROM embeddings
+         |       WHERE vec_id < $nQueries)
+         |SELECT query_id, rk, vec_id, pq_dist FROM (
+         |  SELECT q.query_id AS query_id, e2.vec_id AS vec_id,
+         |    $dist AS pq_dist,
+         |    cast(row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY $dist, e2.vec_id) as int) AS rk
+         |  FROM qt q CROSS JOIN enc e2
+         |    $cbJoins)
          |WHERE rk <= $topK ORDER BY query_id, rk""".stripMargin
     }
   )
