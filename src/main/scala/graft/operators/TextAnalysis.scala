@@ -318,6 +318,41 @@ object TextAnalysis {
         .orderBy(col("n").desc, col("pair")).limit(50)
     },
 
+    // Multi-round BPE merge training — q81's inner loop driven to a
+    // 3-round merge table (argmax pair → vocab rewrite → recount), the
+    // artifact a tokenizer trainer actually produces. Words live as
+    // space-delimited symbol strings (" h e l l o "); a merge is then a
+    // plain left-to-right `replace` of " a b " with " ab " — greedy
+    // non-overlapping, identical in both engines. Everything after the
+    // one corpus→vocabulary shuffle is vocab-sized, and each round's
+    // argmax is a 1-row broadcast joined back for the rewrite — no
+    // driver-side loop state, no corpus re-scan per round (the
+    // PageRank/KMeans unrolled-round pattern, fully declarative).
+    "q81b_bpe_merges" -> { (s, dir) =>
+      val words0 = Synth.documents(s, dir)
+        .select(explode(expr(toks)).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("wc"))
+        .select(concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("syms"),
+          col("wc"))
+      def pairStats(words: DataFrame): DataFrame = words
+        .withColumn("sa", split(trim(col("syms")), " "))
+        .select(col("wc"), explode(expr(
+          "zip_with(slice(sa, 1, size(sa) - 1), slice(sa, 2, size(sa) - 1), " +
+            "(x, y) -> concat(x, ' ', y))")).as("pair"))
+        .groupBy("pair").agg(sum(col("wc")).as("n"))
+      val rounds = (1 to 3).foldLeft(
+          (words0, List.empty[DataFrame])) { case ((words, acc), r) =>
+        val best = pairStats(words).orderBy(col("n").desc, col("pair")).limit(1)
+        val merged = words
+          .crossJoin(broadcast(best.select(col("pair").as("_mp"))))
+          .withColumn("syms", expr(
+            "replace(syms, concat(' ', _mp, ' '), concat(' ', replace(_mp, ' ', ''), ' '))"))
+          .drop("_mp")
+        (merged, best.select(lit(r).as("round"), col("pair"), col("n")) :: acc)
+      }._2
+      rounds.reduce(_ unionByName _).orderBy("round")
+    },
+
     // Document length histogram (100-char buckets) — corpus shape stats.
     "q27_length_hist" -> { (s, dir) =>
       Synth.documents(s, dir)
@@ -506,6 +541,37 @@ object TextAnalysis {
          |  FROM words WHERE length(w) >= 2)
          |SELECT pair, cast(sum(wc) as bigint) AS n
          |FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+
+    // Unrolled 3-round replay: per round, pair stats over the current
+    // symbol strings, top-1 (n DESC, pair ASC), then the same
+    // space-delimited `replace` rewrite via a 1-row cross join.
+    "q81b_bpe_merges" -> {
+      def pairsCte(r: Int, src: String) =
+        s"""pairs_$r AS (
+           |  SELECT p AS pair, cast(sum(wc) as bigint) AS n FROM (
+           |    SELECT wc, unnest(list_transform(
+           |      generate_series(1, len(string_split(trim(s), ' ')) - 1),
+           |      i -> string_split(trim(s), ' ')[i] || ' ' ||
+           |           string_split(trim(s), ' ')[i + 1])) AS p
+           |    FROM $src)
+           |  GROUP BY p),
+           |best_$r AS (SELECT pair, n FROM pairs_$r ORDER BY n DESC, pair LIMIT 1),
+           |words_$r AS (
+           |  SELECT replace(s, ' ' || b.pair || ' ',
+           |    ' ' || replace(b.pair, ' ', '') || ' ') AS s, wc
+           |  FROM $src CROSS JOIN best_$r b)""".stripMargin
+      s"""WITH words_0 AS (
+         |  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s,
+         |    count(*) AS wc
+         |  FROM (SELECT unnest($dToks) AS w FROM documents) GROUP BY 1),
+         |${pairsCte(1, "words_0")},
+         |${pairsCte(2, "words_1")},
+         |${pairsCte(3, "words_2")}
+         |SELECT 1 AS round, pair, n FROM best_1
+         |UNION ALL SELECT 2, pair, n FROM best_2
+         |UNION ALL SELECT 3, pair, n FROM best_3
+         |ORDER BY round""".stripMargin
+    },
 
     "q39_lm_familiarity" ->
       s"""WITH t AS (SELECT doc_id, $dToks AS t FROM documents),
