@@ -50,7 +50,8 @@ object ServiceHealth {
 final class HealthProbe(unhealthyLatency: FiniteDuration = 2.minutes,
     port: Int = 8000,
     services: ServiceHealth = new ServiceHealth,
-    metrics: Option[LoaderPipeline.Metrics] = None)
+    metrics: Option[LoaderPipeline.Metrics] = None,
+    errors: Option[ErrorReporter] = None)
     extends StreamingQueryListener {
 
   private val lastProgressMs = new AtomicReference[Option[Long]](None)
@@ -83,7 +84,12 @@ final class HealthProbe(unhealthyLatency: FiniteDuration = 2.minutes,
     val svc = services.problems.toSeq.sorted
       .map { case (k, v) => s""""$k":"${v.replace("\"", "'")}"""" }
       .mkString("{", ",", "}")
+    // structured last-error from the ErrorReporter hook (the
+    // Sentry-equivalent surface): exception class, query, batch id
+    val lastErr = errors.flatMap(_.lastError.get())
+      .map(_.json).getOrElse("null")
     s"""{"healthy":$healthy,"lastProgressAgeMs":$age,"services":$svc,""" +
+      s""""lastError":$lastErr,""" +
       s""""terminated":${terminated.get().map("\"" + _ + "\"").getOrElse("null")}}"""
   }
 

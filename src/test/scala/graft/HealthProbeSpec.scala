@@ -6,7 +6,7 @@ import scala.concurrent.duration._
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.{HealthProbe, LoaderPipeline, ServiceHealth}
+import graft.streaming.{ErrorReporter, HealthProbe, LoaderPipeline, MetricsEmitter, ServiceHealth}
 
 /** Liveness probe semantics (reference T9): healthy only while progress
   * events keep arriving within unhealthyLatency; HTTP surface returns
@@ -61,6 +61,98 @@ class HealthProbeSpec extends AnyFunSuite {
       services.markHealthy(ServiceHealth.BadSink)
       assert(get(port)._1 == 200)
     } finally probe.stop()
+  }
+
+  test("error-report hook: a terminally-failed stream surfaces a structured lastError and a statsd error counter") {
+    val port = 18768
+    val udp = new java.net.DatagramSocket() // ephemeral receiver
+    udp.setSoTimeout(10000)
+    val reporter = new ErrorReporter(Some(MetricsEmitter.StatsdConfig(
+      "localhost", udp.getLocalPort)))
+    val probe = new HealthProbe(unhealthyLatency = 1.hour, port = port,
+      errors = Some(reporter)).start()
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.streams.addListener(reporter)
+    spark.streams.addListener(probe)
+    try {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+      mem.addData(1)
+      val q = mem.toDF().writeStream.queryName("failing-loader")
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+          throw new IllegalStateException("sink exploded")
+        }.start()
+      intercept[Exception](q.awaitTermination())
+
+      // the listener bus delivers asynchronously — poll for the report
+      val deadline = System.currentTimeMillis() + 10000
+      while (reporter.lastError.get().isEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      val report = reporter.lastError.get()
+        .getOrElse(fail("no error report captured"))
+      assert(report.queryName == "failing-loader")
+      assert(report.exceptionClass.nonEmpty)
+      assert(report.batchId >= -1L)
+
+      // /health: 503 with the structured lastError payload
+      val (code, body) = get(port)
+      assert(code == 503)
+      assert(body.contains(""""lastError":{"query":"failing-loader""""))
+      assert(body.contains(report.exceptionClass.replace("\\", "")))
+
+      // the statsd counter datagram arrived with query+exception tags
+      val packet = new java.net.DatagramPacket(new Array[Byte](2048), 2048)
+      udp.receive(packet)
+      val line = new String(packet.getData, 0, packet.getLength)
+      assert(line.startsWith("graft.loader.stream_error:1|c"))
+      assert(line.contains("query:failing-loader"))
+      assert(line.contains("exception:"))
+    } finally {
+      probe.stop(); reporter.close(); udp.close(); spark.stop()
+    }
+  }
+
+  test("error-report hook: restarting the failed query clears lastError") {
+    val reporter = new ErrorReporter()
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.streams.addListener(reporter)
+    try {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+      mem.addData(1)
+      val q = mem.toDF().writeStream.queryName("flaky-loader")
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+          throw new IllegalStateException("transient")
+        }.start()
+      intercept[Exception](q.awaitTermination())
+      val deadline = System.currentTimeMillis() + 10000
+      while (reporter.lastError.get().isEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(reporter.lastError.get().nonEmpty)
+
+      // recovered: same query name restarts cleanly → report cleared
+      val mem2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+      mem2.addData(2)
+      val q2 = mem2.toDF().writeStream.queryName("flaky-loader")
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+        .start()
+      q2.processAllAvailable()
+      val d2 = System.currentTimeMillis() + 10000
+      while (reporter.lastError.get().nonEmpty &&
+        System.currentTimeMillis() < d2) Thread.sleep(50)
+      assert(reporter.lastError.get().isEmpty)
+      q2.stop()
+    } finally { reporter.close(); spark.stop() }
   }
 
   test("GET /metrics serves the prometheus scrape when built with metrics") {
