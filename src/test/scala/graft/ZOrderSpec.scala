@@ -16,6 +16,9 @@ class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
   private lazy val spark = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "8")
+    // static plans: the layout test reads scan metrics directly off the
+    // FileSourceScanExec node (AQE would wrap it in query stages)
+    .config("spark.sql.adaptive.enabled", "false")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -64,5 +67,57 @@ class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
     val zSpread = maxYSpread(pts.select(col("y"), col("z")))
     assert(zSpread <= 128, s"z-sorted y-spread $zSpread")
     assert(xSpread > 200, s"x-sorted y-spread $xSpread")
+  }
+
+  test("materialized z-layout skips files a 1-D sorted layout must read (2-D box predicate)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val n = 1 << 16
+    val root = java.nio.file.Files.createTempDirectory("zlayout").toString
+    val pts = spark.range(n).select(
+      pmod(hash(col("id")), lit(256)).cast("int").as("x"),
+      pmod(hash(col("id") + 1000000), lit(256)).cast("int").as("y"),
+      col("id").as("v"))
+
+    // both layouts: 64 directory partitions, one file each, same data
+    ZOrder.writeLayout(pts, col("x"), col("y"), 8, 10, s"$root/z")
+    pts.withColumn("xbucket", shiftright(col("x"), 2))
+      .repartition(col("xbucket"))
+      .sortWithinPartitions("x")
+      .write.partitionBy("xbucket").mode("overwrite").parquet(s"$root/x")
+
+    // Morton-grid-aligned 32x32 box: its covering z range is exactly one
+    // contiguous interval (and here one zbucket); the x layout needs 8 of
+    // its 64 xbuckets for the same box
+    val (xlo, xhi, ylo, yhi) = (64, 95, 128, 159)
+    val (zlo, zhi) = (ZOrder.mortonOf(xlo, ylo, 8), ZOrder.mortonOf(xhi, yhi, 8))
+    assert(zhi - zlo == 1023) // contiguous curve segment, aligned box
+
+    def boxSum(df: org.apache.spark.sql.DataFrame, extra: org.apache.spark.sql.Column) = {
+      val q = df.filter(extra &&
+        col("x").between(xlo, xhi) && col("y").between(ylo, yhi))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("cnt"))
+      val row = q.collect().head
+      val scan = q.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f }.head
+      (row.getLong(0), row.getLong(1),
+        scan.metrics("numFiles").value, scan.metrics("numOutputRows").value)
+    }
+
+    val (sumZ, cntZ, filesZ, rowsZ) = boxSum(spark.read.parquet(s"$root/z"),
+      col("zbucket").between(zlo >> 10, zhi >> 10))
+    val (sumX, cntX, filesX, rowsX) = boxSum(spark.read.parquet(s"$root/x"),
+      col("xbucket").between(xlo >> 2, xhi >> 2))
+
+    assert(cntZ == cntX && sumZ == sumX) // identical answers
+    assert(cntZ > 0)
+    // file skipping: the z layout opens 1 of 64 files; the 1-D layout
+    // must open every file overlapping the x range (8), and decodes ~8x
+    // the rows because y is unbounded inside each of them
+    assert(filesZ == 1, s"z layout read $filesZ files")
+    assert(filesX >= 8, s"x layout read $filesX files")
+    assert(rowsZ * 4 < rowsX, s"decoded rowsZ=$rowsZ vs rowsX=$rowsX")
+
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(root)).deleteRecursively()
   }
 }
