@@ -7,7 +7,7 @@ import graft.config._
 import graft.operators.Synth
 import graft.sinks.HadoopBlobStore
 import graft.sources.RecordSources
-import graft.streaming.{HealthProbe, LoaderPipeline, MetricsEmitter, ServiceHealth}
+import graft.streaming.{ErrorReporter, HealthProbe, LoaderPipeline, MetricsEmitter, ServiceHealth}
 
 /** Demo/ops entrypoint: run the loader end-to-end over lines synthesized
   * from the events table, writing real gzip objects through the
@@ -73,15 +73,20 @@ object LoaderDemo {
     // (SPARK_GRAFT_STATSD=host:port)
     val services = new ServiceHealth
     val metrics = new LoaderPipeline.Metrics
+    val statsdCfg = sys.env.get("SPARK_GRAFT_STATSD").map { hp =>
+      val Array(h, p) = hp.split(":", 2)
+      MetricsEmitter.StatsdConfig(h, p.toInt)
+    }
+    // Sentry-equivalent: structured crash reports (statsd counter +
+    // /health lastError) registered FIRST, the reference's resource order
+    val errors = new ErrorReporter(statsdCfg)
     val probe = new HealthProbe(services = services,
-      metrics = Some(metrics)).start()
+      metrics = Some(metrics), errors = Some(errors)).start()
+    spark.streams.addListener(errors)
     spark.streams.addListener(probe)
     spark.streams.addListener(new MetricsEmitter.StreamLatencyListener(metrics))
-    val reporter = sys.env.get("SPARK_GRAFT_STATSD").map { hp =>
-      val Array(h, p) = hp.split(":", 2)
-      new MetricsEmitter.StatsdReporter(metrics,
-        MetricsEmitter.StatsdConfig(h, p.toInt)).start()
-    }
+    val reporter = statsdCfg.map(
+      new MetricsEmitter.StatsdReporter(metrics, _).start())
 
     val raw = RecordSources.build(spark, RecordSources.TextFiles(inDir))
     val cfg = LoaderConfig.validate(LoaderConfig(
@@ -104,6 +109,7 @@ object LoaderDemo {
       case None => q.awaitTermination()
     }
     reporter.foreach(_.close())
+    errors.close()
     probe.stop()
     spark.stop()
   }

@@ -362,6 +362,51 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // q62 against a PERSISTED corpus band index — the production daily
+    // shape made measurable: the index is written ONCE per (session ×
+    // dataset) via [[DedupIndex.write]] (bucketed+sorted on the join
+    // key) and every subsequent run only probes it, so the bench's
+    // min-of-2 records the steady-state probe cost with the corpus never
+    // re-signatured and never re-shuffled (its bucketing already
+    // satisfies the join distribution — DedupIndexSpec asserts the
+    // index-side plan is exchange-free). Output ≡ q62, so it shares
+    // q62's oracle and the hash match proves the persisted path changes
+    // nothing semantically. The synth tables are immutable per dir,
+    // which is what makes write-once sound here; a production pipeline
+    // refreshes the index on corpus compaction.
+    "q62b_incremental_dedup_indexed" -> { (s, dir) =>
+      val isBatch = col("doc_id") % 5 === 0
+      val shAll = shingled(s, dir)
+      val table = "graft_band_idx_" + math.abs(dir.hashCode).toString
+      if (!s.catalog.tableExists(table)) {
+        val corpusBands = bandsLong(minhashBandedFrom(shAll.filter(!isBatch)))
+          .toDF("doc_id", "band", "bucket")
+        DedupIndex.write(corpusBands, table, 8)
+      }
+      val batchBands = bandsLong(minhashBandedFrom(shAll.filter(isBatch)))
+        .toDF("id_new", "band", "bucket")
+      val vsCorpus = DedupIndex.probeCandidates(s, table, batchBands)
+      val vsBatch = batchBands
+        .join(batchBands.toDF("id_old", "band", "bucket").hint("shuffle_hash"),
+          Seq("band", "bucket"))
+        .filter(col("id_old") < col("id_new"))
+        .select("id_new", "id_old")
+      val cands = vsCorpus.union(vsBatch).distinct()
+      val shN = shAll.toDF("id_new", "sh_n")
+      val shO = shAll.toDF("id_old", "sh_o")
+      val dups = cands.join(shN, "id_new").join(shO, "id_old")
+        .withColumn("inter", expr("size(array_intersect(sh_n, sh_o))"))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (expr("size(sh_n)") + expr("size(sh_o)") - col("inter")))
+        .filter(col("jaccard") >= NearDupThreshold)
+        .groupBy("id_new").agg(min("id_old").as("dup_of"))
+      shAll.filter(isBatch).select("doc_id")
+        .join(dups.withColumnRenamed("id_new", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("keep", col("dup_of").isNull)
+        .select("doc_id", "dup_of", "keep")
+        .orderBy("doc_id")
+    },
+
     // Benchmark decontamination — drop training docs sharing any token
     // 3-gram with the eval set (doc_id ≡ 0 mod 97 stands in for the
     // benchmark suite). The asymmetry is the whole design: benchmarks are
@@ -447,7 +492,13 @@ object Dedup {
     s"md5(concat_ws('|', $cols)) AS band$bnd"
   }.mkString(",\n ")
 
-  def oracle: Map[String, String] = Map(
+  def oracle: Map[String, String] = {
+    val base = oracleBase
+    // identical semantics through the persisted band index → same oracle
+    base + ("q62b_incremental_dedup_indexed" -> base("q62_incremental_dedup"))
+  }
+
+  private def oracleBase: Map[String, String] = Map(
     "q30_exact_dedup" ->
       """SELECT doc_id,
         | min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,

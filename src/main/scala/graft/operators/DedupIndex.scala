@@ -18,10 +18,24 @@ import org.apache.spark.sql.functions._
   */
 object DedupIndex {
 
-  /** Persist a band index (doc_id, band, bucket) bucketed by join key. */
-  def write(bands: DataFrame, table: String, buckets: Int): Unit =
+  /** Persist a band index (doc_id, band, bucket) bucketed by join key.
+    * Overwrite holds across JVM restarts too: with the in-memory catalog,
+    * a fresh session does not know the table, but its warehouse location
+    * may survive from a previous run — CREATE would then fail with
+    * LOCATION_ALREADY_EXISTS, so a stale catalog-less location is removed
+    * first.
+    */
+  def write(bands: DataFrame, table: String, buckets: Int): Unit = {
+    val spark = bands.sparkSession
+    if (!spark.catalog.tableExists(table)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     bands.write.bucketBy(buckets, "band", "bucket").sortBy("band", "bucket")
       .mode("overwrite").saveAsTable(table)
+  }
 
   /** Candidate near-dup pairs of `batchBands` (id_new, band, bucket)
     * against the persisted corpus index: (id_new, id_old) for every

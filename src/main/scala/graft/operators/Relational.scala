@@ -351,8 +351,8 @@ object Relational {
     // passes + two tiny broadcasts; every double op (interpolated
     // median, subtraction, abs, one multiply) is correctly rounded in a
     // fixed order, so the stats AND the outlier counts hash-match. Same
-    // scale note as q84: exact medians for oracle-checkability,
-    // approx_percentile at 100 TB with the shape unchanged.
+    // scale note as q84: exact medians for oracle-checkability; q97b is
+    // the production approx_percentile twin at the same shape.
     "q97_robust_outliers" -> { (s, dir) =>
       val ev = Synth.events(s, dir).select(col("event_type"), col("value"))
       val meds = ev.groupBy("event_type")
@@ -361,6 +361,26 @@ object Relational {
         .withColumn("dev", abs(col("value") - col("med")))
       val mads = dev.groupBy("event_type")
         .agg(expr("percentile(dev, 0.5)").as("mad"))
+      dev.join(broadcast(mads), "event_type")
+        .groupBy("event_type")
+        .agg(first(col("med")).as("med"), first(col("mad")).as("mad"),
+          sum(when(col("dev") > col("mad") * 3, 1L).otherwise(0L)).as("n_outliers"))
+        .orderBy("event_type")
+    },
+
+    // q97 at production scale: the two exact medians (O(distinct-values)
+    // aggregation state) swap for approx_percentile — a mergeable sketch
+    // with state bounded by the accuracy parameter, independent of data
+    // volume — at the IDENTICAL two-pass + broadcast shape. Estimates
+    // are engine-specific ⇒ rows-only check; q97 stays the exact twin.
+    "q97b_robust_outliers_approx" -> { (s, dir) =>
+      val ev = Synth.events(s, dir).select(col("event_type"), col("value"))
+      val meds = ev.groupBy("event_type")
+        .agg(expr("approx_percentile(value, 0.5, 10000)").as("med"))
+      val dev = ev.join(broadcast(meds), "event_type")
+        .withColumn("dev", abs(col("value") - col("med")))
+      val mads = dev.groupBy("event_type")
+        .agg(expr("approx_percentile(dev, 0.5, 10000)").as("mad"))
       dev.join(broadcast(mads), "event_type")
         .groupBy("event_type")
         .agg(first(col("med")).as("med"), first(col("mad")).as("mad"),
@@ -638,15 +658,38 @@ object Relational {
     // Boundary doubles are bit-identical cross-engine (q44b proves the
     // interpolation), so bucket membership — a <= compare against them —
     // is too. Scale note: EXACT percentile state is O(distinct values);
-    // it is used here for oracle-checkability — at 100 TB the boundary
-    // pass swaps to approx_percentile (q44's sketch, mergeable bounded
-    // state) with the downstream bucket pass unchanged.
+    // it is used here for oracle-checkability — q84b is the production
+    // approx_percentile twin with the downstream bucket pass unchanged.
     "q84_equidepth_hist" -> { (s, dir) =>
       val ev = Synth.events(s, dir)
       val bounds = ev.agg(
         expr("percentile(value, 0.25)").as("b1"),
         expr("percentile(value, 0.5)").as("b2"),
         expr("percentile(value, 0.75)").as("b3"))
+      ev.crossJoin(broadcast(bounds))
+        .withColumn("bucket",
+          when(col("value") <= col("b1"), 0)
+            .when(col("value") <= col("b2"), 1)
+            .when(col("value") <= col("b3"), 2)
+            .otherwise(3))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min(dec(col("value"))).cast("double").as("lo"),
+          max(dec(col("value"))).cast("double").as("hi"))
+        .orderBy("bucket")
+    },
+
+    // q84 at production scale: boundary quartiles via approx_percentile
+    // (mergeable sketch, state bounded by the accuracy parameter — not
+    // O(distinct values)); the downstream bucket-assignment pass is
+    // byte-identical to q84's. Estimates are engine-specific ⇒
+    // rows-only check; q84 stays the exact twin.
+    "q84b_equidepth_approx" -> { (s, dir) =>
+      val ev = Synth.events(s, dir)
+      val bounds = ev.agg(
+        expr("approx_percentile(value, 0.25, 10000)").as("b1"),
+        expr("approx_percentile(value, 0.5, 10000)").as("b2"),
+        expr("approx_percentile(value, 0.75, 10000)").as("b3"))
       ev.crossJoin(broadcast(bounds))
         .withColumn("bucket",
           when(col("value") <= col("b1"), 0)

@@ -87,4 +87,36 @@ class DedupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       case s: ShuffleExchangeExec => s }.isEmpty),
       s"index side shuffled:\n$p")
   }
+
+  test("q62b: the persisted-index variant matches q62 exactly and its index side plans no exchange") {
+    val sf = sys.props.get("graft.testdata")
+      .orElse(sys.env.get("GRAFT_TESTDATA"))
+      .getOrElse("/root/testdata") + "/sf0.001"
+    val indexed = SparkEntry.queries("q62b_incremental_dedup_indexed")(spark, sf)
+    val inline = SparkEntry.queries("q62_incremental_dedup")(spark, sf)
+    assert(indexed.collect().toSeq == inline.collect().toSeq,
+      "persisted-index path must be semantically identical to q62")
+
+    // the probe's plan reads the corpus index in place: a bucketed scan
+    // with no exchange anywhere above it on its side of the join
+    val p = indexed.queryExecution.executedPlan
+    val bucketed = p.collect {
+      case f: FileSourceScanExec if f.bucketedScan => f }
+    assert(bucketed.nonEmpty, s"no bucketed index scan in q62b:\n$p")
+    // the NEAREST join above the bucketed scan (its probe join): the
+    // scan-holding side must be join-free below and exchange-free —
+    // downstream verify joins legitimately shuffle candidate-sized rows
+    val probeSides = p.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.flatMap(_.children.filter { c =>
+      c.collect { case f: FileSourceScanExec if f.bucketedScan => f }.nonEmpty &&
+        c.collect {
+          case jj: org.apache.spark.sql.execution.joins.SortMergeJoinExec => jj }.isEmpty
+    })
+    assert(probeSides.nonEmpty, s"no join directly over the bucketed index scan:\n$p")
+    probeSides.foreach { side =>
+      assert(side.collect { case s: ShuffleExchangeExec => s }.isEmpty,
+        s"corpus index side shuffled:\n$p")
+    }
+  }
 }
