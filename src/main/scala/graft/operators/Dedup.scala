@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  private[operators] val toks = "split(trim(text), '\\\\s+')"
+  private[graft] val toks = "split(trim(text), '\\\\s+')"
 
   /** doc_id + distinct-3-gram-shingle array, shared by q31/q32. Uses the
     * native [[graft.functions.TokenShingles]] expression — the composed
@@ -57,7 +57,7 @@ object Dedup {
   private def minhashBandedFrom(shDf: DataFrame): DataFrame = {
     val mh = shDf
       .withColumn("mhs", expr(s"graft_minhash(sh, $nHashes)"))
-      .select(col("doc_id") +:
+      .select(col("doc_id") +: col("sh") +:
         (0 until nHashes).map(i => col("mhs").getItem(i).as(s"mh$i")): _*)
     (0 until nBands).foldLeft(mh) { (df, bnd) =>
       val cols = (0 until 3).map(j => s"mh${bnd * 3 + j}").mkString(", ")
@@ -69,6 +69,24 @@ object Dedup {
   /** Unpivot band columns to (doc_id, band, bucket) rows — map-only stack. */
   private def bandsLong(banded: DataFrame): DataFrame =
     banded.selectExpr("doc_id",
+      "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) AS (band, bucket)")
+
+  /** Public banding surface: (doc_id, sh) → (doc_id, band, bucket) rows,
+    * map-only — the signature pass shared by [[DedupIndex]] writers and
+    * the streaming incremental-dedup twin
+    * ([[graft.streaming.EventTimeAggregates.streamingIncrementalDedup]]).
+    */
+  def bandBuckets(shDf: DataFrame): DataFrame =
+    bandsLong(minhashBandedFrom(shDf))
+
+  /** Band rows with the shingle array carried through — the streaming
+    * twin verifies candidates against the static corpus WITHOUT joining
+    * back to its own (streaming) shingle pass: a stream-stream self-join
+    * is unsupported in Update mode, and carrying the column is free
+    * (map-only stack, 4 rows per doc).
+    */
+  def bandBucketsWithShingles(shDf: DataFrame): DataFrame =
+    minhashBandedFrom(shDf).selectExpr("doc_id", "sh",
       "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) AS (band, bucket)")
 
   /** Shingle document-frequency cap for q31. The inverted-index self-join

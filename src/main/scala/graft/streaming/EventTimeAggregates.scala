@@ -101,6 +101,50 @@ object EventTimeAggregates {
         col("col.id").as("vec_id"), col("col.score").as("cosine"))
   }
 
+  /** Streaming incremental dedup — the streaming twin of q62/q62b: each
+    * micro-batch of arriving docs is minhash-banded (map-only native
+    * signatures) and stream-static joined against the PERSISTED corpus
+    * band index ([[graft.operators.DedupIndex]] layout) on (band,
+    * bucket); band collisions verify at exact Jaccard against the static
+    * corpus-shingle table, and each duplicate emits with its canonical
+    * `dup_of` (min colliding corpus id). Everything is stateless per
+    * micro-batch except the final per-doc min — Update mode, one row of
+    * state per in-flight doc (each doc_id arrives once). The corpus
+    * side's bucketing satisfies the join distribution exactly as in the
+    * batch path, so arriving batches never shuffle the corpus.
+    *
+    * `docs` (streaming): doc_id, text. `index` (static): doc_id, band,
+    * bucket. `corpusShingles` (static): doc_id, sh. Emits only verified
+    * duplicates: (doc_id, dup_of).
+    */
+  def streamingIncrementalDedup(
+      docs: DataFrame,
+      index: DataFrame,
+      corpusShingles: DataFrame,
+      threshold: Double = 0.8): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // the shingle array rides along with the band rows: verifying via a
+    // join back to the stream's own shingle pass would be a stream-stream
+    // self-join (unsupported in Update mode); carrying the column keeps
+    // every join below stream-static
+    val bands = graft.operators.Dedup.bandBucketsWithShingles(
+      docs.select(col("doc_id"),
+        expr(s"graft_shingles(${graft.operators.Dedup.toks}, 3)").as("sh")))
+      .select(col("doc_id").as("id_new"), col("sh").as("sh_n"),
+        col("band"), col("bucket"))
+    bands.join(
+      index.select(col("doc_id").as("id_old"), col("band"), col("bucket")),
+      Seq("band", "bucket"))
+      .join(corpusShingles.select(col("doc_id").as("id_old"), col("sh").as("sh_o")),
+        "id_old")
+      .withColumn("inter", expr("size(array_intersect(sh_n, sh_o))"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (expr("size(sh_n)") + expr("size(sh_o)") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("id_new").as("doc_id"))
+      .agg(min(col("id_old")).as("dup_of"))
+  }
+
   final case class SessionEvent(user_id: Long, event_id: Long, ts_us: Long)
   final case class SessionState(sessionSeq: Long, lastTsUs: Long, nEvents: Long)
   final case class SessionAssignment(

@@ -114,6 +114,47 @@ class EventTimeSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup: arriving docs verify against the persisted band index") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    // static corpus: three docs, band index persisted via DedupIndex
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "pack my box with five dozen liquor jugs right now"),
+      (3L, "sphinx of black quartz judge my vow said the king"))
+      .toDF("doc_id", "text")
+    val corpusSh = corpus.select(col("doc_id"),
+      expr(s"graft_shingles(split(trim(text), '\\\\s+'), 3)").as("sh"))
+    graft.operators.DedupIndex.write(
+      graft.operators.Dedup.bandBuckets(corpusSh), "stream_band_idx", 4)
+    val index = spark.table("stream_band_idx")
+
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val out = EventTimeAggregates.streamingIncrementalDedup(
+      docs, index, corpusSh)
+    val q = out.writeStream.format("memory").queryName("sdedup")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(
+        (100L, "the quick brown fox jumps over the lazy dog today"), // dup of 1
+        (101L, "completely novel content that matches nothing else here at all"))
+      q.processAllAvailable()
+      val rows = spark.sql("select doc_id, dup_of from sdedup").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // only the duplicate emits, canonicalized to corpus doc 1
+      assert(rows == Set((100L, 1L)), s"got $rows")
+
+      // a later micro-batch: another dup (of corpus doc 2), state carries
+      mem.addData((102L, "pack my box with five dozen liquor jugs right now"))
+      q.processAllAvailable()
+      val rows2 = spark.sql("select doc_id, dup_of from sdedup").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows2 == Set((100L, 1L), (102L, 2L)), s"got $rows2")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join with watermarks matches views to purchases") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
