@@ -108,6 +108,35 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // Cross-doc verbatim-span candidates — the distributed shape of
+    // suffix-array substring dedup ("deduplicating training data"
+    // pipelines drop long verbatim repeats, not just near-dup docs).
+    // Winnowing's guarantee makes the sampled index sound: any shared
+    // token run of length ≥ window+ngram−1 (here 6) shares at least one
+    // selected fingerprint, so every pair with a long verbatim overlap
+    // MUST surface; n_shared grows with overlap length. Cost at scale:
+    // fingerprints are a sampled subset of n-grams (map-only native
+    // graft_winnow), the self-join is bounded by per-fingerprint df with
+    // corpus-common fingerprints (boilerplate n-grams) capped out before
+    // the join — the q31 guard, same Σdf² argument.
+    "q55_verbatim_spans" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val fps = Synth.documents(s, dir)
+        .select(col("doc_id"), explode(expr(s"graft_winnow($toks, 3, 4)")).as("fp"))
+      val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 50).select("fp")
+      val docs = fps.join(rare.hint("shuffle_hash"), Seq("fp"), "left_semi")
+        .select("doc_id", "fp") // USING join emits the join column first
+      val a = docs.toDF("id_a", "fp")
+      val b = docs.toDF("id_b", "fp")
+      a.join(b.hint("shuffle_hash"), "fp")
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("n_shared").desc, col("id_a"), col("id_b"))
+        .limit(50)
+    },
+
     // The whole curation funnel in ONE plan — what a training-data run
     // actually executes: exact-dedup (keep canonical) → quality floor →
     // language filter → deterministic sample. Every stage is a narrow
@@ -462,6 +491,29 @@ object TextAnalysis {
          |  fps[1] AS fp_min,
          |  md5(array_to_string(fps, '')) AS fp_set_hash
          |FROM fp ORDER BY doc_id""".stripMargin,
+
+    // Same winnow rendering as q28, exploded to (doc_id, fp) rows; the
+    // df cap and pair count mirror the Spark side exactly.
+    "q55_verbatim_spans" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    list_transform(generate_series(1, greatest(len($dToks) - 2, 1)),
+         |      i -> substring(md5(array_to_string(list_slice($dToks, i, i + 2), ' ')), 1, 16)) AS h
+         |  FROM documents),
+         |fp AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, greatest(len(h) - 3, 1)),
+         |    i -> list_min(list_slice(h, i, i + 3))))) AS fp
+         |  FROM h),
+         |rare AS (
+         |  SELECT fp FROM (SELECT fp, count(*) AS df FROM fp GROUP BY fp)
+         |  WHERE df <= 50),
+         |d AS (SELECT doc_id, fp FROM fp JOIN rare USING (fp))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  cast(count(*) as bigint) AS n_shared
+         |FROM d a JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |ORDER BY n_shared DESC, id_a, id_b LIMIT 50""".stripMargin,
 
     "q60_corpus_curation" ->
       s"""WITH dedup AS (
