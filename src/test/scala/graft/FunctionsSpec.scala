@@ -89,6 +89,26 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(both.getLong(0) == both.getLong(1))
   }
 
+  test("graft_simhash64: bits 0-15 are exactly graft_simhash (prefix property), width fills 64") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_simhash(t) AS s16, graft_simhash64(t) AS s64
+        |FROM (SELECT array('alpha', 'beta', 'alpha', 'gamma!', 'x9') AS t)""".stripMargin)
+      .collect()(0)
+    val (s16, s64) = (r.getLong(0), r.getLong(1))
+    assert((s64 & 0xffffL) == s16, f"low 16 bits differ: s16=$s16%x s64=$s64%x")
+    assert(s64 != s16, "upper 48 bits all zero — width not actually 64")
+  }
+
+  test("graft_simhash64: null and empty contracts match graft_simhash") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_simhash64(cast(null as array<string>)) AS n,
+        |  graft_simhash64(cast(array() as array<string>)) AS e""".stripMargin).collect()(0)
+    assert(r.isNullAt(0)) // null in, null out
+    assert(r.getLong(1) == 0L) // no tokens: every vote sum 0, no bit set
+  }
+
   test("graft_winnow: matches the composed slice/array_min winnowing form") {
     GraftFunctions.register(spark)
     val r = spark.sql(

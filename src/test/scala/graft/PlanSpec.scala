@@ -140,9 +140,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scans.size == 1, s"cube must scan events once, got ${scans.size}")
   }
 
-  test("q31b/q33b/q33c: candidate generation is hash joins, never a cartesian pair space") {
+  test("q31b/q33b/q33c/q55: candidate generation is hash joins, never a cartesian pair space") {
     for (q <- Seq("q31b_prefix_jaccard", "q33b_simhash_pairs",
-        "q33c_simhash64_pairs")) {
+        "q33c_simhash64_pairs", "q55_verbatim_spans")) {
       val s = plan(q).toString
       assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
         s"$q must join on index keys, got:\n$s")

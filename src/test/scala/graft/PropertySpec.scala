@@ -116,6 +116,30 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("winnowing guarantee: docs sharing a ≥6-token verbatim run always share a fingerprint (q55 soundness)") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // window+ngram−1 = 4+3−1 = 6: a planted 6-token run yields exactly
+    // one hash window fully inside the match in BOTH docs, whose min is
+    // the same selected fingerprint — whatever surrounds it
+    val wordGen = Gen.oneOf((0 until 40).map(i => s"w$i"))
+    val docGen = Gen.chooseNum(6, 20).flatMap(n => Gen.listOfN(n, wordGen))
+    val spanGen = Gen.chooseNum(6, 10).flatMap(n => Gen.listOfN(n, wordGen))
+    samples(Gen.zip(spanGen, docGen, docGen), 8).foreach {
+      case (seed, (span, d1, d2)) =>
+        val a = d1.take(7) ++ span ++ d1.drop(7)
+        val b = d2.take(3) ++ span ++ d2.drop(3)
+        val fps = Seq((0L, a.mkString(" ")), (1L, b.mkString(" ")))
+          .toDF("doc_id", "text")
+          .select(col("doc_id"), explode(
+            expr("graft_winnow(split(trim(text), '\\\\s+'), 3, 4)")).as("fp"))
+        val shared = fps.groupBy("fp")
+          .agg(countDistinct("doc_id").as("nd"))
+          .filter(col("nd") === 2).count()
+        assert(shared >= 1, s"seed=$seed planted span surfaced no shared fingerprint")
+    }
+  }
+
   test("PrefixSum.overBlocks ≡ sequential running sum for random values and block sizes") {
     import spark.implicits._
     val gen = for {
