@@ -137,6 +137,40 @@ object TextAnalysis {
         .limit(50)
     },
 
+    // Sparse-vector cosine similarity join — the SPARSE-retrieval
+    // counterpart of the dense ANN family (q34/q40...): docs as tf
+    // vectors over the informative vocabulary (df ≤ 100 — stopword-ish
+    // dimensions carry no signal and would make the inverted-index join
+    // quadratic on their keys, the q31 guard), pair dots via the
+    // inverted index (document-at-a-time: cost Σ_term df², never n²).
+    // Everything stays INTEGER (tf products, squared norms) until one
+    // final sqrt/divide in a fixed order, so the cosine doubles are
+    // bit-identical cross-engine — the sparse analogue of q53's
+    // IEEE-exact argument.
+    "q57_sparse_cosine" -> { (s, dir) =>
+      val tf = Synth.documents(s, dir)
+        .select(col("doc_id"), explode(expr(toks)).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val rare = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 100).select("term")
+      val v = tf.join(rare.hint("shuffle_hash"), Seq("term"), "left_semi")
+        .select("doc_id", "term", "tf")
+      val norms = v.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("n2"))
+      val a = v.toDF("id_a", "term", "tf_a")
+      val b = v.toDF("id_b", "term", "tf_b")
+      a.join(b.hint("shuffle_hash"), "term")
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(sum(col("tf_a") * col("tf_b")).as("dot"))
+        .join(norms.toDF("id_a", "na2"), "id_a")
+        .join(norms.toDF("id_b", "nb2"), "id_b")
+        .withColumn("cosine", col("dot").cast("double") /
+          (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))))
+        .select("id_a", "id_b", "dot", "cosine")
+        .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
+        .limit(50)
+    },
+
     // The whole curation funnel in ONE plan — what a training-data run
     // actually executes: exact-dedup (keep canonical) → quality floor →
     // language filter → deterministic sample. Every stage is a narrow
@@ -431,6 +465,31 @@ object TextAnalysis {
          |  FROM scored)
          |SELECT doc_id, term, tf, df, score, rk
          |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    "q57_sparse_cosine" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($dToks) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, cast(count(*) as bigint) AS tf
+         |       FROM tok GROUP BY 1, 2),
+         |rare AS (SELECT term FROM (
+         |    SELECT term, count(*) AS df FROM tf GROUP BY 1) WHERE df <= 100),
+         |v AS (SELECT doc_id, term, tf FROM tf JOIN rare USING (term)),
+         |norms AS (SELECT doc_id, cast(sum(tf * tf) as bigint) AS n2
+         |          FROM v GROUP BY 1),
+         |dots AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    cast(sum(a.tf * b.tf) as bigint) AS dot
+         |  FROM v a JOIN v b USING (term)
+         |  WHERE a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, dot,
+         |  cast(dot as double)
+         |    / (sqrt(cast(na.n2 as double)) * sqrt(cast(nb.n2 as double)))
+         |    AS cosine
+         |FROM dots
+         |JOIN norms na ON na.doc_id = dots.id_a
+         |JOIN norms nb ON nb.doc_id = dots.id_b
+         |ORDER BY cosine DESC, id_a, id_b LIMIT 50""".stripMargin,
+
     "q20_token_stats" ->
       s"""SELECT doc_id,
          | cast(len($dToks) as int) AS n_tokens,

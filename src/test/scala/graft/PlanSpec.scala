@@ -142,7 +142,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("q31b/q33b/q33c/q55: candidate generation is hash joins, never a cartesian pair space") {
     for (q <- Seq("q31b_prefix_jaccard", "q33b_simhash_pairs",
-        "q33c_simhash64_pairs", "q55_verbatim_spans")) {
+        "q33c_simhash64_pairs", "q55_verbatim_spans", "q57_sparse_cosine")) {
       val s = plan(q).toString
       assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
         s"$q must join on index keys, got:\n$s")
