@@ -25,6 +25,15 @@ object TextAnalysis {
   private val EsSet = "('el','la','de','que','y','en')"
   private val DeSet = "('der','die','und','das','ist','ein')"
 
+  // q56's keyword queries — (query_id, term) rows, identical in the
+  // DuckDB VALUES rendering below.
+  private val BM25Queries: Seq[(Int, String)] = Seq(
+    1 -> "hash", 1 -> "join", 1 -> "merge",
+    2 -> "window", 2 -> "sort", 2 -> "order",
+    3 -> "stream", 3 -> "batch", 3 -> "filter")
+  private val dBM25Values = BM25Queries
+    .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace tokens + a BPE-ish regex token count
     // (non-overlapping [a-z]{1,4} chunks approximate subword splitting).
@@ -169,6 +178,58 @@ object TextAnalysis {
         .select("id_a", "id_b", "dot", "cosine")
         .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
         .limit(50)
+    },
+
+    // BM25 keyword retrieval — the full-text-search operator the corpus
+    // tooling runs constantly ("find the docs about X"): per-(query,
+    // term) Okapi BM25 (k1=1.2, b=0.75), top-10 docs per query. Scale
+    // shape: the query table is KBs and BROADCAST; the corpus pass is
+    // one explode filtered to query terms before the tf groupBy, so
+    // state is O(Σ_queryterm df), never corpus-wide; dl is map-only
+    // (size(), no explode); corpus stats are a 1-row broadcast.
+    // Cross-engine exactness: each per-term contribution is a fixed
+    // order of correctly-rounded double ops (identical nesting in the
+    // oracle), then floor-scaled to int64 BEFORE the per-doc sum — the
+    // KMeans/PageRank fixed-point trick — so the cross-term aggregation
+    // is order-independent integer addition and the hash matches.
+    "q56_bm25" -> { (s, dir) =>
+      import s.implicits._
+      val qterms = BM25Queries.toDF("query_id", "term")
+      val terms = BM25Queries.map(_._2).distinct
+      val docs = Synth.documents(s, dir)
+        .select(col("doc_id"), expr(toks).as("tk"))
+      val stats = docs.agg(
+        count(lit(1)).as("n"), sum(expr("size(tk)")).as("total"))
+      val dl = docs.select(col("doc_id"), expr("size(tk)").as("dl"))
+      val tf = docs
+        .select(col("doc_id"), explode(col("tk")).as("term"))
+        .filter(col("term").isin(terms: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val contrib = tf
+        .join(broadcast(qterms), "term")
+        .join(broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          (col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5)))
+        .withColumn("num", col("tf").cast("double") * lit(2.2))
+        .withColumn("den", col("tf").cast("double") +
+          lit(1.2) * (lit(0.25) + lit(0.75) *
+            (col("dl").cast("double") /
+              (col("total").cast("double") / col("n").cast("double")))))
+        .withColumn("fp",
+          floor(col("idf") * (col("num") / col("den")) * lit(1.0e9)))
+      val score = contrib.groupBy("query_id", "doc_id")
+        .agg(sum(col("fp")).as("score_fp"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("score_fp").desc, col("doc_id"))
+      score
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select("query_id", "doc_id", "score_fp", "rk")
+        .orderBy("query_id", "rk")
     },
 
     // The whole curation funnel in ONE plan — what a training-data run
@@ -489,6 +550,38 @@ object TextAnalysis {
          |JOIN norms na ON na.doc_id = dots.id_a
          |JOIN norms nb ON nb.doc_id = dots.id_b
          |ORDER BY cosine DESC, id_a, id_b LIMIT 50""".stripMargin,
+
+    // Same contribution formula, same double-op nesting, same floor-to-
+    // int64 before the per-doc sum — see the q56 comment in `queries`.
+    "q56_bm25" ->
+      s"""WITH q(query_id, term) AS (VALUES $dBM25Values),
+         |docs AS (SELECT doc_id, $dToks AS tk FROM documents),
+         |stats AS (SELECT count(*) AS n, sum(len(tk)) AS total FROM docs),
+         |dl AS (SELECT doc_id, len(tk) AS dl FROM docs),
+         |tok AS (SELECT doc_id, unnest(tk) AS term FROM docs),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |       WHERE term IN (SELECT DISTINCT term FROM q)
+         |       GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |contrib AS (
+         |  SELECT q.query_id, tf.doc_id,
+         |    cast(floor(
+         |      ((cast(n as double) - cast(df as double) + 0.5)
+         |         / (cast(df as double) + 0.5))
+         |      * ((cast(tf as double) * 2.2)
+         |         / (cast(tf as double)
+         |            + 1.2 * (0.25 + 0.75 * (cast(dl.dl as double)
+         |                / (cast(total as double) / cast(n as double))))))
+         |      * 1e9) as bigint) AS fp
+         |  FROM tf JOIN q USING (term) JOIN df USING (term)
+         |    JOIN dl USING (doc_id), stats),
+         |score AS (SELECT query_id, doc_id, cast(sum(fp) as bigint) AS score_fp
+         |          FROM contrib GROUP BY 1, 2)
+         |SELECT query_id, doc_id, score_fp, rk FROM (
+         |  SELECT *, cast(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score_fp DESC, doc_id) as int) AS rk
+         |  FROM score)
+         |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
 
     "q20_token_stats" ->
       s"""SELECT doc_id,

@@ -149,6 +149,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q56: the query/df/stats sides broadcast; corpus never shuffles for them") {
+    val p = plan("q56_bm25")
+    val bhj = p.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size >= 2, s"query-term and df joins must broadcast:\n$p")
+    // the only nested-loop join is the deliberate 1-row stats broadcast
+    val bnlj = p.collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnlj.size <= 1, s"only the 1-row stats crossJoin may nest:\n$p")
+  }
+
   test("q31b: every window is partitioned (no global sort in the prefix ranking)") {
     val s = plan("q31b_prefix_jaccard").toString
     assert(!s.contains("SinglePartition, Window") &&
