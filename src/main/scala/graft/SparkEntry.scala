@@ -26,7 +26,8 @@ object SparkEntry {
     RefQueries.queries ++ Relational.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ KMeans.queries ++
       Multimodal.queries ++ Curation.queries ++ RangeJoin.queries ++
-      ProductQuantization.queries ++ PageRank.queries ++ ZOrder.queries
+      ProductQuantization.queries ++ PageRank.queries ++ ZOrder.queries ++
+      Triangles.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -35,5 +36,6 @@ object SparkEntry {
     RefQueries.oracle ++ Relational.oracle ++ TextAnalysis.oracle ++
       Dedup.oracle ++ Similarity.oracle ++ KMeans.oracle ++
       Multimodal.oracle ++ Curation.oracle ++ RangeJoin.oracle ++
-      ProductQuantization.oracle ++ PageRank.oracle ++ ZOrder.oracle
+      ProductQuantization.oracle ++ PageRank.oracle ++ ZOrder.oracle ++
+      Triangles.oracle
 }

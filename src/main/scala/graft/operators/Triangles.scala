@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Degree-oriented triangle counting — the clustering-coefficient /
+  * community-density primitive over a co-occurrence graph.
+  *
+  * The naive triangle join (edges ⋈ edges ⋈ edges on id order) explodes
+  * on hub nodes: a vertex of degree d contributes d² wedges, and real
+  * co-occurrence graphs are power-law. The published fix (Cohen's
+  * MapReduce triangle counting; Suri & Vassilvitskii WWW'11) orients
+  * every edge from its lower-(degree, id) endpoint to its higher one —
+  * a total order, so the oriented graph is a DAG where every vertex has
+  * out-degree O(√m) — then joins out-edge pairs (wedges) against the
+  * oriented edge set. Σ out-deg² is bounded by O(m^1.5) regardless of
+  * skew, and each triangle is found exactly once (at its unique vertex
+  * with out-degree 2 inside the triangle).
+  *
+  * Everything is exact integer counting, so the DuckDB oracle — which
+  * enumerates the same triangle set by plain id order, orientation-free
+  * — hash-matches. The graph here: parts co-purchased in the same order
+  * (the lineitem self-join is bounded per order by lines-per-order, ≤7
+  * in TPC-H, so edge generation is linear in the log).
+  */
+object Triangles {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_triangles" -> { (s, dir) =>
+      val li = Synth.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.toDF("ok", "pa")
+        .join(li.toDF("ok", "pb").hint("shuffle_hash"), "ok")
+        .filter(col("pa") < col("pb"))
+        .select("pa", "pb").distinct()
+        .localCheckpoint() // reused by deg, both wedge sides, closing join
+      val deg = edges.select(col("pa").as("v"))
+        .unionAll(edges.select(col("pb").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      // orient low→high in (deg, id) order; pa < pb breaks degree ties
+      val oriented = edges
+        .join(deg.toDF("pa", "da"), "pa")
+        .join(deg.toDF("pb", "db"), "pb")
+        .select(
+          when(col("da") <= col("db"), col("pa")).otherwise(col("pb")).as("src"),
+          when(col("da") <= col("db"), col("pb")).otherwise(col("pa")).as("dst"),
+          when(col("da") <= col("db"), col("db")).otherwise(col("da")).as("ddst"))
+        .localCheckpoint()
+      // wedges: out-neighbor pairs of u, ordered by the same (deg, id)
+      // order the orientation uses — the closing edge, if present, is
+      // then oriented v→w and one equi-join finds it
+      val wedges = oriented.toDF("u", "v", "dv")
+        .join(oriented.toDF("u", "w", "dw").hint("shuffle_hash"), "u")
+        .filter(col("dv") < col("dw") ||
+          (col("dv") === col("dw") && col("v") < col("w")))
+      wedges
+        .join(oriented.select(col("src").as("v"), col("dst").as("w"))
+          .hint("shuffle_hash"), Seq("v", "w"))
+        .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("n_tri"))
+        .orderBy(col("n_tri").desc, col("node"))
+        .limit(100)
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    // same triangle set, enumerated orientation-free by id order
+    "q68_triangles" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |tri AS (
+        |  SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+        |  FROM edges e1
+        |  JOIN edges e2 ON e2.pa = e1.pa AND e2.pb > e1.pb
+        |  JOIN edges e3 ON e3.pa = e1.pb AND e3.pb = e2.pb),
+        |nodes AS (
+        |  SELECT a AS node FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |SELECT node, cast(count(*) as bigint) AS n_tri
+        |FROM nodes GROUP BY 1
+        |ORDER BY n_tri DESC, node LIMIT 100""".stripMargin
+  )
+}
