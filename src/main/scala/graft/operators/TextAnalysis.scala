@@ -453,28 +453,40 @@ object TextAnalysis {
     // driver-side loop state, no corpus re-scan per round (the
     // PageRank/KMeans unrolled-round pattern, fully declarative).
     "q81b_bpe_merges" -> { (s, dir) =>
-      val words0 = Synth.documents(s, dir)
-        .select(explode(expr(toks)).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("wc"))
-        .select(concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("syms"),
-          col("wc"))
-      def pairStats(words: DataFrame): DataFrame = words
-        .withColumn("sa", split(trim(col("syms")), " "))
-        .select(col("wc"), explode(expr(
-          "zip_with(slice(sa, 1, size(sa) - 1), slice(sa, 2, size(sa) - 1), " +
-            "(x, y) -> concat(x, ' ', y))")).as("pair"))
-        .groupBy("pair").agg(sum(col("wc")).as("n"))
       val rounds = (1 to 3).foldLeft(
-          (words0, List.empty[DataFrame])) { case ((words, acc), r) =>
-        val best = pairStats(words).orderBy(col("n").desc, col("pair")).limit(1)
-        val merged = words
-          .crossJoin(broadcast(best.select(col("pair").as("_mp"))))
-          .withColumn("syms", expr(
-            "replace(syms, concat(' ', _mp, ' '), concat(' ', replace(_mp, ' ', ''), ' '))"))
-          .drop("_mp")
-        (merged, best.select(lit(r).as("round"), col("pair"), col("n")) :: acc)
+          (bpeVocab0(s, dir), List.empty[DataFrame])) { case ((words, acc), r) =>
+        val best = bpePairStats(words).orderBy(col("n").desc, col("pair")).limit(1)
+        (bpeMergeRound(words, best),
+          best.select(lit(r).as("round"), col("pair"), col("n")) :: acc)
       }._2
       rounds.reduce(_ unionByName _).orderBy("round")
+    },
+
+    // BPE ENCODE — the apply side of q81b's merge training: run the same
+    // 3 trained merges over the corpus and report per-doc subword counts
+    // (the token-budget accounting a training run does before packing).
+    // Scale shape: merges apply to the VOCABULARY (distinct words), not
+    // the corpus — each round is a 1-row broadcast + map-only replace
+    // over vocab-sized data; the corpus is touched exactly once, by the
+    // final word→n_sub equi-join. All counting is exact integers; the
+    // one ratio is a single fixed-order double divide of aggregated
+    // values.
+    "q58_bpe_encode" -> { (s, dir) =>
+      val vocab = (1 to 3).foldLeft(bpeVocab0(s, dir)) { case (words, _) =>
+        val best = bpePairStats(words).orderBy(col("n").desc, col("pair")).limit(1)
+        bpeMergeRound(words, best)
+      }
+      val enc = vocab.select(col("w"),
+        expr("size(split(trim(syms), ' '))").as("n_sub"))
+      Synth.documents(s, dir)
+        .select(col("doc_id"), explode(expr(toks)).as("w"))
+        .join(enc.hint("shuffle_hash"), "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum(col("n_sub")).as("n_subwords"))
+        .withColumn("compression",
+          col("n_subwords").cast("double") / col("n_tokens").cast("double"))
+        .select("doc_id", "n_tokens", "n_subwords", "compression")
+        .orderBy("doc_id")
     },
 
     // Document length histogram (100-char buckets) — corpus shape stats.
@@ -485,6 +497,39 @@ object TextAnalysis {
         .orderBy("bucket")
     }
   )
+
+  /** BPE space-delimited symbol vocabulary: one row per distinct corpus
+    * word, `syms` = " c h a r s " (leading space so merges anchor on
+    * word-initial pairs too), `wc` = corpus frequency. Shared by q81b
+    * (training) and q58 (encode).
+    */
+  private def bpeVocab0(s: SparkSession, dir: String): DataFrame =
+    Synth.documents(s, dir)
+      .select(explode(expr(toks)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .select(col("w"),
+        concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("syms"),
+        col("wc"))
+
+  /** Adjacent-symbol pair counts weighted by word frequency — the BPE
+    * training statistic. Runs vocab-sized, never corpus-sized.
+    */
+  private def bpePairStats(words: DataFrame): DataFrame = words
+    .withColumn("sa", split(trim(col("syms")), " "))
+    .select(col("wc"), explode(expr(
+      "zip_with(slice(sa, 1, size(sa) - 1), slice(sa, 2, size(sa) - 1), " +
+        "(x, y) -> concat(x, ' ', y))")).as("pair"))
+    .groupBy("pair").agg(sum(col("wc")).as("n"))
+
+  /** One merge round: broadcast the 1-row argmax pair, rewrite every
+    * vocabulary entry with a plain left-to-right replace.
+    */
+  private def bpeMergeRound(words: DataFrame, best: DataFrame): DataFrame =
+    words
+      .crossJoin(broadcast(best.select(col("pair").as("_mp"))))
+      .withColumn("syms", expr(
+        "replace(syms, concat(' ', _mp, ' '), concat(' ', replace(_mp, ' ', ''), ' '))"))
+      .drop("_mp")
 
   private val dToks = "regexp_split_to_array(trim(text), '\\s+')"
 
@@ -749,6 +794,43 @@ object TextAnalysis {
     // Unrolled 3-round replay: per round, pair stats over the current
     // symbol strings, top-1 (n DESC, pair ASC), then the same
     // space-delimited `replace` rewrite via a 1-row cross join.
+    // q81b's unrolled training rounds (carrying the word key), then the
+    // vocab-sized encode join — see the q58 comment in `queries`.
+    "q58_bpe_encode" -> {
+      def roundCte(r: Int, src: String) =
+        s"""pairs_$r AS (
+           |  SELECT p AS pair, cast(sum(wc) as bigint) AS n FROM (
+           |    SELECT wc, unnest(list_transform(
+           |      generate_series(1, len(string_split(trim(s), ' ')) - 1),
+           |      i -> string_split(trim(s), ' ')[i] || ' ' ||
+           |           string_split(trim(s), ' ')[i + 1])) AS p
+           |    FROM $src)
+           |  GROUP BY p),
+           |best_$r AS (SELECT pair, n FROM pairs_$r ORDER BY n DESC, pair LIMIT 1),
+           |words_$r AS (
+           |  SELECT w, replace(s, ' ' || b.pair || ' ',
+           |    ' ' || replace(b.pair, ' ', '') || ' ') AS s, wc
+           |  FROM $src CROSS JOIN best_$r b)""".stripMargin
+      s"""WITH words_0 AS (
+         |  SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s,
+         |    count(*) AS wc
+         |  FROM (SELECT unnest($dToks) AS w FROM documents) GROUP BY 1, 2),
+         |${roundCte(1, "words_0")},
+         |${roundCte(2, "words_1")},
+         |${roundCte(3, "words_2")},
+         |enc AS (
+         |  SELECT w, cast(len(string_split(trim(s), ' ')) as int) AS n_sub
+         |  FROM words_3),
+         |tok AS (SELECT doc_id, unnest($dToks) AS w FROM documents),
+         |agg AS (
+         |  SELECT doc_id, cast(count(*) as bigint) AS n_tokens,
+         |    cast(sum(n_sub) as bigint) AS n_subwords
+         |  FROM tok JOIN enc USING (w) GROUP BY 1)
+         |SELECT doc_id, n_tokens, n_subwords,
+         |  cast(n_subwords as double) / cast(n_tokens as double) AS compression
+         |FROM agg ORDER BY doc_id""".stripMargin
+    },
+
     "q81b_bpe_merges" -> {
       def pairsCte(r: Int, src: String) =
         s"""pairs_$r AS (
