@@ -232,6 +232,33 @@ object TextAnalysis {
         .orderBy("query_id", "rk")
     },
 
+    // Corpus-driven boilerplate stripping — the CCNet/RefinedWeb-style
+    // stage that drops tokens carried by nearly every document (nav
+    // chrome, licence headers): the stoplist is MINED from the corpus
+    // (doc-frequency ratio > 0.8), not hand-written. Scale shape: df is
+    // one shuffle over distinct (doc, term) pairs; the stoplist is
+    // vocabulary-sized and broadcast into a left-anti probe, so the
+    // corpus pass stays map-side; the doc-count threshold is a 1-row
+    // broadcast. Exact integer counts; one fixed-order ratio divide.
+    "q59_boilerplate_strip" -> { (s, dir) =>
+      val docs = Synth.documents(s, dir)
+      val tok = docs.select(col("doc_id"), explode(expr(toks)).as("term"))
+      val df = tok.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+      val stats = docs.agg(count(lit(1)).as("n"))
+      val stop = df.crossJoin(broadcast(stats))
+        .filter(col("df").cast("double") > lit(0.8) * col("n").cast("double"))
+        .select("term")
+      val kept = tok.join(broadcast(stop), Seq("term"), "left_anti")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_kept"))
+      docs.select(col("doc_id"), expr(s"size($toks)").as("n_tokens"))
+        .join(kept, Seq("doc_id"), "left")
+        .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+        .withColumn("kept_ratio",
+          col("n_kept").cast("double") / col("n_tokens").cast("double"))
+        .select("doc_id", "n_tokens", "n_kept", "kept_ratio")
+        .orderBy("doc_id")
+    },
+
     // The whole curation funnel in ONE plan — what a training-data run
     // actually executes: exact-dedup (keep canonical) → quality floor →
     // language filter → deterministic sample. Every stage is a narrow
@@ -794,6 +821,25 @@ object TextAnalysis {
     // Unrolled 3-round replay: per round, pair stats over the current
     // symbol strings, top-1 (n DESC, pair ASC), then the same
     // space-delimited `replace` rewrite via a 1-row cross join.
+    "q59_boilerplate_strip" ->
+      s"""WITH docs AS (SELECT doc_id, $dToks AS tk FROM documents),
+         |n AS (SELECT count(*) AS n FROM docs),
+         |tok AS (SELECT doc_id, unnest(tk) AS term FROM docs),
+         |df AS (SELECT term, count(*) AS df FROM (
+         |    SELECT DISTINCT doc_id, term FROM tok) GROUP BY 1),
+         |stop AS (SELECT term FROM df, n
+         |         WHERE cast(df as double) > 0.8 * cast(n as double)),
+         |kept AS (
+         |  SELECT doc_id, cast(count(*) as bigint) AS n_kept FROM tok
+         |  WHERE term NOT IN (SELECT term FROM stop) GROUP BY 1),
+         |base AS (SELECT doc_id, cast(len(tk) as int) AS n_tokens FROM docs)
+         |SELECT b.doc_id AS doc_id, n_tokens,
+         |  cast(coalesce(n_kept, 0) as bigint) AS n_kept,
+         |  cast(coalesce(n_kept, 0) as double) / cast(n_tokens as double)
+         |    AS kept_ratio
+         |FROM base b LEFT JOIN kept k ON k.doc_id = b.doc_id
+         |ORDER BY doc_id""".stripMargin,
+
     // q81b's unrolled training rounds (carrying the word key), then the
     // vocab-sized encode join — see the q58 comment in `queries`.
     "q58_bpe_encode" -> {
