@@ -83,7 +83,7 @@ object Similarity {
       .map(p => s"if(${Dedup.dot(col, planeArraySpark(p))} > 0, '1', '0')")
       .mkString("concat(", ", ", ")")
 
-  private def dotDuck(a: String, b: String): String =
+  private[operators] def dotDuck(a: String, b: String): String =
     s"list_reduce(list_transform(list_zip($a, $b), " +
       s"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
 
@@ -176,7 +176,7 @@ object Similarity {
     }
   )
 
-  private val normCosExpr =
+  private[operators] val normCosExpr =
     // ONE rendering of the normalized cosine, shared comment for both
     // engines: dot / (sqrt(|a|²) · sqrt(|b|²)). Every step — the
     // left-fold dot, both sqrts, the multiply, the divide — is an IEEE

@@ -232,6 +232,66 @@ object TextAnalysis {
         .orderBy("query_id", "rk")
     },
 
+    // Hybrid retrieval: sparse RECALL → dense RERANK — the two-stage
+    // shape every production retrieval pipeline runs (cheap wide recall
+    // from an inverted index, expensive precise rerank on the shortlist
+    // only). Stage 1: set-cosine over 3-gram shingle features (this
+    // corpus draws from a ~31-word vocabulary, so unigrams carry no
+    // signal — shingles do; native graft_shingles, map-only) against 3
+    // query-by-example docs; the vocabulary cut is corpus-RELATIVE
+    // (df ≤ N/2 drops boilerplate shingles that would blow up the
+    // inverted-index join), the query side is tiny → broadcast, so
+    // recall costs Σ df over the query docs' shingles, never
+    // corpus×queries. Stage 2 joins ONLY the ≤50-per-query shortlist to
+    // the embeddings table and reranks by q53's IEEE-exact normalized
+    // cosine. Both scores ship in the output so the rerank's reordering
+    // is visible.
+    "q54_hybrid_retrieval" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val docs = Synth.documents(s, dir)
+      val sh = docs
+        .select(col("doc_id"),
+          explode(expr(s"graft_shingles($toks, 3)")).as("term"))
+      val stats = docs.agg(count(lit(1)).as("n"))
+      val rare = sh.groupBy("term").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(stats))
+        .filter(col("df").cast("double") <= lit(0.5) * col("n").cast("double"))
+        .select("term")
+      val v = sh.join(rare.hint("shuffle_hash"), Seq("term"), "left_semi")
+        .select("doc_id", "term") // USING join emits the join column first
+      val norms = v.groupBy("doc_id").agg(count(lit(1)).as("n2"))
+      val qv = v.filter(col("doc_id") < 3).toDF("query_id", "term")
+      val dots = v.toDF("doc_id", "term")
+        .join(broadcast(qv), "term")
+        .filter(col("doc_id") =!= col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(count(lit(1)).as("dot"))
+      val sparse = dots
+        .join(norms.toDF("query_id", "qn2"), "query_id")
+        .join(norms.toDF("doc_id", "dn2"), "doc_id")
+        .withColumn("sparse_cosine", col("dot").cast("double") /
+          (sqrt(col("qn2").cast("double")) * sqrt(col("dn2").cast("double"))))
+      val wR = Window.partitionBy("query_id")
+        .orderBy(col("sparse_cosine").desc, col("doc_id"))
+      val recall = sparse.withColumn("srk", row_number().over(wR))
+        .filter(col("srk") <= 50)
+        .select("query_id", "doc_id", "sparse_cosine")
+      val e = Synth.embeddings(s, dir)
+      val qe = broadcast(e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+      val wD = Window.partitionBy("query_id")
+        .orderBy(col("dense_cosine").desc, col("doc_id"))
+      recall
+        .join(e.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+        .join(qe, "query_id")
+        .withColumn("dense_cosine",
+          expr(Similarity.normCosExpr("q_emb", "embedding", Dedup.dot)))
+        .withColumn("rk", row_number().over(wD))
+        .filter(col("rk") <= 10)
+        .select("query_id", "doc_id", "sparse_cosine", "dense_cosine", "rk")
+        .orderBy("query_id", "rk")
+    },
+
     // Corpus-driven boilerplate stripping — the CCNet/RefinedWeb-style
     // stage that drops tokens carried by nearly every document (nav
     // chrome, licence headers): the stoplist is MINED from the corpus
@@ -821,6 +881,52 @@ object TextAnalysis {
     // Unrolled 3-round replay: per round, pair stats over the current
     // symbol strings, top-1 (n DESC, pair ASC), then the same
     // space-delimited `replace` rewrite via a 1-row cross join.
+    // recall mirrors q57's sparse cosine; rerank mirrors q53's exact
+    // dense cosine — same renderings, same orderings
+    "q54_hybrid_retrieval" -> {
+      val cos = Similarity.normCosExpr(
+        "qe.embedding", "de.embedding", Similarity.dotDuck)
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(${dNgrams(3)}) AS term FROM documents),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |rare AS (SELECT term FROM (
+         |    SELECT term, count(*) AS df FROM sh GROUP BY 1), n
+         |  WHERE cast(df as double) <= 0.5 * cast(n as double)),
+         |v AS (SELECT doc_id, term FROM sh JOIN rare USING (term)),
+         |norms AS (SELECT doc_id, cast(count(*) as bigint) AS n2
+         |          FROM v GROUP BY 1),
+         |dots AS (
+         |  SELECT q.doc_id AS query_id, d.doc_id AS doc_id,
+         |    cast(count(*) as bigint) AS dot
+         |  FROM v q JOIN v d USING (term)
+         |  WHERE q.doc_id < 3 AND d.doc_id <> q.doc_id
+         |  GROUP BY 1, 2),
+         |sparse AS (
+         |  SELECT query_id, dots.doc_id AS doc_id,
+         |    cast(dot as double)
+         |      / (sqrt(cast(qn.n2 as double)) * sqrt(cast(dn.n2 as double)))
+         |      AS sparse_cosine
+         |  FROM dots
+         |  JOIN norms qn ON qn.doc_id = dots.query_id
+         |  JOIN norms dn ON dn.doc_id = dots.doc_id),
+         |recall AS (
+         |  SELECT query_id, doc_id, sparse_cosine FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sparse_cosine DESC, doc_id) AS srk
+         |    FROM sparse)
+         |  WHERE srk <= 50),
+         |rr AS (
+         |  SELECT r.query_id, r.doc_id, r.sparse_cosine, $cos AS dense_cosine
+         |  FROM recall r
+         |  JOIN embeddings qe ON qe.vec_id = r.query_id
+         |  JOIN embeddings de ON de.vec_id = r.doc_id)
+         |SELECT query_id, doc_id, sparse_cosine, dense_cosine, rk FROM (
+         |  SELECT *, cast(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY dense_cosine DESC, doc_id) as int) AS rk
+         |  FROM rr)
+         |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+    },
+
     "q59_boilerplate_strip" ->
       s"""WITH docs AS (SELECT doc_id, $dToks AS tk FROM documents),
          |n AS (SELECT count(*) AS n FROM docs),
