@@ -576,6 +576,32 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // Mixture sampling to a per-source token budget — THE pre-training
+    // data-mixing op: each source gets a token quota (here an upweight
+    // of even-numbered sources, 600 vs 200 tokens — the "replay the
+    // high-quality sources" mix), docs are drawn in a DETERMINISTIC
+    // pseudo-random order (md5 of doc_id — reproducible across runs,
+    // partitionings, and engines; no rand()), and the draw stops when
+    // the running token count crosses the quota. Scale shape: one
+    // map-only projection + one per-source window (partition-bounded;
+    // at 100 TB a giant source runs the q06 two-pass block prefix-sum
+    // per source instead — same semantics). Exact integer token counts.
+    "q99_mixture_sample" -> { (s, dir) =>
+      val d = Synth.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          expr(s"size($toks)").as("n_tokens"))
+        .withColumn("h", md5(col("doc_id").cast("string")))
+        .withColumn("budget",
+          when(expr("cast(substring(source, 4, 8) as int) % 2 = 0"),
+            lit(600)).otherwise(lit(200)))
+      val w = Window.partitionBy("source").orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") <= col("budget"))
+        .select("source", "doc_id", "n_tokens", "cum_tokens")
+        .orderBy("source", "cum_tokens", "doc_id")
+    },
+
     // Document length histogram (100-char buckets) — corpus shape stats.
     "q27_length_hist" -> { (s, dir) =>
       Synth.documents(s, dir)
@@ -926,6 +952,23 @@ object TextAnalysis {
          |  FROM rr)
          |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
     },
+
+    "q99_mixture_sample" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, cast(len($dToks) as int) AS n_tokens,
+         |    md5(cast(doc_id as varchar)) AS h,
+         |    CASE WHEN cast(substring(source, 4, 8) as int) % 2 = 0
+         |         THEN 600 ELSE 200 END AS budget
+         |  FROM documents),
+         |c AS (
+         |  SELECT source, doc_id, n_tokens, budget,
+         |    cast(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint)
+         |      AS cum_tokens
+         |  FROM d)
+         |SELECT source, doc_id, n_tokens, cum_tokens FROM c
+         |WHERE cum_tokens <= budget
+         |ORDER BY source, cum_tokens, doc_id""".stripMargin,
 
     "q59_boilerplate_strip" ->
       s"""WITH docs AS (SELECT doc_id, $dToks AS tk FROM documents),
