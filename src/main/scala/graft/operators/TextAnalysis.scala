@@ -576,6 +576,37 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // Cross-source overlap matrix — the corpus diagnostic run before
+    // mixing: which sources are near-copies of each other (mirror
+    // sites, re-crawls, shared boilerplate)? Source-level Jaccard over
+    // DISTINCT 3-gram shingle sets. Scale shape: the corpus compacts to
+    // distinct (source, shingle) rows FIRST (one shuffle, output
+    // bounded by Σ per-source vocabularies, not corpus tokens); the
+    // self-join fan-out per shingle is bounded by #sources² (sources
+    // are hundreds at most, never corpus-sized), so the pair join is
+    // safe without a df cap. Exact integer set algebra; one fixed-order
+    // divide for the Jaccard.
+    "q83_source_overlap" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val ss = Synth.documents(s, dir)
+        .select(col("source"),
+          explode(expr(s"graft_shingles($toks, 3)")).as("sh"))
+        .distinct()
+      val sizes = ss.groupBy("source").agg(count(lit(1)).as("n_sh"))
+      val a = ss.toDF("src_a", "sh")
+      val b = ss.toDF("src_b", "sh")
+      a.join(b.hint("shuffle_hash"), "sh")
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+        .join(sizes.toDF("src_a", "na"), "src_a")
+        .join(sizes.toDF("src_b", "nb"), "src_b")
+        .withColumn("jaccard", col("n_shared").cast("double") /
+          (col("na") + col("nb") - col("n_shared")).cast("double"))
+        .select("src_a", "src_b", "n_shared", "jaccard")
+        .orderBy(col("jaccard").desc, col("src_a"), col("src_b"))
+        .limit(50)
+    },
+
     // Mixture sampling to a per-source token budget — THE pre-training
     // data-mixing op: each source gets a token quota (here an upweight
     // of even-numbered sources, 600 vs 200 tokens — the "replay the
@@ -952,6 +983,25 @@ object TextAnalysis {
          |  FROM rr)
          |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
     },
+
+    "q83_source_overlap" ->
+      s"""WITH ss AS (
+         |  SELECT DISTINCT source, sh FROM (
+         |    SELECT source, unnest(${dNgrams(3)}) AS sh FROM documents)),
+         |sizes AS (
+         |  SELECT source, cast(count(*) as bigint) AS n FROM ss GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.source AS src_a, b.source AS src_b,
+         |    cast(count(*) as bigint) AS n_shared
+         |  FROM ss a JOIN ss b USING (sh)
+         |  WHERE a.source < b.source GROUP BY 1, 2)
+         |SELECT src_a, src_b, n_shared,
+         |  cast(n_shared as double)
+         |    / cast(na.n + nb.n - n_shared as double) AS jaccard
+         |FROM pairs
+         |JOIN sizes na ON na.source = pairs.src_a
+         |JOIN sizes nb ON nb.source = pairs.src_b
+         |ORDER BY jaccard DESC, src_a, src_b LIMIT 50""".stripMargin,
 
     "q99_mixture_sample" ->
       s"""WITH d AS (
