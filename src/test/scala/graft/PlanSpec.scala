@@ -142,7 +142,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("q31b/q33b/q33c/q55: candidate generation is hash joins, never a cartesian pair space") {
     for (q <- Seq("q31b_prefix_jaccard", "q33b_simhash_pairs",
-        "q33c_simhash64_pairs", "q55_verbatim_spans", "q57_sparse_cosine")) {
+        "q33c_simhash64_pairs", "q55_verbatim_spans", "q57_sparse_cosine",
+        "q68_triangles", "q83_source_overlap")) {
       val s = plan(q).toString
       assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
         s"$q must join on index keys, got:\n$s")
@@ -156,6 +157,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the only nested-loop join is the deliberate 1-row stats broadcast
     val bnlj = p.collect { case j: BroadcastNestedLoopJoinExec => j }
     assert(bnlj.size <= 1, s"only the 1-row stats crossJoin may nest:\n$p")
+  }
+
+  test("q54/q59: corpus joins are hash joins; only the 1-row stats frame nests") {
+    // the df-threshold crossJoin against the 1-row corpus-stats frame is
+    // the ONLY permitted nested-loop join (it recurs once per reference
+    // to the vocabulary subplan in the static plan; AQE reuses the
+    // exchange at runtime) — identified by its df-vs-n condition
+    for ((q, marker) <- Seq("q54_hybrid_retrieval" -> "0.5",
+        "q59_boilerplate_strip" -> "0.8")) {
+      val p = plan(q)
+      val bnlj = p.collect { case j: BroadcastNestedLoopJoinExec => j }
+      assert(bnlj.forall(_.condition.exists(_.toString.contains(marker))),
+        s"$q: a nested-loop join that is not the stats threshold:\n$p")
+      assert(!p.toString.contains("CartesianProduct"), s"$q:\n$p")
+    }
   }
 
   test("q31b: every window is partitioned (no global sort in the prefix ranking)") {
