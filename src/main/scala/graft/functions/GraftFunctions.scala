@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptors.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => NativeDotProduct)
+    ext.injectOptimizerRule(_ => CosineFusion)
   }
 }
 
@@ -28,6 +29,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "graft_dot"),
       (children: Seq[Expression]) => VectorDot(children(0), children(1))),
+    (FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[VectorCosine].getName, "graft_cosine"),
+      (children: Seq[Expression]) => VectorCosine(children(0), children(1))),
     (FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[TokenShingles].getName, "graft_shingles"),
       (children: Seq[Expression]) => TokenShingles(children(0),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.VectorDot
+import graft.functions.{VectorCosine, VectorDot}
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` end-to-end: the
   * native functions resolve without a manual register() call, and the
@@ -81,5 +81,54 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "array(4D, cast(id as double))").selectExpr(s"$composed AS d")
     assert(hasVectorDot(df))
     assert(df.collect()(0).isNullAt(0))
+  }
+
+  private def hasVectorCosine(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.expressions
+      .exists(_.exists(_.isInstanceOf[VectorCosine]))
+
+  private val cosExpr =
+    "graft_dot(a, b) / (sqrt(graft_dot(a, a)) * sqrt(graft_dot(b, b)))"
+
+  test("canonical cosine composition fuses to VectorCosine, bit-identical") {
+    // mixed-sign float vectors; the unfused reference is assembled from
+    // the three separately-computed dots (not in the canonical division
+    // shape, so the rule leaves them alone) with the same IEEE op order
+    val df = vecs(
+      "array(cast(id as float), cast(-2.5 as float), cast(0.125 as float))",
+      "array(cast(3.75 as float), cast(id + 1 as float), cast(-9.5 as float))")
+      .selectExpr("graft_dot(a, b) AS d", "graft_dot(a, a) AS na",
+        "graft_dot(b, b) AS nb", s"$cosExpr AS c")
+    assert(hasVectorCosine(df))
+    val r = df.collect()(0)
+    val expected = r.getDouble(0) /
+      (math.sqrt(r.getDouble(1)) * math.sqrt(r.getDouble(2)))
+    assert(java.lang.Double.doubleToRawLongBits(r.getDouble(3)) ==
+      java.lang.Double.doubleToRawLongBits(expected),
+      s"fused ${r.getDouble(3)} != composed $expected")
+  }
+
+  test("fused cosine keeps the NULL-on-length-mismatch contract") {
+    val df = vecs("array(cast(id as double), 2D)",
+      "array(4D, 5D, cast(id + 5 as double))")
+      .selectExpr(s"$cosExpr AS c")
+    assert(hasVectorCosine(df))
+    assert(df.collect()(0).isNullAt(0))
+  }
+
+  test("plain-SQL cosine cascades: composed dots -> VectorDot -> VectorCosine") {
+    // no graft_ function in the query text at all — NativeDotProduct
+    // first rewrites each fold to VectorDot, then CosineFusion collapses
+    // the division shape, all inside the same user-rule fixpoint batch
+    def fold(x: String, y: String) =
+      s"aggregate(zip_with($x, $y, (p, q) -> p * q), 0D, (acc, v) -> acc + v)"
+    val df = vecs("array(cast(id as double), 2D, 3D)", "array(4D, 5D, 6D)")
+      .selectExpr(
+        s"${fold("a", "b")} / (sqrt(${fold("a", "a")}) * sqrt(${fold("b", "b")})) AS c")
+    assert(hasVectorCosine(df))
+    val c = df.collect()(0).getDouble(0)
+    val expected = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(java.lang.Double.doubleToRawLongBits(c) ==
+      java.lang.Double.doubleToRawLongBits(expected))
   }
 }
