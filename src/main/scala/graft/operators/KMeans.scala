@@ -100,6 +100,33 @@ object KMeans {
         .filter(col("rk") <= 10)
         .select("query_id", "rk", "vec_id", "cosine")
         .orderBy("query_id", "rk")
+    },
+
+    // SemDeDup (Abbas et al. 2023): semantic dedup at corpus scale.
+    // Cluster embeddings with trained k-means, then compare pairs ONLY
+    // inside a cluster — Σ n_c² work instead of n² (the published scale
+    // path for embedding dedup; q34's label-blocked form needs an a-priori
+    // key, this one derives it from the data). Keep-min-id rule: a vector
+    // is dropped iff some lower-id vector in its cluster exceeds the
+    // similarity threshold. The per-cluster join shuffles on cid; at
+    // 100 TB, k grows with the corpus so cluster sizes stay bounded and
+    // no partition ever sees more than one cluster's pairs.
+    "q34b_semdedup" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val e = Synth.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val assigned = assign(e, train(e))
+        .select(col("vec_id"), col("embedding"), col("cid").as("cluster"))
+      val a = assigned.toDF("id_a", "emb_a", "cluster")
+      val b = assigned.toDF("id_b", "emb_b", "cluster")
+      val dups = a.join(b, "cluster")
+        .filter(col("id_a") < col("id_b"))
+        .filter(expr(Dedup.dot("emb_a", "emb_b")) > 0.4)
+        .select(col("id_b").as("vec_id")).distinct()
+      assigned.select("vec_id", "cluster")
+        .join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster"),
+          (!coalesce(col("dup"), lit(false))).as("kept"))
+        .orderBy("vec_id")
     }
   )
 
@@ -161,6 +188,21 @@ object KMeans {
          |      ORDER BY $dotQE DESC, v.vec_id) as int) AS rk
          |  FROM qs q JOIN av v ON q.cluster = v.cluster)
          |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+    },
+
+    "q34b_semdedup" -> {
+      val dotAB = dDot.format("a.embedding", "b.embedding")
+      s"""$duckTrainCtes,
+         |av AS (SELECT e.vec_id, e.embedding, a2.cid AS cluster
+         |       FROM e JOIN a2 USING (vec_id)),
+         |dups AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM av a JOIN av b
+         |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  WHERE $dotAB > 0.4)
+         |SELECT av.vec_id, cast(av.cluster as int) AS cluster,
+         |  av.vec_id NOT IN (SELECT vec_id FROM dups) AS kept
+         |FROM av ORDER BY vec_id""".stripMargin
     }
   )
 }

@@ -387,6 +387,31 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // Concat-and-chunk sequence packing (the GPT/T5 pretraining layout):
+    // docs are concatenated in doc_id order and sliced into fixed L-token
+    // training sequences; a doc crossing a boundary is split, so each
+    // output row is one (doc, sequence) span with its offset inside the
+    // sequence and inside the doc. Offsets come from the same two-pass
+    // global prefix sum as q63 (one hash shuffle + #blocks-row window, no
+    // global sort); the explode emits at most ceil(n_tokens/L)+1 rows per
+    // doc. All-integer arithmetic → bit-identical across engines.
+    "q63b_sequence_packing" -> { (s, dir) =>
+      val L = 2048L
+      val sized = Synth.documents(s, dir)
+        .select(col("doc_id"), expr(s"size($toks)").cast("long").as("n_tokens"))
+      PrefixSum.overBlocks(sized, "doc_id", "n_tokens", 64L, "cum_tokens")
+        .withColumn("s", col("cum_tokens") - col("n_tokens"))
+        .withColumn("seq_id",
+          explode(expr(s"sequence(s div $L, (cum_tokens - 1) div $L)")))
+        .withColumn("off", greatest(col("s"), col("seq_id") * lit(L)))
+        .select(col("doc_id"), col("seq_id"),
+          (col("off") - col("seq_id") * lit(L)).as("seq_off"),
+          (col("off") - col("s")).as("doc_off"),
+          (least(col("cum_tokens"), (col("seq_id") + 1) * lit(L)) - col("off"))
+            .as("len"))
+        .orderBy("doc_id", "seq_id")
+    },
+
     // Within-document repetition filter (the Gopher-rules shape): the
     // fraction of duplicated 2-/3-grams inside each doc. Repetitive docs
     // (boilerplate, scraped nav bars, degenerate generations) score high
@@ -905,6 +930,27 @@ object TextAnalysis {
          |SELECT doc_id, n_tokens, cum_tokens,
          |  cast(floor((cum_tokens - 1) / 8192.0) as bigint) AS shard_id
          |FROM cum ORDER BY doc_id""".stripMargin,
+
+    "q63b_sequence_packing" ->
+      s"""WITH sized AS (
+         |  SELECT doc_id, cast(len($dToks) as bigint) AS n_tokens
+         |  FROM documents),
+         |cum AS (
+         |  SELECT doc_id, n_tokens,
+         |    cast(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint)
+         |      AS e
+         |  FROM sized),
+         |spans AS (SELECT doc_id, e - n_tokens AS s, e FROM cum),
+         |x AS (
+         |  SELECT doc_id, s, e,
+         |    unnest(generate_series(s // 2048, (e - 1) // 2048)) AS seq_id
+         |  FROM spans)
+         |SELECT doc_id, seq_id,
+         |  greatest(s, seq_id * 2048) - seq_id * 2048 AS seq_off,
+         |  greatest(s, seq_id * 2048) - s AS doc_off,
+         |  least(e, (seq_id + 1) * 2048) - greatest(s, seq_id * 2048) AS len
+         |FROM x ORDER BY doc_id, seq_id""".stripMargin,
 
     "q24_vocab" ->
       s"""SELECT token, count(*) AS doc_freq

@@ -145,6 +145,52 @@ object EventTimeAggregates {
       .agg(min(col("id_old")).as("dup_of"))
   }
 
+  final case class QuotaDoc(source: String, doc_id: Long, n_tokens: Long)
+  final case class QuotaState(seenTokens: Long)
+  final case class QuotaAdmission(
+      source: String, doc_id: Long, n_tokens: Long, cum_tokens: Long)
+
+  /** Streaming mixture sampling to a per-source token budget — the
+    * streaming twin of the batch q99: admit arriving docs until their
+    * source's running token count crosses its quota, then the source is
+    * closed for good (q99's prefix semantics: the running count keeps
+    * growing with REJECTED docs too, so once it passes the budget no
+    * later doc can reopen the window — exactly the batch filter
+    * `cum <= budget` over a monotone cumulative sum). State is ONE
+    * counter per source — sources are hundreds at most, so NoTimeout is
+    * safe where per-user state would not be. Within a micro-batch, docs
+    * are drawn in the same deterministic md5 order as q99; across
+    * batches, arrival order decides (a stream cannot re-order history).
+    */
+  def streamingQuotaSampler(
+      docs: Dataset[QuotaDoc],
+      budgets: Map[String, Long],
+      defaultBudget: Long): Dataset[QuotaAdmission] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (source: String, ds: Iterator[QuotaDoc], state: GroupState[QuotaState]) => {
+          val budget = budgets.getOrElse(source, defaultBudget)
+          var seen = state.getOption.map(_.seenTokens).getOrElse(0L)
+          val out = ds.toSeq
+            .sortBy(d => (md5Hex(d.doc_id.toString), d.doc_id))
+            .flatMap { d =>
+              seen += d.n_tokens
+              if (seen <= budget)
+                Some(QuotaAdmission(source, d.doc_id, d.n_tokens, seen))
+              else None
+            }
+          state.update(QuotaState(seen))
+          out.iterator
+        })
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   final case class SessionEvent(user_id: Long, event_id: Long, ts_us: Long)
   final case class SessionState(sessionSeq: Long, lastTsUs: Long, nEvents: Long)
   final case class SessionAssignment(

@@ -90,6 +90,36 @@ class EventTimeSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming quota sampler: per-source budget, prefix semantics, cross-batch state") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long)]
+    val docs = mem.toDS().map(t => QuotaDoc(t._1, t._2, t._3))
+    val out = EventTimeAggregates.streamingQuotaSampler(
+      docs, Map("a" -> 100L), defaultBudget = 50L)
+    val q = out.writeStream.format("memory").queryName("quota")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // md5("1") < md5("2") → within-batch draw order 1, 2; cum 40, 80
+      mem.addData(("a", 1L, 40L), ("a", 2L, 40L))
+      q.processAllAvailable()
+      // md5("4") < md5("3") → doc 4 draws first (90 ≤ 100, admitted),
+      // then doc 3 crosses (120 > 100, rejected — but its tokens COUNT)
+      mem.addData(("a", 3L, 30L), ("a", 4L, 10L))
+      // source b: first doc alone blows the default budget; the next one
+      // is small but the prefix is already past 50 → closed for good
+      mem.addData(("b", 6L, 60L), ("b", 7L, 10L))
+      q.processAllAvailable()
+      // doc 5 would fit a naive remaining-budget check (80+40+10+5 < ∞)
+      // but the prefix includes rejected doc 3 → 125 > 100, stays closed
+      mem.addData(("a", 5L, 5L))
+      q.processAllAvailable()
+      val rows = spark.sql("select source, doc_id, cum_tokens from quota")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set(("a", 1L, 40L), ("a", 2L, 80L), ("a", 4L, 90L)))
+    } finally q.stop()
+  }
+
   test("streaming ANN probe: stream-static index join, heap-bounded top-k per query") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

@@ -92,6 +92,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected a per-block hash exchange, got:\n$p")
   }
 
+  test("q34b: semdedup pairs join on the trained cluster key, never a cartesian") {
+    val p = plan("q34b_semdedup")
+    assert(!p.toString.contains("CartesianProduct"),
+      s"pair generation must stay inside clusters:\n$p")
+    assert(p.toString.contains("cluster"), s"expected the cluster join key:\n$p")
+  }
+
+  test("q63b: sequence packing reuses the block prefix sum — no global sort before the explode") {
+    val p = plan("q63b_sequence_packing")
+    assert(p.toString.contains("hashpartitioning(_psum_blk"),
+      s"expected a per-block hash exchange, got:\n$p")
+  }
+
   test("q64: per-language thresholds broadcast — the corpus side never shuffles for the join") {
     val p = plan("q64_temperature_resample")
     assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
