@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators beyond dedup: the sampling / splitting /
@@ -133,6 +134,61 @@ object Curation {
         .orderBy("doc_id")
     },
 
+    // Exact-k per-stratum sample — q29's Bernoulli form gives BINOMIAL
+    // group sizes; this keeps exactly k docs per source: the k SMALLEST
+    // salted hashes per group (bottom-k ≡ reservoir sampling,
+    // derandomized — deterministic across runs, partitionings, and
+    // engines). The bounded-heap graft_topk aggregate is what makes it
+    // scale-right: map-side partial heaps, only k rows per group cross
+    // the wire — the window row_number rendering (the oracle) sorts
+    // every group in full for a k-row answer. u32 hashes are exactly
+    // representable in the heap's double score (negated for bottom-k).
+    "q29b_reservoir_k" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val k = 20
+      Synth.documents(s, dir)
+        .select(col("doc_id"), col("source"))
+        .withColumn("u", expr(u32Spark("sample:", "cast(doc_id as string)")))
+        .groupBy("source")
+        .agg(expr(s"graft_topk(-cast(u as double), doc_id, $k)").as("top"))
+        .select(col("source"), posexplode(col("top")))
+        .select(col("source"), (col("pos") + 1).cast("int").as("rk"),
+          col("col.id").as("doc_id"),
+          (-col("col.score")).cast("bigint").as("sample_u"))
+        .orderBy("source", "rk")
+    },
+
+    // Global deterministic shuffle — the "randomize training order"
+    // pass every pipeline runs before sharding: each doc gets a unique
+    // global position in salted-hash order, reproducible across runs,
+    // partitionings, and engines (no rand()). The position is computed
+    // WITHOUT a global sort: hash-RANGE buckets partition the u32 space
+    // (bucket order = hash order by construction), ranks are per-bucket
+    // windows over ~n/B rows, and bucket offsets are a B-row running
+    // sum — the q06/q63 two-pass prefix-sum idea applied to a
+    // permutation. The only single-partition window touches B rows,
+    // never the corpus; the offsets join broadcasts.
+    "q100_global_shuffle" -> { (s, dir) =>
+      val B = 64L
+      val step = 4294967296L / B
+      val d = Synth.documents(s, dir)
+        .select(col("doc_id"))
+        .withColumn("u", expr(u32Spark("shuffle:", "cast(doc_id as string)")))
+        .withColumn("bucket", (col("u") / lit(step)).cast("long"))
+      val ranked = d.withColumn("within",
+        row_number().over(Window.partitionBy("bucket").orderBy("u", "doc_id"))
+          .cast("long"))
+      val offsets = d.groupBy("bucket").agg(count(lit(1)).as("n"))
+        .withColumn("offset", coalesce(
+          sum(col("n")).over(Window.orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("bucket", "offset")
+      ranked.join(broadcast(offsets), "bucket")
+        .select(col("doc_id"), col("u").as("shuffle_u"),
+          (col("offset") + col("within")).as("pos"))
+        .orderBy("pos")
+    },
+
     // Contamination score: |doc shingles ∩ eval shingles| / |doc
     // shingles| per training doc (eval set = doc_id ≡ 0 mod 97, as q36).
     // The eval shingle set (benchmarks are KBs) collapses to ONE
@@ -212,6 +268,24 @@ object Curation {
          |FROM bloom b LEFT JOIN exact e ON e.doc_id = b.doc_id
          |ORDER BY doc_id""".stripMargin
     },
+
+    "q100_global_shuffle" ->
+      s"""SELECT doc_id, u AS shuffle_u,
+         |  cast(row_number() OVER (ORDER BY u, doc_id) as bigint) AS pos
+         |FROM (SELECT doc_id,
+         |    ${u32Duck("shuffle:", "cast(doc_id as varchar)")} AS u
+         |  FROM documents)
+         |ORDER BY pos""".stripMargin,
+
+    "q29b_reservoir_k" ->
+      s"""SELECT source, rk, doc_id, sample_u FROM (
+         |  SELECT source, doc_id,
+         |    ${u32Duck("sample:", "cast(doc_id as varchar)")} AS sample_u,
+         |    cast(row_number() OVER (PARTITION BY source
+         |      ORDER BY ${u32Duck("sample:", "cast(doc_id as varchar)")},
+         |        doc_id) as int) AS rk
+         |  FROM documents)
+         |WHERE rk <= 20 ORDER BY source, rk""".stripMargin,
 
     "q66_contamination_score" ->
       s"""WITH shs AS (SELECT doc_id, ${Dedup.dShingles} AS sh FROM documents),

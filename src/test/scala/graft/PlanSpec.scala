@@ -92,6 +92,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected a per-block hash exchange, got:\n$p")
   }
 
+  test("q29b: reservoir-k runs as a heap aggregate, not a per-group sort window") {
+    val p = plan("q29b_reservoir_k")
+    assert(p.toString.contains("ObjectHashAggregate"),
+      s"expected the bounded-heap graft_topk aggregate:\n$p")
+    assert(!p.toString.contains("row_number"),
+      s"the engine side must not fall back to the window rendering:\n$p")
+  }
+
+  test("q100: the permutation's corpus-wide window partitions by hash bucket") {
+    val p = plan("q100_global_shuffle")
+    assert(p.toString.contains("hashpartitioning(bucket"),
+      s"expected the per-bucket rank window, got:\n$p")
+  }
+
   test("q34b: semdedup pairs join on the trained cluster key, never a cartesian") {
     val p = plan("q34b_semdedup")
     assert(!p.toString.contains("CartesianProduct"),
