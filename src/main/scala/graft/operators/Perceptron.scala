@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** In-engine linear-classifier training — the "learned quality filter"
+  * step of a curation pipeline (fastText-style classifiers in
+  * production), expressed scale-correct: each training epoch is ONE
+  * distributed aggregation over the corpus and only the weight vector
+  * (|features| longs) ever reaches the driver, which then broadcasts
+  * into the next epoch's filter as literals. Same loop shape as
+  * [[KMeans.train]] / [[PageRank]].
+  *
+  * The batch perceptron rule makes the whole training run
+  * engine-portable-EXACT, not just approximately right: features are
+  * integer counts, weights start at 0, and each epoch adds
+  * Σ y·x over the currently misclassified docs (margin ≤ 0) — integer
+  * sums are order-independent, so the shuffle's reduce order cannot
+  * change a single weight, and the DuckDB oracle replays the epochs as
+  * unrolled CTEs to the same bits. (Logistic regression would need
+  * exp(), which is NOT correctly-rounded-identical across engines —
+  * the perceptron is the strongest classifier whose training is
+  * hash-checkable.)
+  */
+object Perceptron {
+
+  private val epochs = 3
+
+  /** Integer feature projection: bias, token count, '.' count, "the"
+    * occurrence count. Same rendering in both engines.
+    */
+  private def features(s: SparkSession, dir: String): DataFrame =
+    Synth.documents(s, dir).select(
+      col("doc_id"),
+      when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+      lit(1L).as("x0"),
+      expr("cast(size(split(trim(text), '\\\\s+')) as bigint)").as("x1"),
+      expr("cast(length(text) - length(replace(text, '.', '')) as bigint)")
+        .as("x2"),
+      expr("cast((length(text) - length(replace(text, 'the', ''))) div 3 as bigint)")
+        .as("x3"))
+
+  private def marginExpr(w: Array[Long]) =
+    expr(s"y * (${w(0)}L*x0 + ${w(1)}L*x1 + ${w(2)}L*x2 + ${w(3)}L*x3)")
+
+  /** One epoch: Σ y·x over misclassified docs, added to w. The epoch's
+    * only driver traffic is the 4-long update row.
+    */
+  private def step(f: DataFrame, w: Array[Long]): Array[Long]  = {
+    val upd = f.filter(marginExpr(w) <= 0)
+      .agg(
+        coalesce(sum(col("y") * col("x0")), lit(0L)).as("d0"),
+        coalesce(sum(col("y") * col("x1")), lit(0L)).as("d1"),
+        coalesce(sum(col("y") * col("x2")), lit(0L)).as("d2"),
+        coalesce(sum(col("y") * col("x3")), lit(0L)).as("d3"))
+      .collect()(0)
+    w.indices.map(i => w(i) + upd.getLong(i)).toArray
+  }
+
+  def train(f: DataFrame): Array[Long] =
+    (1 to epochs).foldLeft(Array.fill(4)(0L))((w, _) => step(f, w))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Train 3 batch-perceptron epochs, then score the corpus with the
+    // learned weights: score = w·x (bigint), pred = score > 0.
+    "q101_perceptron" -> { (s, dir) =>
+      val f = features(s, dir)
+      val w = train(f)
+      f.withColumn("score", expr(
+          s"${w(0)}L*x0 + ${w(1)}L*x1 + ${w(2)}L*x2 + ${w(3)}L*x3"))
+        .select(col("doc_id"), col("y"), col("score"),
+          (col("score") > 0L).as("pred"))
+        .orderBy("doc_id")
+    }
+  )
+
+  private val dFeat =
+    """SELECT doc_id,
+      |  cast(CASE WHEN lang = 'en' THEN 1 ELSE -1 END as bigint) AS y,
+      |  1 AS x0,
+      |  cast(len(regexp_split_to_array(trim(text), '\s+')) as bigint) AS x1,
+      |  cast(length(text) - length(replace(text, '.', '')) as bigint) AS x2,
+      |  cast((length(text) - length(replace(text, 'the', ''))) // 3 as bigint)
+      |    AS x3
+      |FROM documents""".stripMargin
+
+  // the update sums live in an aggregate-only subquery (always exactly
+  // one row, NULL sums when nothing is misclassified) so a clean epoch
+  // leaves the weights unchanged instead of emptying the CTE
+  private def dStep(prev: String, out: String): String =
+    s"""$out AS (
+       |  SELECT
+       |    p.w0 + coalesce(s.d0, 0) AS w0, p.w1 + coalesce(s.d1, 0) AS w1,
+       |    p.w2 + coalesce(s.d2, 0) AS w2, p.w3 + coalesce(s.d3, 0) AS w3
+       |  FROM $prev p CROSS JOIN (
+       |    SELECT sum(y*x0) AS d0, sum(y*x1) AS d1,
+       |      sum(y*x2) AS d2, sum(y*x3) AS d3
+       |    FROM f CROSS JOIN $prev q
+       |    WHERE y * (q.w0*x0 + q.w1*x1 + q.w2*x2 + q.w3*x3) <= 0) s)""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "q101_perceptron" ->
+      s"""WITH f AS ($dFeat),
+         |w0 AS (SELECT 0 AS w0, 0 AS w1, 0 AS w2, 0 AS w3),
+         |${dStep("w0", "w1t")},
+         |${dStep("w1t", "w2t")},
+         |${dStep("w2t", "w3t")}
+         |SELECT f.doc_id, f.y,
+         |  cast(w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3 as bigint) AS score,
+         |  (w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3) > 0 AS pred
+         |FROM f CROSS JOIN w3t w
+         |ORDER BY doc_id""".stripMargin
+  )
+}
