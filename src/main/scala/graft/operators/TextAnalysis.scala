@@ -19,6 +19,63 @@ object TextAnalysis {
   /** Whitespace tokenization shared by every operator (Spark side). */
   private val toks = "split(trim(text), '\\\\s+')"
 
+  /** The q60 funnel body: exact-dedup (keep canonical) → quality floor →
+    * language filter → deterministic sample, one plan. `tap` is called
+    * after each stage with a stage name — identity for the plain query,
+    * an `observe` hook for [[auditedCuration]].
+    */
+  private def curationFunnel(
+      docs: DataFrame, tap: (DataFrame, String) => DataFrame): DataFrame = {
+    val w = Window.partitionBy("content_hash")
+    val deduped = tap(docs, "in")
+      .withColumn("content_hash", md5(col("text").cast("binary")))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("canonical_id")) // exact dedup
+    val quality = tap(deduped, "post_dedup")
+      .withColumn("n_tokens", expr(s"size($toks)"))
+      .withColumn("n_stop", expr(s"size(filter($toks, t -> t in $EnSet))"))
+      .withColumn("n_distinct", expr(s"size(array_distinct($toks))"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("uniq_ratio", col("n_distinct").cast("double") / col("n_tokens"))
+      .withColumn("quality_score",
+        least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.3
+          + (lit(1.0) - col("stop_ratio")) * 0.3
+          + col("uniq_ratio") * 0.4)
+      .filter(col("quality_score") > 0.5) // quality floor
+    val lang = tap(quality, "post_quality")
+      .withColumn("v_en", expr(s"size(filter($toks, t -> t in $EnSet))"))
+      .withColumn("v_es", expr(s"size(filter($toks, t -> t in $EsSet))"))
+      .withColumn("v_de", expr(s"size(filter($toks, t -> t in $DeSet))"))
+      .filter(col("v_en") + col("v_es") + col("v_de") > 0 &&
+        col("v_en") >= col("v_es") && col("v_en") >= col("v_de")) // lang = en
+    tap(lang, "post_lang")
+      .withColumn("sample_key",
+        expr("substring(md5(cast(concat('sample:', cast(doc_id as string)) as binary)), 1, 4)"))
+      .filter(col("sample_key") < "cccc") // keep ~80%
+      .select("doc_id", "quality_score", "sample_key")
+  }
+
+  /** The q60 funnel with zero-extra-pass observability: each stage's
+    * surviving-row count rides the SAME job as an accumulator-backed
+    * `Observation` metric (CollectMetrics node). At 100 TB, the naive
+    * audit — a count() per stage — re-scans the corpus once per stage;
+    * this one costs nothing beyond the funnel itself. Metrics resolve
+    * on the returned observations after any action on the DataFrame.
+    */
+  def auditedCuration(
+      s: SparkSession,
+      dir: String): (DataFrame, Seq[(String, org.apache.spark.sql.Observation)]) = {
+    val stages = Seq("in", "post_dedup", "post_quality", "post_lang")
+      .map(n => n -> org.apache.spark.sql.Observation(s"funnel_$n"))
+    val byName = stages.toMap
+    val df = curationFunnel(
+      Synth.documents(s, dir),
+      (d, n) => byName.get(n)
+        .map(o => d.observe(o, count(lit(1)).as("rows")))
+        .getOrElse(d))
+    (df, stages)
+  }
+
   // Stopword-set votes for the lang-id heuristic. The sets must be written
   // identically in the DuckDB oracle below.
   private val EnSet = "('the','a','of','and','to','in')"
@@ -326,30 +383,7 @@ object TextAnalysis {
     // codegen'd pass over the scan, so the funnel costs one shuffle (the
     // dedup window) end-to-end.
     "q60_corpus_curation" -> { (s, dir) =>
-      val w = Window.partitionBy("content_hash")
-      Synth.documents(s, dir)
-        .withColumn("content_hash", md5(col("text").cast("binary")))
-        .withColumn("canonical_id", min(col("doc_id")).over(w))
-        .filter(col("doc_id") === col("canonical_id")) // exact dedup
-        .withColumn("n_tokens", expr(s"size($toks)"))
-        .withColumn("n_stop", expr(s"size(filter($toks, t -> t in $EnSet))"))
-        .withColumn("n_distinct", expr(s"size(array_distinct($toks))"))
-        .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
-        .withColumn("uniq_ratio", col("n_distinct").cast("double") / col("n_tokens"))
-        .withColumn("quality_score",
-          least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.3
-            + (lit(1.0) - col("stop_ratio")) * 0.3
-            + col("uniq_ratio") * 0.4)
-        .filter(col("quality_score") > 0.5) // quality floor
-        .withColumn("v_en", expr(s"size(filter($toks, t -> t in $EnSet))"))
-        .withColumn("v_es", expr(s"size(filter($toks, t -> t in $EsSet))"))
-        .withColumn("v_de", expr(s"size(filter($toks, t -> t in $DeSet))"))
-        .filter(col("v_en") + col("v_es") + col("v_de") > 0 &&
-          col("v_en") >= col("v_es") && col("v_en") >= col("v_de")) // lang = en
-        .withColumn("sample_key",
-          expr("substring(md5(cast(concat('sample:', cast(doc_id as string)) as binary)), 1, 4)"))
-        .filter(col("sample_key") < "cccc") // keep ~80%
-        .select("doc_id", "quality_score", "sample_key")
+      curationFunnel(Synth.documents(s, dir), (d, _) => d)
         .orderBy("doc_id")
     },
 
