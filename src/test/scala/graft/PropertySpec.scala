@@ -157,4 +157,40 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got == expect, s"seed=$seed blockSize=$blockSize")
     }
   }
+
+  test("q63b spans tile every doc exactly and fill every non-final sequence to L") {
+    val sf = sys.props.get("graft.testdata")
+      .orElse(sys.env.get("GRAFT_TESTDATA")).getOrElse("/root/testdata/sf0.001")
+    val L = 2048L
+    val rows = SparkEntry.queries("q63b_sequence_packing")(spark, sf)
+      .select("doc_id", "seq_id", "seq_off", "doc_off", "len").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.forall(_._5 > 0), "every span must be non-empty")
+    // per doc: spans in seq order tile [0, n_tokens) with no gap/overlap
+    rows.groupBy(_._1).foreach { case (doc, spans) =>
+      val s = spans.sortBy(_._2)
+      assert(s.head._4 == 0L, s"doc $doc must start at doc_off 0")
+      s.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._2 == a._2 + 1, s"doc $doc spans must hit consecutive sequences")
+          assert(b._4 == a._4 + a._5, s"doc $doc spans must tile without gaps")
+        case _ =>
+      }
+    }
+    // per sequence: spans tile [0, L) exactly; only the last sequence may
+    // be partial
+    val maxSeq = rows.map(_._2).max
+    rows.groupBy(_._2).foreach { case (seq, spans) =>
+      val s = spans.sortBy(_._3)
+      assert(s.head._3 == 0L, s"sequence $seq must start at seq_off 0")
+      s.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._3 == a._3 + a._5, s"sequence $seq spans must tile without gaps")
+        case _ =>
+      }
+      val filled = s.last._3 + s.last._5
+      if (seq < maxSeq) assert(filled == L, s"sequence $seq must hold exactly $L tokens")
+      else assert(filled <= L, s"final sequence may be partial, never over-full")
+    }
+  }
 }
