@@ -37,7 +37,7 @@ object Curation {
   private[graft] def u32Spark(salt: String, key: String): String =
     s"cast(conv(substring(md5(cast(concat('$salt', $key) as binary)), 1, 8), 16, 10) as bigint)"
 
-  private def u32Duck(salt: String, key: String): String =
+  private[graft] def u32Duck(salt: String, key: String): String =
     s"cast(('0x' || substring(md5('$salt' || $key), 1, 8)) as bigint)"
 
   /** α = 0.5: keep rate per language = sqrt(c_min / c_lang). */

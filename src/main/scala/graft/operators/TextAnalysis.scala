@@ -692,6 +692,44 @@ object TextAnalysis {
         .orderBy("source", "cum_tokens", "doc_id")
     },
 
+    // Count-min-sketch frequency estimation — the sketch trio's third
+    // member (q49 Bloom = membership, q44/q96b HLL = cardinality, this =
+    // frequency): token counts compressed to d=3 hash rows × W=1024
+    // buckets (3072 integers regardless of vocabulary size — mergeable
+    // across shards by plain addition), point estimate = min over the
+    // token's d buckets, an OVERestimate by construction. Deterministic
+    // md5 bucket hashing makes even the estimates oracle-exact (the q49
+    // trick), and the query carries exact vs estimate + overshoot so the
+    // error is measured, not assumed. Scale shape: corpus → vocab-sized
+    // exact counts (one shuffle, the q24 pass), vocab → 3072-row sketch
+    // (second tiny aggregation), probes join the broadcast sketch.
+    "q102_cms_heavy_hitters" -> { (s, dir) =>
+      val d = 3
+      val w = 1024
+      def bucket(i: Int, tok: String) =
+        expr(s"${Curation.u32Spark(s"cms$i:", tok)} % $w")
+      val counts = Synth.documents(s, dir)
+        .select(explode(expr(toks)).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n_exact"))
+      val cms = (0 until d).map { i =>
+        counts.groupBy(bucket(i, "token").as("bucket"))
+          .agg(sum(col("n_exact")).as("c"))
+          .withColumn("row", lit(i))
+      }.reduce(_ unionAll _)
+      val probed = (0 until d).foldLeft(counts) { (acc, i) =>
+        acc.join(
+          broadcast(cms.filter(col("row") === i)
+            .select(col("bucket").as(s"b$i"), col("c").as(s"c$i"))),
+          bucket(i, "token") === col(s"b$i"))
+          .drop(s"b$i")
+      }
+      probed
+        .withColumn("n_est", least((0 until d).map(i => col(s"c$i")): _*))
+        .withColumn("overshoot", col("n_est") - col("n_exact"))
+        .select("token", "n_exact", "n_est", "overshoot")
+        .orderBy(col("n_exact").desc, col("token")).limit(50)
+    },
+
     // Document length histogram (100-char buckets) — corpus shape stats.
     "q27_length_hist" -> { (s, dir) =>
       Synth.documents(s, dir)
@@ -985,6 +1023,29 @@ object TextAnalysis {
          |  greatest(s, seq_id * 2048) - s AS doc_off,
          |  least(e, (seq_id + 1) * 2048) - greatest(s, seq_id * 2048) AS len
          |FROM x ORDER BY doc_id, seq_id""".stripMargin,
+
+    "q102_cms_heavy_hitters" -> {
+      def b(i: Int, key: String) =
+        s"${Curation.u32Duck(s"cms$i:", key)} % 1024"
+      s"""WITH counts AS (
+         |  SELECT token, cast(count(*) as bigint) AS n_exact
+         |  FROM (SELECT unnest($dToks) AS token FROM documents)
+         |  GROUP BY token),
+         |cms0 AS (SELECT ${b(0, "token")} AS bucket,
+         |  cast(sum(n_exact) as bigint) AS c FROM counts GROUP BY 1),
+         |cms1 AS (SELECT ${b(1, "token")} AS bucket,
+         |  cast(sum(n_exact) as bigint) AS c FROM counts GROUP BY 1),
+         |cms2 AS (SELECT ${b(2, "token")} AS bucket,
+         |  cast(sum(n_exact) as bigint) AS c FROM counts GROUP BY 1)
+         |SELECT c.token, c.n_exact,
+         |  least(e0.c, e1.c, e2.c) AS n_est,
+         |  least(e0.c, e1.c, e2.c) - c.n_exact AS overshoot
+         |FROM counts c
+         |JOIN cms0 e0 ON ${b(0, "c.token")} = e0.bucket
+         |JOIN cms1 e1 ON ${b(1, "c.token")} = e1.bucket
+         |JOIN cms2 e2 ON ${b(2, "c.token")} = e2.bucket
+         |ORDER BY n_exact DESC, token LIMIT 50""".stripMargin
+    },
 
     "q24_vocab" ->
       s"""SELECT token, count(*) AS doc_freq
