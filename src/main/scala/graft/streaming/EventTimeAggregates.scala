@@ -145,6 +145,24 @@ object EventTimeAggregates {
       .agg(min(col("id_old")).as("dup_of"))
   }
 
+  /** Streaming count-min sketch — the batch q102 sketch maintained
+    * incrementally: the (row, bucket) counts are a streaming aggregation
+    * whose state is the FIXED d×W integer grid regardless of stream
+    * volume (the mergeable-sketch property, expressed as streaming
+    * state — no watermark needed because the state cannot grow). Each
+    * micro-batch updates only touched buckets; frequency estimation is
+    * a lookup over the maintained grid, overestimate by construction.
+    * `tokens` columns: token (string).
+    */
+  def streamingCms(tokens: DataFrame, d: Int = 3, w: Int = 1024): DataFrame =
+    (0 until d).map { i =>
+      tokens.select(
+        expr(s"${graft.operators.Curation.u32Spark(s"cms$i:", "token")} % $w")
+          .as("bucket"))
+        .withColumn("row", lit(i))
+    }.reduce(_ unionAll _)
+      .groupBy("row", "bucket").agg(count(lit(1)).as("c"))
+
   final case class QuotaDoc(source: String, doc_id: Long, n_tokens: Long)
   final case class QuotaState(seenTokens: Long)
   final case class QuotaAdmission(

@@ -90,6 +90,35 @@ class EventTimeSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming CMS: bucket grid accumulates across batches, estimates dominate exact counts") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val out = EventTimeAggregates.streamingCms(mem.toDF().toDF("token"))
+    val q = out.writeStream.format("memory").queryName("cms")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData("alpha", "alpha", "beta")
+      q.processAllAvailable()
+      mem.addData("alpha", "gamma")
+      q.processAllAvailable()
+      // estimate via the same deterministic buckets the sketch used
+      val grid = spark.sql("select row, bucket, c from cms").collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      def est(tok: String): Long = (0 until 3).map { i =>
+        val b = spark.sql(
+          s"select ${graft.operators.Curation.u32Spark(s"cms$i:", s"'$tok'")} % 1024")
+          .collect()(0).getLong(0)
+        grid.getOrElse((i, b), 0L)
+      }.min
+      assert(est("alpha") >= 3L, "estimates never undercount")
+      assert(est("beta") >= 1L && est("gamma") >= 1L)
+      // total mass per row = total tokens seen (grid state merged, not reset)
+      val perRow = grid.groupBy(_._1._1).view.mapValues(_.values.sum)
+      assert(perRow.values.forall(_ == 5L), s"each row holds all 5 tokens: $perRow")
+    } finally q.stop()
+  }
+
   test("streaming quota sampler: per-source budget, prefix semantics, cross-batch state") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
