@@ -55,6 +55,53 @@ object TextAnalysis {
       .select("doc_id", "quality_score", "sample_key")
   }
 
+  /** q54's two retrieval stages up to the dense-scored shortlist, with
+    * the sparse rank (`srk`) carried through: sparse set-cosine recall
+    * over 3-gram shingle features (query side broadcast, corpus-relative
+    * df ≤ N/2 vocabulary cut), then the ≤50-per-query shortlist joined
+    * to embeddings for the IEEE-exact dense cosine. Shared by q54
+    * (dense rerank) and q54b (reciprocal-rank fusion).
+    */
+  private def hybridShortlist(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val docs = Synth.documents(s, dir)
+    val sh = docs
+      .select(col("doc_id"),
+        explode(expr(s"graft_shingles($toks, 3)")).as("term"))
+    val stats = docs.agg(count(lit(1)).as("n"))
+    val rare = sh.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .filter(col("df").cast("double") <= lit(0.5) * col("n").cast("double"))
+      .select("term")
+    val v = sh.join(rare.hint("shuffle_hash"), Seq("term"), "left_semi")
+      .select("doc_id", "term") // USING join emits the join column first
+    val norms = v.groupBy("doc_id").agg(count(lit(1)).as("n2"))
+    val qv = v.filter(col("doc_id") < 3).toDF("query_id", "term")
+    val dots = v.toDF("doc_id", "term")
+      .join(broadcast(qv), "term")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("dot"))
+    val sparse = dots
+      .join(norms.toDF("query_id", "qn2"), "query_id")
+      .join(norms.toDF("doc_id", "dn2"), "doc_id")
+      .withColumn("sparse_cosine", col("dot").cast("double") /
+        (sqrt(col("qn2").cast("double")) * sqrt(col("dn2").cast("double"))))
+    val wR = Window.partitionBy("query_id")
+      .orderBy(col("sparse_cosine").desc, col("doc_id"))
+    val recall = sparse.withColumn("srk", row_number().over(wR))
+      .filter(col("srk") <= 50)
+      .select("query_id", "doc_id", "sparse_cosine", "srk")
+    val e = Synth.embeddings(s, dir)
+    val qe = broadcast(e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    recall
+      .join(e.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+      .join(qe, "query_id")
+      .withColumn("dense_cosine",
+        expr(Similarity.normCosExpr("q_emb", "embedding", Dedup.dot)))
+  }
+
   /** The q60 funnel with zero-extra-pass observability: each stage's
     * surviving-row count rides the SAME job as an accumulator-backed
     * `Observation` metric (CollectMetrics node). At 100 TB, the naive
@@ -304,48 +351,36 @@ object TextAnalysis {
     // cosine. Both scores ship in the output so the rerank's reordering
     // is visible.
     "q54_hybrid_retrieval" -> { (s, dir) =>
-      graft.functions.GraftFunctions.register(s)
-      val docs = Synth.documents(s, dir)
-      val sh = docs
-        .select(col("doc_id"),
-          explode(expr(s"graft_shingles($toks, 3)")).as("term"))
-      val stats = docs.agg(count(lit(1)).as("n"))
-      val rare = sh.groupBy("term").agg(count(lit(1)).as("df"))
-        .crossJoin(broadcast(stats))
-        .filter(col("df").cast("double") <= lit(0.5) * col("n").cast("double"))
-        .select("term")
-      val v = sh.join(rare.hint("shuffle_hash"), Seq("term"), "left_semi")
-        .select("doc_id", "term") // USING join emits the join column first
-      val norms = v.groupBy("doc_id").agg(count(lit(1)).as("n2"))
-      val qv = v.filter(col("doc_id") < 3).toDF("query_id", "term")
-      val dots = v.toDF("doc_id", "term")
-        .join(broadcast(qv), "term")
-        .filter(col("doc_id") =!= col("query_id"))
-        .groupBy("query_id", "doc_id")
-        .agg(count(lit(1)).as("dot"))
-      val sparse = dots
-        .join(norms.toDF("query_id", "qn2"), "query_id")
-        .join(norms.toDF("doc_id", "dn2"), "doc_id")
-        .withColumn("sparse_cosine", col("dot").cast("double") /
-          (sqrt(col("qn2").cast("double")) * sqrt(col("dn2").cast("double"))))
-      val wR = Window.partitionBy("query_id")
-        .orderBy(col("sparse_cosine").desc, col("doc_id"))
-      val recall = sparse.withColumn("srk", row_number().over(wR))
-        .filter(col("srk") <= 50)
-        .select("query_id", "doc_id", "sparse_cosine")
-      val e = Synth.embeddings(s, dir)
-      val qe = broadcast(e.filter(col("vec_id") < 3)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
       val wD = Window.partitionBy("query_id")
         .orderBy(col("dense_cosine").desc, col("doc_id"))
-      recall
-        .join(e.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
-        .join(qe, "query_id")
-        .withColumn("dense_cosine",
-          expr(Similarity.normCosExpr("q_emb", "embedding", Dedup.dot)))
+      hybridShortlist(s, dir)
         .withColumn("rk", row_number().over(wD))
         .filter(col("rk") <= 10)
         .select("query_id", "doc_id", "sparse_cosine", "dense_cosine", "rk")
+        .orderBy("query_id", "rk")
+    },
+
+    // Reciprocal-rank fusion over q54's two rankings — the standard
+    // hybrid-score combiner (RRF, Cormack & Clarke & Buettcher SIGIR'09):
+    // fused = Σ 1/(60 + rank) over the sparse-recall rank and the dense
+    // rank of the SAME shortlist. Rank-based, so it needs no score
+    // calibration between retrievers whose score scales differ — which
+    // is why production hybrid search defaults to it. Each reciprocal is
+    // one correctly-rounded double op and the two add in fixed order →
+    // cross-engine exact.
+    "q54b_rrf_fusion" -> { (s, dir) =>
+      val wD = Window.partitionBy("query_id")
+        .orderBy(col("dense_cosine").desc, col("doc_id"))
+      val wF = Window.partitionBy("query_id")
+        .orderBy(col("rrf").desc, col("doc_id"))
+      hybridShortlist(s, dir)
+        .withColumn("drk", row_number().over(wD))
+        .withColumn("rrf",
+          lit(1.0) / (lit(60.0) + col("srk").cast("double"))
+            + lit(1.0) / (lit(60.0) + col("drk").cast("double")))
+        .withColumn("rk", row_number().over(wF))
+        .filter(col("rk") <= 10)
+        .select("query_id", "doc_id", "srk", "drk", "rrf", "rk")
         .orderBy("query_id", "rk")
     },
 
@@ -774,6 +809,49 @@ object TextAnalysis {
 
   private val dToks = "regexp_split_to_array(trim(text), '\\s+')"
 
+  /** DuckDB rendering of [[hybridShortlist]] (srk carried into `rr`) —
+    * shared CTE prefix of the q54 and q54b oracles.
+    */
+  private lazy val hybridDuckCtes: String = {
+    val cos = Similarity.normCosExpr(
+      "qe.embedding", "de.embedding", Similarity.dotDuck)
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(${dNgrams(3)}) AS term FROM documents),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |rare AS (SELECT term FROM (
+       |    SELECT term, count(*) AS df FROM sh GROUP BY 1), n
+       |  WHERE cast(df as double) <= 0.5 * cast(n as double)),
+       |v AS (SELECT doc_id, term FROM sh JOIN rare USING (term)),
+       |norms AS (SELECT doc_id, cast(count(*) as bigint) AS n2
+       |          FROM v GROUP BY 1),
+       |dots AS (
+       |  SELECT q.doc_id AS query_id, d.doc_id AS doc_id,
+       |    cast(count(*) as bigint) AS dot
+       |  FROM v q JOIN v d USING (term)
+       |  WHERE q.doc_id < 3 AND d.doc_id <> q.doc_id
+       |  GROUP BY 1, 2),
+       |sparse AS (
+       |  SELECT query_id, dots.doc_id AS doc_id,
+       |    cast(dot as double)
+       |      / (sqrt(cast(qn.n2 as double)) * sqrt(cast(dn.n2 as double)))
+       |      AS sparse_cosine
+       |  FROM dots
+       |  JOIN norms qn ON qn.doc_id = dots.query_id
+       |  JOIN norms dn ON dn.doc_id = dots.doc_id),
+       |recall AS (
+       |  SELECT query_id, doc_id, sparse_cosine, srk FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sparse_cosine DESC, doc_id) AS srk
+       |    FROM sparse)
+       |  WHERE srk <= 50),
+       |rr AS (
+       |  SELECT r.query_id, r.doc_id, r.sparse_cosine, r.srk,
+       |    $cos AS dense_cosine
+       |  FROM recall r
+       |  JOIN embeddings qe ON qe.vec_id = r.query_id
+       |  JOIN embeddings de ON de.vec_id = r.doc_id)""".stripMargin
+  }
+
   /** DuckDB rendering of TokenShingles(toks, n) — distinct n-gram shingles
     * with the same short-input edge (fewer than n tokens → one shingle).
     */
@@ -1081,49 +1159,29 @@ object TextAnalysis {
     // space-delimited `replace` rewrite via a 1-row cross join.
     // recall mirrors q57's sparse cosine; rerank mirrors q53's exact
     // dense cosine — same renderings, same orderings
-    "q54_hybrid_retrieval" -> {
-      val cos = Similarity.normCosExpr(
-        "qe.embedding", "de.embedding", Similarity.dotDuck)
-      s"""WITH sh AS (
-         |  SELECT doc_id, unnest(${dNgrams(3)}) AS term FROM documents),
-         |n AS (SELECT count(*) AS n FROM documents),
-         |rare AS (SELECT term FROM (
-         |    SELECT term, count(*) AS df FROM sh GROUP BY 1), n
-         |  WHERE cast(df as double) <= 0.5 * cast(n as double)),
-         |v AS (SELECT doc_id, term FROM sh JOIN rare USING (term)),
-         |norms AS (SELECT doc_id, cast(count(*) as bigint) AS n2
-         |          FROM v GROUP BY 1),
-         |dots AS (
-         |  SELECT q.doc_id AS query_id, d.doc_id AS doc_id,
-         |    cast(count(*) as bigint) AS dot
-         |  FROM v q JOIN v d USING (term)
-         |  WHERE q.doc_id < 3 AND d.doc_id <> q.doc_id
-         |  GROUP BY 1, 2),
-         |sparse AS (
-         |  SELECT query_id, dots.doc_id AS doc_id,
-         |    cast(dot as double)
-         |      / (sqrt(cast(qn.n2 as double)) * sqrt(cast(dn.n2 as double)))
-         |      AS sparse_cosine
-         |  FROM dots
-         |  JOIN norms qn ON qn.doc_id = dots.query_id
-         |  JOIN norms dn ON dn.doc_id = dots.doc_id),
-         |recall AS (
-         |  SELECT query_id, doc_id, sparse_cosine FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY query_id
-         |      ORDER BY sparse_cosine DESC, doc_id) AS srk
-         |    FROM sparse)
-         |  WHERE srk <= 50),
-         |rr AS (
-         |  SELECT r.query_id, r.doc_id, r.sparse_cosine, $cos AS dense_cosine
-         |  FROM recall r
-         |  JOIN embeddings qe ON qe.vec_id = r.query_id
-         |  JOIN embeddings de ON de.vec_id = r.doc_id)
+    "q54_hybrid_retrieval" ->
+      s"""$hybridDuckCtes
          |SELECT query_id, doc_id, sparse_cosine, dense_cosine, rk FROM (
          |  SELECT *, cast(row_number() OVER (PARTITION BY query_id
          |    ORDER BY dense_cosine DESC, doc_id) as int) AS rk
          |  FROM rr)
-         |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
-    },
+         |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+
+    "q54b_rrf_fusion" ->
+      s"""$hybridDuckCtes
+         |SELECT query_id, doc_id, srk, drk, rrf, rk FROM (
+         |  SELECT *, cast(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf DESC, doc_id) as int) AS rk
+         |  FROM (
+         |    SELECT query_id, doc_id,
+         |      cast(srk as int) AS srk, cast(drk as int) AS drk,
+         |      1.0 / (60.0 + cast(srk as double))
+         |        + 1.0 / (60.0 + cast(drk as double)) AS rrf
+         |    FROM (
+         |      SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY dense_cosine DESC, doc_id) AS drk
+         |      FROM rr)))
+         |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
 
     "q83_source_overlap" ->
       s"""WITH ss AS (

@@ -106,6 +106,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected the per-bucket rank window, got:\n$p")
   }
 
+  test("q102: all three sketch-row lookups broadcast the 1024-bucket grid") {
+    val p = plan("q102_cms_heavy_hitters")
+    val bhj = p.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size >= 3, s"expected 3 broadcast sketch lookups, got ${bhj.size}:\n$p")
+  }
+
   test("q34b: semdedup pairs join on the trained cluster key, never a cartesian") {
     val p = plan("q34b_semdedup")
     assert(!p.toString.contains("CartesianProduct"),
