@@ -139,6 +139,35 @@ object Similarity {
       rankTopK(e, Some("bucket")).orderBy("query_id", "rk")
     },
 
+    // Multi-probe LSH (Lv et al., VLDB'07): probe the query's own bucket
+    // PLUS the 8 buckets at Hamming distance 1 (one sign bit flipped) —
+    // the standard recall lift that avoids building more hash tables.
+    // Candidates grow to ~9n/256 of the corpus; assignment stays
+    // map-only, the probe list explodes on the broadcast QUERY side
+    // (9·|queries| rows), and no dedup is needed because every vector
+    // lives in exactly one bucket and the 9 probe buckets are distinct.
+    "q41b_knn_multiprobe" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val e = Synth.embeddings(s, dir)
+        .withColumn("bucket", expr(bucketExprSpark("embedding")))
+      val flips = (0 until nPlanes).map { i =>
+        expr(s"concat(substring(bucket, 1, $i), " +
+          s"if(substring(bucket, ${i + 1}, 1) = '1', '0', '1'), " +
+          s"substring(bucket, ${i + 2}, ${nPlanes - i - 1}))")
+      }
+      val q = broadcast(e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          explode(array(col("bucket") +: flips: _*)).as("bucket")))
+      q.join(e, "bucket")
+        .withColumn("cosine", expr(Dedup.dot("q_emb", "embedding")))
+        .groupBy("query_id")
+        .agg(expr(s"graft_topk(cosine, vec_id, $topK)").as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), (col("pos") + 1).cast("int").as("rk"),
+          col("col.id").as("vec_id"), col("col.score").as("cosine"))
+        .orderBy("query_id", "rk")
+    },
+
     // ANN quality measurement: recall@k of the LSH index against the
     // exact brute-force ranking — the metric that decides whether an
     // approximate index is usable. Both sides are deterministic top-k
@@ -245,6 +274,28 @@ object Similarity {
          | FROM b q JOIN b e ON q.bucket = e.bucket
          | WHERE q.vec_id < $nQueries)
          |WHERE rk <= $topK ORDER BY query_id, rk""".stripMargin,
+
+    "q41b_knn_multiprobe" -> {
+      val flips = (0 until nPlanes).map { i =>
+        s"concat(substring(bucket, 1, $i), " +
+          s"CASE WHEN substring(bucket, ${i + 1}, 1) = '1' THEN '0' ELSE '1' END, " +
+          s"substring(bucket, ${i + 2}, ${nPlanes - i - 1}))"
+      }
+      s"""WITH b AS (
+         | SELECT vec_id, embedding, ${bucketExprDuck("embedding")} AS bucket
+         | FROM embeddings),
+         |probes AS (
+         | SELECT vec_id AS query_id, embedding AS q_emb,
+         |  unnest([bucket, ${flips.mkString(", ")}]) AS bucket
+         | FROM b WHERE vec_id < $nQueries)
+         |SELECT query_id, rk, vec_id, cosine FROM (
+         | SELECT p.query_id, e.vec_id AS vec_id,
+         |  ${dotDuck("p.q_emb", "e.embedding")} AS cosine,
+         |  cast(row_number() OVER (PARTITION BY p.query_id
+         |    ORDER BY ${dotDuck("p.q_emb", "e.embedding")} DESC, e.vec_id) as int) AS rk
+         | FROM probes p JOIN b e ON p.bucket = e.bucket)
+         |WHERE rk <= $topK ORDER BY query_id, rk""".stripMargin
+    },
 
     "q46_ann_recall" ->
       s"""WITH ex AS (
