@@ -31,7 +31,7 @@ object Perceptron {
     */
   private def features(s: SparkSession, dir: String): DataFrame =
     Synth.documents(s, dir).select(
-      col("doc_id"),
+      col("doc_id"), col("source"),
       when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
       lit(1L).as("x0"),
       expr("cast(size(split(trim(text), '\\\\s+')) as bigint)").as("x1"),
@@ -71,11 +71,37 @@ object Perceptron {
         .select(col("doc_id"), col("y"), col("score"),
           (col("score") > 0L).as("pred"))
         .orderBy("doc_id")
+    },
+
+    // Model evaluation in-engine: per-source confusion matrix +
+    // precision/recall for q101's trained classifier — the
+    // slice-by-provenance quality report a curation run ships with its
+    // filter. One aggregation pass (FILTER-clause-style conditional
+    // counts, the q93 idiom); each metric is one exactly-rounded IEEE
+    // divide of integer counts, NULL when its denominator is empty.
+    "q101b_classifier_eval" -> { (s, dir) =>
+      val f = features(s, dir)
+      val w = train(f)
+      val tp = sum(when(col("pred") && col("y") === 1L, 1L).otherwise(0L))
+      val fp = sum(when(col("pred") && col("y") =!= 1L, 1L).otherwise(0L))
+      val fn = sum(when(!col("pred") && col("y") === 1L, 1L).otherwise(0L))
+      val tn = sum(when(!col("pred") && col("y") =!= 1L, 1L).otherwise(0L))
+      f.withColumn("pred", expr(
+          s"${w(0)}L*x0 + ${w(1)}L*x1 + ${w(2)}L*x2 + ${w(3)}L*x3 > 0"))
+        .groupBy("source")
+        .agg(tp.as("tp"), fp.as("fp"), fn.as("fn"), tn.as("tn"))
+        .withColumn("precision",
+          when(col("tp") + col("fp") > 0L,
+            col("tp").cast("double") / (col("tp") + col("fp")).cast("double")))
+        .withColumn("recall",
+          when(col("tp") + col("fn") > 0L,
+            col("tp").cast("double") / (col("tp") + col("fn")).cast("double")))
+        .orderBy("source")
     }
   )
 
   private val dFeat =
-    """SELECT doc_id,
+    """SELECT doc_id, source,
       |  cast(CASE WHEN lang = 'en' THEN 1 ELSE -1 END as bigint) AS y,
       |  1 AS x0,
       |  cast(len(regexp_split_to_array(trim(text), '\s+')) as bigint) AS x1,
@@ -109,6 +135,30 @@ object Perceptron {
          |  cast(w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3 as bigint) AS score,
          |  (w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3) > 0 AS pred
          |FROM f CROSS JOIN w3t w
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    "q101b_classifier_eval" ->
+      s"""WITH f AS ($dFeat),
+         |w0 AS (SELECT 0 AS w0, 0 AS w1, 0 AS w2, 0 AS w3),
+         |${dStep("w0", "w1t")},
+         |${dStep("w1t", "w2t")},
+         |${dStep("w2t", "w3t")},
+         |scored AS (
+         |  SELECT f.source, f.y,
+         |    (w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3) > 0 AS pred
+         |  FROM f CROSS JOIN w3t w),
+         |cm AS (
+         |  SELECT source,
+         |    cast(sum(CASE WHEN pred AND y = 1 THEN 1 ELSE 0 END) as bigint) AS tp,
+         |    cast(sum(CASE WHEN pred AND y <> 1 THEN 1 ELSE 0 END) as bigint) AS fp,
+         |    cast(sum(CASE WHEN NOT pred AND y = 1 THEN 1 ELSE 0 END) as bigint) AS fn,
+         |    cast(sum(CASE WHEN NOT pred AND y <> 1 THEN 1 ELSE 0 END) as bigint) AS tn
+         |  FROM scored GROUP BY source)
+         |SELECT source, tp, fp, fn, tn,
+         |  CASE WHEN tp + fp > 0
+         |    THEN cast(tp as double) / cast(tp + fp as double) END AS precision,
+         |  CASE WHEN tp + fn > 0
+         |    THEN cast(tp as double) / cast(tp + fn as double) END AS recall
+         |FROM cm ORDER BY source""".stripMargin
   )
 }
