@@ -189,6 +189,34 @@ object Curation {
         .orderBy("pos")
     },
 
+    // Snapshot diff — the dataset-versioning audit run between corpus
+    // releases: which docs were added, removed, or changed since the
+    // last snapshot? Old snapshot = docs with doc_id % 7 ≠ 0; new
+    // snapshot drops doc_id % 11 = 3 and edits the text of doc_id % 5
+    // = 0 (derived deterministically from one table so the oracle sees
+    // identical snapshots). FULL OUTER join on doc_id, change detection
+    // by content hash — never by full-text compare, so the 100 TB scan
+    // ships 16-byte digests into the join, not documents. One shuffle
+    // (or zero with both snapshots bucketed by doc_id).
+    "q103_snapshot_diff" -> { (s, dir) =>
+      val d = Synth.documents(s, dir)
+      val old_ = d.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("h_old"))
+      val new_ = d.filter(col("doc_id") % 11 =!= 3)
+        .select(col("doc_id"),
+          md5(concat(col("text"),
+            when(col("doc_id") % 5 === 0, lit(" [edited]")).otherwise(lit("")))
+            .cast("binary")).as("h_new"))
+      old_.join(new_, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("h_old").isNull, "added")
+            .when(col("h_new").isNull, "removed")
+            .when(col("h_old") =!= col("h_new"), "changed")
+            .otherwise("unchanged"))
+        .select("doc_id", "status")
+        .orderBy("doc_id")
+    },
+
     // Contamination score: |doc shingles ∩ eval shingles| / |doc
     // shingles| per training doc (eval set = doc_id ≡ 0 mod 97, as q36).
     // The eval shingle set (benchmarks are KBs) collapses to ONE
@@ -268,6 +296,23 @@ object Curation {
          |FROM bloom b LEFT JOIN exact e ON e.doc_id = b.doc_id
          |ORDER BY doc_id""".stripMargin
     },
+
+    "q103_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT doc_id, md5(text) AS h_old FROM documents
+        |  WHERE doc_id % 7 <> 0),
+        |n AS (
+        |  SELECT doc_id,
+        |    md5(text || CASE WHEN doc_id % 5 = 0 THEN ' [edited]' ELSE '' END)
+        |      AS h_new
+        |  FROM documents WHERE doc_id % 11 <> 3)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |    WHEN n.doc_id IS NULL THEN 'removed'
+        |    WHEN o.h_old <> n.h_new THEN 'changed'
+        |    ELSE 'unchanged' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "q100_global_shuffle" ->
       s"""SELECT doc_id, u AS shuffle_u,
