@@ -40,13 +40,18 @@ object Perceptron {
       expr("cast((length(text) - length(replace(text, 'the', ''))) div 3 as bigint)")
         .as("x3"))
 
-  private def marginExpr(w: Array[Long]) =
-    expr(s"y * (${w(0)}L*x0 + ${w(1)}L*x1 + ${w(2)}L*x2 + ${w(3)}L*x3)")
+  /** The ONE rendering of w·x — margin, scoring, and evaluation all go
+    * through it so a feature change cannot desynchronize them.
+    */
+  private def scoreSql(w: Array[Long]): String =
+    w.indices.map(i => s"${w(i)}L*x$i").mkString(" + ")
+
+  private def marginExpr(w: Array[Long]) = expr(s"y * (${scoreSql(w)})")
 
   /** One epoch: Σ y·x over misclassified docs, added to w. The epoch's
     * only driver traffic is the 4-long update row.
     */
-  private def step(f: DataFrame, w: Array[Long]): Array[Long]  = {
+  private def step(f: DataFrame, w: Array[Long]): Array[Long] = {
     val upd = f.filter(marginExpr(w) <= 0)
       .agg(
         coalesce(sum(col("y") * col("x0")), lit(0L)).as("d0"),
@@ -66,8 +71,7 @@ object Perceptron {
     "q101_perceptron" -> { (s, dir) =>
       val f = features(s, dir)
       val w = train(f)
-      f.withColumn("score", expr(
-          s"${w(0)}L*x0 + ${w(1)}L*x1 + ${w(2)}L*x2 + ${w(3)}L*x3"))
+      f.withColumn("score", expr(scoreSql(w)))
         .select(col("doc_id"), col("y"), col("score"),
           (col("score") > 0L).as("pred"))
         .orderBy("doc_id")
@@ -86,8 +90,7 @@ object Perceptron {
       val fp = sum(when(col("pred") && col("y") =!= 1L, 1L).otherwise(0L))
       val fn = sum(when(!col("pred") && col("y") === 1L, 1L).otherwise(0L))
       val tn = sum(when(!col("pred") && col("y") =!= 1L, 1L).otherwise(0L))
-      f.withColumn("pred", expr(
-          s"${w(0)}L*x0 + ${w(1)}L*x1 + ${w(2)}L*x2 + ${w(3)}L*x3 > 0"))
+      f.withColumn("pred", expr(s"${scoreSql(w)} > 0"))
         .groupBy("source")
         .agg(tp.as("tp"), fp.as("fp"), fn.as("fn"), tn.as("tn"))
         .withColumn("precision",

@@ -35,8 +35,16 @@ object Compaction {
       targetBytes: Long): Stats = {
     val fs = new Path(inPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // assignment must cover EXACTLY the files the parquet reader will
+    // read — Spark reads every non-hidden file regardless of extension
+    // (an extensionless 'part-00000' is data too), and skips '_'/'.'
+    // prefixed ones. An extension filter here would silently drop the
+    // unmatched files' rows through the inner join below.
     val files = fs.listStatus(new Path(inPath)).toSeq
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .filter { f =>
+        val n = f.getPath.getName
+        f.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
       .sortBy(_.getPath.getName)
     // first-fit by running byte sum, like q63's token packing: group =
     // floor((cum - 1) / target); a file larger than the target gets its

@@ -37,8 +37,14 @@ class CompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
       // a streaming-ingest-shaped mess: 40 tiny files
       (0L until 4000L).map(i => (i, s"payload_$i")).toDF("id", "payload")
         .repartition(40).write.parquet(in)
+      // one EXTENSIONLESS data file (Hive-style 'part-00000'): the
+      // reader reads it, so compaction must assign and keep its rows
+      val first = Files.list(java.nio.file.Paths.get(in)).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+      Files.move(first, first.resolveSibling("datafile-noext"))
       val smallSizes = Files.list(java.nio.file.Paths.get(in)).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .filter(!_.getFileName.toString.startsWith("_"))
+        .filter(Files.isRegularFile(_))
         .map(Files.size).toSeq
       val target = smallSizes.sum / 4 // aim for ~4 output files
 
