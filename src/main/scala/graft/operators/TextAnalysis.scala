@@ -765,6 +765,33 @@ object TextAnalysis {
         .orderBy(col("n_exact").desc, col("token")).limit(50)
     },
 
+    // Length-bucketed batching — the inference-serving prep step: group
+    // docs of similar token length into fixed-size batches so padding
+    // (every sequence pads to its batch max) wastes little compute.
+    // bucket = n_tokens div 64, then consecutive 32-doc batches inside
+    // each bucket in (n_tokens, doc_id) order; waste per batch =
+    // n_docs·max − Σ len, all exact integers. One shuffle: the rank
+    // window partitions by bucket (each bucket is a bounded slice, never
+    // the corpus); arrival-order batching would pay max-length padding
+    // on nearly every batch.
+    "q104_length_batching" -> { (s, dir) =>
+      val sized = Synth.documents(s, dir)
+        .select(col("doc_id"), expr(s"size($toks)").cast("long").as("n_tokens"))
+        .withColumn("bucket", expr("n_tokens div 64"))
+      val w = Window.partitionBy("bucket").orderBy("n_tokens", "doc_id")
+      sized
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("batch_seq", expr("(rn - 1) div 32"))
+        .groupBy("bucket", "batch_seq")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          max(col("n_tokens")).as("max_tokens"),
+          sum(col("n_tokens")).as("sum_tokens"))
+        .withColumn("padding_waste",
+          col("n_docs") * col("max_tokens") - col("sum_tokens"))
+        .orderBy("bucket", "batch_seq")
+    },
+
     // Document length histogram (100-char buckets) — corpus shape stats.
     "q27_length_hist" -> { (s, dir) =>
       Synth.documents(s, dir)
@@ -1101,6 +1128,25 @@ object TextAnalysis {
          |  greatest(s, seq_id * 2048) - s AS doc_off,
          |  least(e, (seq_id + 1) * 2048) - greatest(s, seq_id * 2048) AS len
          |FROM x ORDER BY doc_id, seq_id""".stripMargin,
+
+    "q104_length_batching" ->
+      s"""WITH sized AS (
+         |  SELECT doc_id, cast(len($dToks) as bigint) AS n_tokens,
+         |    cast(len($dToks) as bigint) // 64 AS bucket
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT bucket, n_tokens,
+         |    (row_number() OVER (PARTITION BY bucket
+         |      ORDER BY n_tokens, doc_id) - 1) // 32 AS batch_seq
+         |  FROM sized)
+         |SELECT bucket, cast(batch_seq as bigint) AS batch_seq,
+         |  cast(count(*) as bigint) AS n_docs,
+         |  max(n_tokens) AS max_tokens,
+         |  cast(sum(n_tokens) as bigint) AS sum_tokens,
+         |  cast(count(*) * max(n_tokens) - sum(n_tokens) as bigint)
+         |    AS padding_waste
+         |FROM ranked GROUP BY bucket, batch_seq
+         |ORDER BY bucket, batch_seq""".stripMargin,
 
     "q102_cms_heavy_hitters" -> {
       def b(i: Int, key: String) =
