@@ -73,4 +73,29 @@ class CompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
         }
     } finally deleteRecursively(root)
   }
+
+  test("row conservation holds for seeded random file layouts and targets") {
+    val rnd = new scala.util.Random(42)
+    (0 until 3).foreach { trial =>
+      val root = Files.createTempDirectory(s"compaction_r$trial")
+      try {
+        import spark.implicits._
+        val in = root.resolve("in").toString
+        val out = root.resolve("out").toString
+        val nRows = 500 + rnd.nextInt(2000)
+        val nFiles = 3 + rnd.nextInt(30)
+        (0L until nRows.toLong).map(i => (i, rnd.nextLong())).toDF("id", "v")
+          .repartition(nFiles).write.parquet(in)
+        val total = Files.list(java.nio.file.Paths.get(in)).iterator().asScala
+          .filter(p => Files.isRegularFile(p) &&
+            !p.getFileName.toString.startsWith("_"))
+          .map(Files.size).sum
+        val target = math.max(total / (1 + rnd.nextInt(8)), 1L)
+        val stats = Compaction.compact(spark, in, out, target)
+        assert(stats.filesAfter == stats.groups, s"trial $trial: $stats")
+        assert(spark.read.parquet(out).count() == nRows,
+          s"trial $trial lost rows: $stats")
+      } finally deleteRecursively(root)
+    }
+  }
 }

@@ -112,6 +112,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bhj.size >= 3, s"expected 3 broadcast sketch lookups, got ${bhj.size}:\n$p")
   }
 
+  test("q104: the batching rank window partitions by length bucket, not the corpus") {
+    val p = plan("q104_length_batching")
+    assert(p.toString.contains("hashpartitioning(bucket"),
+      s"expected the per-bucket rank window, got:\n$p")
+  }
+
   test("q34b: semdedup pairs join on the trained cluster key, never a cartesian") {
     val p = plan("q34b_semdedup")
     assert(!p.toString.contains("CartesianProduct"),
