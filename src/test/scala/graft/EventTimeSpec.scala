@@ -149,6 +149,41 @@ class EventTimeSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming quota sampler: per-source counters survive a checkpoint restart") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-quota").toString
+    val outDir = java.nio.file.Files.createTempDirectory("quota-out").toString
+    val docs = mem.toDS().map(t => QuotaDoc(t._1, t._2, t._3))
+    val out = EventTimeAggregates.streamingQuotaSampler(
+      docs, Map("a" -> 100L), defaultBudget = 50L)
+    // file sink: the memory sink does not support checkpoint recovery
+    def start() = out.writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+
+    val q1 = start()
+    mem.addData(("a", 1L, 70L))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // restart from the same checkpoint: the admitted cum must CONTINUE
+    // from the restored 70 (a reset state would emit cum 25)
+    val q2 = start()
+    try {
+      mem.addData(("a", 2L, 25L))
+      q2.processAllAvailable()
+      mem.addData(("a", 3L, 10L)) // 105 > 100: budget closed post-restart
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(outDir)
+        .select("doc_id", "cum_tokens").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((1L, 70L), (2L, 95L)),
+        s"state must restore seen=70 across the restart, got $rows")
+    } finally q2.stop()
+  }
+
   test("streaming ANN probe: stream-static index join, heap-bounded top-k per query") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
