@@ -782,6 +782,23 @@ object Relational {
         ORDER BY event_id""")
     },
 
+    // Type-2 slowly-changing dimension build — the warehouse op that turns
+    // an append-only event stream into versioned dimension rows: collapse
+    // each user's consecutive run of equal event_type into one row with
+    // [valid_from, valid_to) validity and an is_current flag. Change
+    // detection is lag() ≠ current, run ids are the running sum of change
+    // marks (the q17 sessionize trick), validity bounds come from lead()
+    // over the collapsed runs. Validity is exported as epoch MICROSECONDS
+    // (integer — engine-identical; formatted strings differ in sub-ms
+    // rendering). Plan shape: ONE hash exchange on user_id — both windows
+    // and the (user_id, version) group reuse it (HashPartitioning on a
+    // subset of the grouping keys satisfies ClusteredDistribution), so at
+    // 100 TB this is a single shuffle + per-partition sorts.
+    "q106_scd2" -> { (s, dir) =>
+      Synth.events(s, dir).createOrReplaceTempView("events")
+      s.sql(scd2Sql("unix_micros"))
+    },
+
     // Approximate sketches: HLL distinct counts + approximate quantiles —
     // single-pass mergeable state, the 100 TB substitute for exact
     // distinct/percentile. No SQL-exact oracle (sketch estimates are
@@ -818,7 +835,35 @@ object Relational {
     }
   )
 
+  /** ONE rendering of the q106 SCD-2 build, shared by both engines;
+    * `epochUs` is the engine's timestamp→microseconds function (Spark
+    * `unix_micros`, DuckDB `epoch_us`). `lag(..) IS DISTINCT FROM ..`
+    * marks both run changes and each user's first row.
+    */
+  private def scd2Sql(epochUs: String): String =
+    s"""WITH marked AS (
+       | SELECT user_id, event_type, ts, event_id,
+       |  CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |        IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+       | FROM events),
+       |runs AS (
+       | SELECT user_id, event_type, ts,
+       |  sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+       | FROM marked),
+       |dim AS (
+       | SELECT user_id, cast(version as int) AS version,
+       |  min(event_type) AS event_type,
+       |  min($epochUs(ts)) AS valid_from_us
+       | FROM runs GROUP BY user_id, version)
+       |SELECT user_id, version, event_type, valid_from_us,
+       | lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version) AS valid_to_us,
+       | lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version) IS NULL AS is_current
+       |FROM dim ORDER BY user_id, version""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    "q106_scd2" -> scd2Sql("epoch_us"),
+
     "q74_topk_per_group" ->
       """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
         | SELECT o_orderpriority, o_orderkey, o_totalprice,

@@ -52,6 +52,32 @@ object Similarity {
       Integer.parseInt(md5hex(s"centroid$c:$d").substring(0, 1), 16) - 7.5
     }
 
+  private val nProjDims = 16
+
+  /** q107's Johnson–Lindenstrauss sign matrix: entry(j, d) ∈ {−1, 1}
+    * from the same md5 derivation as the LSH planes (different salt).
+    * ±1 times a float is exact in binary floating point, so projected
+    * coordinates are bit-identical across engines.
+    */
+  private[operators] val projSigns: Array[Array[Double]] =
+    Array.tabulate(nProjDims, dim) { (j, d) =>
+      if (Integer.parseInt(md5hex(s"proj$j:$d").substring(0, 1), 16) < 8) -1.0
+      else 1.0
+    }
+
+  private def projRowSpark(j: Int): String =
+    projSigns(j).map(w => s"${w}D").mkString("array(", ", ", ")")
+  private def projRowDuck(j: Int): String =
+    projSigns(j).mkString("[", ", ", "]")
+
+  /** dim→nProjDims projection as an array expression (Spark SQL). */
+  private def projExprSpark(col: String): String =
+    (0 until nProjDims).map(j => Dedup.dot(col, projRowSpark(j)))
+      .mkString("array(", ", ", ")")
+  private def projExprDuck(col: String): String =
+    (0 until nProjDims).map(j => dotDuck(col, projRowDuck(j)))
+      .mkString("[", ", ", "]")
+
   private def centroidArraySpark(c: Int): String =
     centroids(c).map(w => s"${w}D").mkString("array(", ", ", ")")
   private def centroidArrayDuck(c: Int): String =
@@ -191,6 +217,40 @@ object Similarity {
         .orderBy("query_id")
     },
 
+    // Johnson–Lindenstrauss random-projection ANN: project the 64-dim
+    // embeddings to 16 dims with a deterministic ±1 sign matrix (the
+    // Achlioptas construction — ±1 entries preserve pairwise dots in
+    // expectation at 1/4 the arithmetic and memory), rank candidates by
+    // the PROJECTED dot product, and report recall@k against the exact
+    // 64-dim ranking (the q46 measurement shape). This is the cheap
+    // pre-filter tier of a production ANN stack: at 100 TB the projection
+    // is a map-only pass that shrinks the vector bytes 4×
+    // (scan/shuffle/cache all benefit), and the exact re-rank runs only
+    // on the shortlist. Signs are md5-derived so both engines compute
+    // bit-identical projections.
+    "q107_random_projection" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val e = Synth.embeddings(s, dir)
+      val pr = e.withColumn("proj", expr(projExprSpark("embedding")))
+      val q = broadcast(pr.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("proj").as("q_proj")))
+      val approx = q.crossJoin(pr)
+        .withColumn("pdot", expr(Dedup.dot("q_proj", "proj")))
+        .groupBy("query_id")
+        .agg(expr(s"graft_topk(pdot, vec_id, $topK)").as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), col("col.id").as("vec_id"))
+        .withColumn("hit", lit(1))
+      val exact = rankTopK(e, None).select("query_id", "vec_id")
+      exact.join(approx, Seq("query_id", "vec_id"), "left")
+        .groupBy("query_id")
+        .agg(count(col("hit")).as("n_hit"))
+        .withColumn("recall",
+          col("n_hit").cast("double") / lit(topK.toDouble))
+        .select("query_id", "n_hit", "recall")
+        .orderBy("query_id")
+    },
+
     // IVF-style ANN: assign every vector to its nearest pseudo-centroid
     // (map-only argmax over 8 dot products), then search only the query's
     // cluster. With real (trained) centroids this is the standard IVF
@@ -235,8 +295,49 @@ object Similarity {
         .select(col("query_id"), (col("pos") + 1).cast("int").as("rk"),
           col("col.id").as("vec_id"), col("col.score").as("cosine"))
         .orderBy("rk")
+    },
+
+    // Hard-negative mining — the contrastive-training batch-construction
+    // primitive (DPR/SimCSE shape): for each query vector, the k
+    // most-similar candidates that are (a) not the query itself, (b) a
+    // DIFFERENT label (same-label rows are the positives), and (c) below
+    // the near-duplicate ceiling (cosine ≥ 0.25 marks suspected
+    // duplicates/label noise — excluded the way SemDeDup drops them).
+    // What survives is the highest-similarity true negatives, the pairs
+    // that move a contrastive loss most. Plan shape at 100 TB: the query
+    // side broadcasts (queries are a sample, KBs), the corpus pass is
+    // map-only, and graft_topk's bounded heap means only k·|queries|
+    // rows ever reach the single shuffle — at production scale the
+    // crossJoin swaps for an ANN index probe (q43b/q48b) with this same
+    // filter+rank tail.
+    "q105_hard_negatives" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val e = Synth.embeddings(s, dir)
+      val q = broadcast(e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("label").as("q_label")))
+      q.crossJoin(e)
+        .filter(col("vec_id") =!= col("query_id") &&
+          col("label") =!= col("q_label"))
+        .withColumn("cosine",
+          expr(normCosExpr("q_emb", "embedding", Dedup.dot)))
+        .filter(col("cosine") < hardNegCeil)
+        .groupBy("query_id")
+        .agg(expr(s"graft_topk(cosine, vec_id, $topK)").as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), (col("pos") + 1).cast("int").as("rk"),
+          col("col.id").as("vec_id"), col("col.score").as("cosine"))
+        .orderBy("query_id", "rk")
     }
   )
+
+  /** q105's near-duplicate ceiling: ~the 98th percentile of the corpus
+    * cosine distribution (max pairwise cosine here is 0.39) — high enough
+    * to keep real hard negatives, low enough to actually exclude rows at
+    * every scale factor. The `<` comparison is engine-safe because both
+    * sides compute the identical fixed-order IEEE double (normCosExpr).
+    */
+  private val hardNegCeil = 0.25
 
   def oracleNormalized: Map[String, String] = Map(
     "q53_true_cosine" -> {
@@ -248,6 +349,18 @@ object Similarity {
          |  SELECT embedding FROM embeddings WHERE vec_id = 0) q
          |WHERE e.vec_id <> 0
          |ORDER BY rk LIMIT 20""".stripMargin
+    },
+
+    "q105_hard_negatives" -> {
+      val cos = normCosExpr("q.embedding", "e.embedding", dotDuck)
+      s"""SELECT query_id, rk, vec_id, cosine FROM (
+         | SELECT q.vec_id AS query_id, e.vec_id AS vec_id, $cos AS cosine,
+         |  cast(row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY $cos DESC, e.vec_id) as int) AS rk
+         | FROM embeddings q CROSS JOIN embeddings e
+         | WHERE q.vec_id < $nQueries AND e.vec_id <> q.vec_id
+         |   AND e.label <> q.label AND $cos < $hardNegCeil)
+         |WHERE rk <= $topK ORDER BY query_id, rk""".stripMargin
     }
   )
 
@@ -315,6 +428,33 @@ object Similarity {
          |   row_number() OVER (PARTITION BY q.vec_id
          |     ORDER BY ${dotDuck("q.embedding", "e.embedding")} DESC, e.vec_id) AS rk
          |  FROM b q JOIN b e ON q.bucket = e.bucket
+         |  WHERE q.vec_id < $nQueries)
+         | WHERE rk <= $topK)
+         |SELECT ex.query_id AS query_id,
+         |  cast(count(ap.vec_id) as bigint) AS n_hit,
+         |  cast(count(ap.vec_id) as double) / $topK AS recall
+         |FROM ex LEFT JOIN ap
+         |  ON ap.query_id = ex.query_id AND ap.vec_id = ex.vec_id
+         |GROUP BY ex.query_id ORDER BY query_id""".stripMargin,
+
+    "q107_random_projection" ->
+      s"""WITH pr AS (
+         | SELECT vec_id, embedding, ${projExprDuck("embedding")} AS proj
+         | FROM embeddings),
+         |ex AS (
+         | SELECT query_id, vec_id FROM (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |     ORDER BY ${dotDuck("q.embedding", "e.embedding")} DESC, e.vec_id) AS rk
+         |  FROM embeddings q CROSS JOIN embeddings e
+         |  WHERE q.vec_id < $nQueries)
+         | WHERE rk <= $topK),
+         |ap AS (
+         | SELECT query_id, vec_id FROM (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |     ORDER BY ${dotDuck("q.proj", "e.proj")} DESC, e.vec_id) AS rk
+         |  FROM pr q CROSS JOIN pr e
          |  WHERE q.vec_id < $nQueries)
          | WHERE rk <= $topK)
          |SELECT ex.query_id AS query_id,
