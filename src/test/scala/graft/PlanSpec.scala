@@ -239,6 +239,31 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q106: the SCD-2 build costs one hash shuffle on user_id (both windows + the group reuse it)") {
+    val p = plan("q106_scd2")
+    val shuffles = p.collect { case s: ShuffleExchangeExec => s }
+    // 1 hash exchange on user_id — lag/sum windows, the (user_id, version)
+    // aggregate (subset-key reuse), and the lead window all consume it —
+    // plus the final output-order range exchange
+    assert(shuffles.size <= 2, s"expected <=2 exchanges, got ${shuffles.size}:\n$p")
+    val hashEx = shuffles.filterNot(_.toString.contains("rangepartitioning"))
+    assert(hashEx.size == 1 && hashEx.head.toString.contains("user_id"),
+      s"expected one hash exchange on user_id:\n$p")
+  }
+
+  test("q105/q107: mining and projection broadcast the query side, rank via the bounded heap") {
+    for (q <- Seq("q105_hard_negatives", "q107_random_projection")) {
+      val p = plan(q)
+      assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.nonEmpty ||
+        p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+        s"$q: the query side must broadcast:\n$p")
+      assert(p.toString.contains("ObjectHashAggregate"),
+        s"$q: expected the graft_topk heap aggregate:\n$p")
+      assert(!p.toString.contains("row_number"),
+        s"$q: must not fall back to the window ranking:\n$p")
+    }
+  }
+
   test("q62: the batch/corpus doc_id filters reach the documents scans") {
     val scans = plan("q62_incremental_dedup").collect {
       case f: FileSourceScanExec => f }
