@@ -153,6 +153,41 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // Paragraph-level exact dedup + document reassembly (the RefinedWeb /
+    // CCNet granularity): documents split into fixed 8-token tiles — the
+    // deterministic "paragraph" splitter for this corpus's newline-free
+    // text — each tile deduplicated CORPUS-WIDE keeping the first
+    // (doc_id, position) occurrence, and surviving tiles reassembled in
+    // document order. This removes repeated boilerplate that doc-level
+    // exact dedup (q30) cannot see: shared headers/footers/nav inside
+    // otherwise-distinct documents. Scale shape: one hash shuffle on the
+    // tile text for the keep-first window (production ships md5(tile) +
+    // (doc_id, p) through that shuffle and joins the winners back, the
+    // way q103 ships digests instead of full text) and one hash shuffle
+    // on doc_id for the reassembly — no global sort anywhere.
+    "q108_paragraph_dedup" -> { (s, dir) =>
+      val P = 8
+      val w = Window.partitionBy("para").orderBy("doc_id", "p")
+      Synth.documents(s, dir)
+        .select(col("doc_id"), expr(toks).as("t"))
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, (size(t) - 1) div $P), " +
+            s"q -> concat_ws(' ', slice(t, q * $P + 1, $P)))")))
+        .toDF("doc_id", "p", "para")
+        .withColumn("keep", row_number().over(w) === 1)
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_paras"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          array_join(transform(filter(array_sort(collect_list(
+              struct(col("p"), col("keep"), col("para")))),
+              x => x.getField("keep")),
+            x => x.getField("para")), " ").as("clean_text"))
+        .withColumn("clean_text", nullif(col("clean_text"), lit("")))
+        .select("doc_id", "n_paras", "n_kept", "clean_text")
+        .orderBy("doc_id")
+    },
+
     // N-gram Jaccard near-dup: inverted index on shingles → candidate
     // pairs → exact Jaccard; top-50 most similar pairs (deterministic
     // tiebreak). The shingle join replaces all-pairs comparison: cost is
@@ -522,6 +557,27 @@ object Dedup {
         | min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
         | doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // string_agg skips the NULLs the CASE emits for dropped tiles, so the
+    // ORDER BY p concat sees exactly the kept paragraphs — same value the
+    // Spark side builds with sort_array ∘ filter. Both sides NULL the
+    // fully-duplicated case (string_agg over no rows / nullif('')).
+    "q108_paragraph_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $dToks AS t FROM documents),
+         |paras AS (
+         | SELECT doc_id, p, array_to_string(t[(p*8+1):(p*8+8)], ' ') AS para
+         | FROM (SELECT doc_id, t,
+         |   unnest(generate_series(0, (len(t)-1)//8)) AS p FROM t)),
+         |ranked AS (
+         | SELECT doc_id, p, para,
+         |  row_number() OVER (PARTITION BY para ORDER BY doc_id, p) = 1 AS keep
+         | FROM paras)
+         |SELECT doc_id,
+         | cast(count(*) as bigint) AS n_paras,
+         | cast(sum(CASE WHEN keep THEN 1 ELSE 0 END) as bigint) AS n_kept,
+         | nullif(string_agg(CASE WHEN keep THEN para END, ' ' ORDER BY p), '')
+         |   AS clean_text
+         |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q31_ngram_jaccard" ->
       s"""WITH allsh AS (

@@ -799,6 +799,49 @@ object Relational {
       s.sql(scd2Sql("unix_micros"))
     },
 
+    // CDC log compaction + MERGE apply — the Delta/Iceberg MERGE INTO
+    // shape from plain Spark mechanics: a keyed changelog (op = upsert or
+    // delete derived per record, latest-wins by (ts, event_id)) is
+    // compacted per key on each side of a base/delta split, then a
+    // full-outer join applies delta over base: delta upsert wins, delta
+    // delete tombstones, untouched base keys pass through (unless their
+    // own latest op was a delete). Plan shape at 100 TB: each side is ONE
+    // hash shuffle on key (the compaction window), and the full-outer
+    // sort-merge join REUSES both exchanges — no extra shuffle; a
+    // bucketed base table would drop its exchange entirely. Validity
+    // exported as epoch microseconds (engine-identical integers).
+    "q109_cdc_merge" -> { (s, dir) =>
+      val ev = Synth.events(s, dir).select(
+        (col("event_id") % 200).as("key"),
+        col("event_id"), col("ts"), col("event_type"), col("value"),
+        when(col("event_type") === "error", lit("D"))
+          .otherwise(lit("U")).as("op"),
+        (col("event_id") % 10).as("part"))
+      val w = Window.partitionBy("key")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      def compact(df: DataFrame) =
+        df.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("key"), col("op"), col("event_type"),
+            col("value"), expr("unix_micros(ts)").as("us"))
+      val base = compact(ev.filter(col("part") < 7))
+        .toDF("key", "b_op", "b_type", "b_val", "b_us")
+      val delta = compact(ev.filter(col("part") >= 7))
+        .toDF("key", "d_op", "d_type", "d_val", "d_us")
+      val fromDelta = col("d_op").isNotNull
+      base.join(delta, Seq("key"), "full_outer")
+        .filter((fromDelta && col("d_op") === "U") ||
+          (!fromDelta && col("b_op") === "U"))
+        .select(col("key"),
+          when(fromDelta, col("d_type")).otherwise(col("b_type"))
+            .as("event_type"),
+          when(fromDelta, col("d_val")).otherwise(col("b_val")).as("val"),
+          when(fromDelta, col("d_us")).otherwise(col("b_us"))
+            .as("updated_us"),
+          when(fromDelta, lit("delta")).otherwise(lit("base")).as("src"))
+        .orderBy("key")
+    },
+
     // Approximate sketches: HLL distinct counts + approximate quantiles —
     // single-pass mergeable state, the 100 TB substitute for exact
     // distinct/percentile. No SQL-exact oracle (sketch estimates are
@@ -863,6 +906,34 @@ object Relational {
 
   def oracle: Map[String, String] = Map(
     "q106_scd2" -> scd2Sql("epoch_us"),
+
+    "q109_cdc_merge" ->
+      """WITH ev AS (
+        | SELECT event_id % 200 AS key, event_id, ts, event_type, value,
+        |  CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |  event_id % 10 AS part
+        | FROM events),
+        |base AS (
+        | SELECT key, op AS b_op, event_type AS b_type, value AS b_val,
+        |  epoch_us(ts) AS b_us FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY key
+        |    ORDER BY ts DESC, event_id DESC) AS rk
+        |  FROM ev WHERE part < 7) WHERE rk = 1),
+        |delta AS (
+        | SELECT key, op AS d_op, event_type AS d_type, value AS d_val,
+        |  epoch_us(ts) AS d_us FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY key
+        |    ORDER BY ts DESC, event_id DESC) AS rk
+        |  FROM ev WHERE part >= 7) WHERE rk = 1)
+        |SELECT coalesce(b.key, d.key) AS key,
+        | CASE WHEN d_op IS NOT NULL THEN d_type ELSE b_type END AS event_type,
+        | CASE WHEN d_op IS NOT NULL THEN d_val ELSE b_val END AS val,
+        | CASE WHEN d_op IS NOT NULL THEN d_us ELSE b_us END AS updated_us,
+        | CASE WHEN d_op IS NOT NULL THEN 'delta' ELSE 'base' END AS src
+        |FROM base b FULL OUTER JOIN delta d ON b.key = d.key
+        |WHERE (d_op IS NOT NULL AND d_op = 'U')
+        |   OR (d_op IS NULL AND b_op = 'U')
+        |ORDER BY key""".stripMargin,
 
     "q74_topk_per_group" ->
       """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (

@@ -567,6 +567,45 @@ object TextAnalysis {
         .limit(50)
     },
 
+    // Skip-gram co-occurrence matrix + PMI-style association — the
+    // GloVe/word2vec preprocessing pass: count unordered word pairs
+    // inside a ±2-token window (gap-1 neighbors and gap-2 skip-grams),
+    // then score association as lift in RATIONAL fixed point —
+    // (10⁶ · c_ab · N) div (c_a · c_b) — exact integer arithmetic, same
+    // ordering as PMI (log is monotone; ln() is not cross-engine-exact,
+    // integer division is). Shape at 100 TB: the pair explode is narrow
+    // (≤ 2 rows per token), the co-occurrence count is one shuffle on
+    // the pair key with map-side partials, the unigram joins are
+    // vocabulary-sized (AQE broadcasts them when they fit — a corpus
+    // vocabulary generally does after the c_ab ≥ 5 head cut), and the
+    // token total joins as one broadcast scalar. The q90 lift query is
+    // this same rational trick over per-user baskets; this is the
+    // SEQUENCE form that feeds embedding training.
+    "q110_skipgram_pmi" -> { (s, dir) =>
+      val t = Synth.documents(s, dir).select(col("doc_id"), expr(toks).as("t"))
+      val pairs = t.filter(expr("size(t) >= 2"))
+        .select(explode(expr(
+          "flatten(transform(sequence(1, size(t) - 1), " +
+            "i -> transform(sequence(i + 1, least(i + 2, size(t))), " +
+            "j -> struct(least(element_at(t, i), element_at(t, j)) AS a, " +
+            "greatest(element_at(t, i), element_at(t, j)) AS b))))")).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+      val co = pairs.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      val uni = t.select(explode(col("t")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val n = t.select(expr("size(t)").cast("long").as("n"))
+        .agg(sum("n").as("n_tokens"))
+      co.filter(col("c_ab") >= 5)
+        .join(uni.toDF("a", "c_a"), "a")
+        .join(uni.toDF("b", "c_b"), "b")
+        .crossJoin(broadcast(n))
+        .withColumn("lift_e6",
+          expr("(1000000 * c_ab * n_tokens) div (c_a * c_b)"))
+        .select("a", "b", "c_ab", "c_a", "c_b", "lift_e6")
+        .orderBy(col("lift_e6").desc, col("a"), col("b"))
+        .limit(50)
+    },
+
     // Bigram-LM familiarity — the perplexity-filter shape without the
     // floating-point log: train a corpus bigram table, keep bigrams seen
     // ≥ 5 times, score each doc by the fraction of its bigram OCCURRENCES
@@ -1188,6 +1227,34 @@ object TextAnalysis {
          | FROM (SELECT $dToks AS t FROM documents)
          | WHERE len(t) >= 2)
          |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""".stripMargin,
+
+    // Pair generation unions the gap-1 and gap-2 neighbor lists — the
+    // same multiset the Spark side builds with one nested transform.
+    "q110_skipgram_pmi" ->
+      s"""WITH t AS (SELECT doc_id, $dToks AS t FROM documents),
+         |idx AS (
+         | SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+         | FROM t WHERE len(t) >= 2),
+         |pairs AS (
+         | SELECT least(t[i], t[i+1]) AS a, greatest(t[i], t[i+1]) AS b
+         | FROM idx
+         | UNION ALL
+         | SELECT least(t[i], t[i+2]), greatest(t[i], t[i+2])
+         | FROM idx WHERE i + 2 <= len(t)),
+         |co AS (
+         | SELECT a, b, count(*) AS c_ab FROM pairs GROUP BY a, b),
+         |uni AS (
+         | SELECT w, count(*) AS c
+         | FROM (SELECT unnest(t) AS w FROM t) GROUP BY w),
+         |n AS (SELECT cast(sum(len(t)) as bigint) AS n_tokens FROM t)
+         |SELECT a, b, cast(c_ab as bigint) AS c_ab,
+         | cast(ua.c as bigint) AS c_a, cast(ub.c as bigint) AS c_b,
+         | (1000000 * c_ab * n_tokens) // (ua.c * ub.c) AS lift_e6
+         |FROM co JOIN uni ua ON co.a = ua.w
+         |        JOIN uni ub ON co.b = ub.w
+         |        CROSS JOIN n
+         |WHERE c_ab >= 5
+         |ORDER BY lift_e6 DESC, a, b LIMIT 50""".stripMargin,
 
     "q81_bpe_pairs" ->
       s"""WITH words AS (

@@ -264,6 +264,30 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q108: paragraph dedup is two hash shuffles (tile window + reassembly) plus the output sort") {
+    val p = plan("q108_paragraph_dedup")
+    val shuffles = p.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 3, s"expected <=3 exchanges, got ${shuffles.size}:\n$p")
+    assert(!p.toString.contains("SinglePartition"),
+      s"no stage may collapse to one partition:\n$p")
+  }
+
+  test("q109: the CDC merge's full-outer join reuses the two compaction exchanges") {
+    val p = plan("q109_cdc_merge")
+    val shuffles = p.collect { case s: ShuffleExchangeExec => s }
+    // base hash(key) + delta hash(key) + the output-order range exchange;
+    // the full-outer sort-merge join must NOT add a fourth
+    assert(shuffles.size <= 3, s"expected <=3 exchanges, got ${shuffles.size}:\n$p")
+    assert(p.toString.contains("FullOuter"), s"expected the full-outer merge join:\n$p")
+  }
+
+  test("q110: the token total broadcasts as one scalar row; no cartesian pair space") {
+    val p = plan("q110_skipgram_pmi")
+    assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.size <= 1 &&
+      !p.toString.contains("CartesianProduct"),
+      s"only the 1-row n_tokens frame may nest:\n$p")
+  }
+
   test("q62: the batch/corpus doc_id filters reach the documents scans") {
     val scans = plan("q62_incremental_dedup").collect {
       case f: FileSourceScanExec => f }
