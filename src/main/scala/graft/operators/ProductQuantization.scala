@@ -287,23 +287,29 @@ object ProductQuantization {
     // init slice → assign (argmin −2·dot + |c|², min-cid ties) →
     // fixed-point per-dim means → trained codebook → encode → ADC
     // search. cid is 1-based (= Spark's array_position code).
+    //
+    // Every CTE is AS MATERIALIZED: the chain is 5 deep × 8 subspaces and
+    // c1_m/enc are each referenced again by the final search — DuckDB's
+    // default inlining re-expands the whole training chain per reference
+    // and the optimizer melts (measured 785 s → 0.9 s at 500 vectors).
+    // Materialization only caches each CTE once; values are unchanged.
     "q48c_pq_trained" -> {
       def sub(c: String, m: Int) =
         s"list_slice($c, ${m * subDim + 1}, ${(m + 1) * subDim})"
       def assignCte(name: String, cbTable: String, m: Int) =
-        s"""$name AS (
+        s"""$name AS MATERIALIZED (
            |  SELECT vec_id, cid FROM (
            |    SELECT v.vec_id, c.cid, row_number() OVER (PARTITION BY v.vec_id
            |      ORDER BY (-2 * ${dotDuck(sub("v.embedding", m), "c.embedding")}
            |        + ${dotDuck("c.embedding", "c.embedding")}), c.cid) AS rn
            |    FROM e v CROSS JOIN $cbTable c) WHERE rn = 1)""".stripMargin
       val perSubspace = (0 until nSub).map { m =>
-        s"""c0_$m AS (
+        s"""c0_$m AS MATERIALIZED (
            |  SELECT vec_id + 1 AS cid,
            |    list_transform(${sub("embedding", m)}, x -> CAST(x AS DOUBLE)) AS embedding
            |  FROM embeddings WHERE vec_id < $nCodes),
            |${assignCte(s"a0_$m", s"c0_$m", m)},
-           |m_c1_$m AS (
+           |m_c1_$m AS MATERIALIZED (
            |  SELECT a.cid, r.d,
            |    cast(sum(cast(floor(CAST(v.embedding[${m * subDim} + r.d] AS DOUBLE)
            |        * $trainScale) as bigint)) as double)
@@ -311,7 +317,7 @@ object ProductQuantization {
            |  FROM a0_$m a JOIN e v USING (vec_id)
            |  CROSS JOIN range(1, ${subDim + 1}) r(d)
            |  GROUP BY a.cid, r.d),
-           |c1_$m AS (
+           |c1_$m AS MATERIALIZED (
            |  SELECT p.cid, coalesce(mm.emb, p.embedding) AS embedding
            |  FROM c0_$m p LEFT JOIN (
            |    SELECT cid, list(val ORDER BY d) AS emb FROM m_c1_$m GROUP BY cid) mm
@@ -327,9 +333,9 @@ object ProductQuantization {
         .map(m => s"(-2 * ${dotDuck(sub("q.embedding", m), s"cb$m.embedding")}" +
           s" + ${dotDuck(s"cb$m.embedding", s"cb$m.embedding")})")
         .reduce((a, b) => s"($a + $b)")
-      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
          |$perSubspace,
-         |enc AS (SELECT a1_0.vec_id, $codeCols FROM a1_0 $encJoin),
+         |enc AS MATERIALIZED (SELECT a1_0.vec_id, $codeCols FROM a1_0 $encJoin),
          |qt AS (SELECT vec_id AS query_id, embedding FROM embeddings
          |       WHERE vec_id < $nQueries)
          |SELECT query_id, rk, vec_id, pq_dist FROM (

@@ -56,16 +56,21 @@ object Synth {
 
   val IgluRegex = "^iglu:([^/]+)/([^/]+)/([^/]+)/(\\d+)-(\\d+)-(\\d+)$"
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects; read it as raw nanos and convert to a microsecond timestamp
-    * (floor division — matches DuckDB's epoch_us truncation).
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) (which Spark's
+    * vectorized reader rejects — read as raw nanos, floor-divide to micros,
+    * matching DuckDB's epoch_us truncation) and as tz-naive timestamp[us]
+    * (which Spark 4 reads as TIMESTAMP_NTZ — `unix_micros` and friends only
+    * accept TIMESTAMP). Normalize both to session-local TIMESTAMP: the
+    * session timezone is pinned to UTC everywhere (Verify/Bench/specs), so
+    * the NTZ→LTZ cast reinterprets the same wall-clock instant DuckDB sees
+    * and every downstream timestamp function works unchanged.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/events.parquet")
     if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    else df.withColumn("ts", col("ts").cast("timestamp"))
   }
   def documents(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
