@@ -43,10 +43,14 @@ object RangeJoin {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Temporal neighborhood count: for each probe event (id ≡ 0 mod 100),
-    // how many same-type events land within ±60 s. Timestamps compare as
+    // how many same-type events land within ±30 min. Timestamps compare as
     // integer microseconds on both engines (Synth.events truncates nanos
     // with `div 1000`; DuckDB's epoch_us truncates the same way), so the
-    // boundary is exact.
+    // boundary is exact. The radius is sized to the synthetic stream's
+    // density (events ~4 min apart over 30 days, 5 types): ±60 s produced
+    // an empty result at sf0.001 — a hash match over zero rows checks
+    // nothing — while ±30 min yields neighbors at every SF and still
+    // keeps per-(type, bin) occupancy tiny relative to the corpus.
     "q47_range_join" -> { (s, dir) =>
       val ev = Synth.events(s, dir).withColumn("us", expr("unix_micros(ts)"))
       val probes = ev.filter(col("event_id") % 100 === 0)
@@ -55,7 +59,7 @@ object RangeJoin {
       val others = ev.select(col("event_id").as("other_id"),
         col("event_type"), col("us").as("o_us"))
       withinRadius(probes, others, Seq("event_type"), "p_us", "o_us",
-          60000000L)
+          1800000000L)
         .filter(col("other_id") =!= col("probe_id"))
         .groupBy("probe_id")
         .agg(count(lit(1)).as("n_nearby"))
@@ -68,8 +72,8 @@ object RangeJoin {
       """SELECT p.event_id AS probe_id, count(*) AS n_nearby
         |FROM events p JOIN events e
         |  ON e.event_type = p.event_type
-        |  AND epoch_us(e.ts) BETWEEN epoch_us(p.ts) - 60000000
-        |    AND epoch_us(p.ts) + 60000000
+        |  AND epoch_us(e.ts) BETWEEN epoch_us(p.ts) - 1800000000
+        |    AND epoch_us(p.ts) + 1800000000
         |  AND e.event_id <> p.event_id
         |WHERE p.event_id % 100 = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin
