@@ -189,6 +189,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q68: triangles materialize above the closing joins, wedges never as join input") {
+    // The adjacency-intersection close: the ONLY row explosion (the
+    // array_intersect explode that materializes triangles, plus the
+    // 3-node count fan-out) must sit ABOVE every join — a GenerateExec
+    // feeding a join would mean wedge-sized (Σ out-deg²) shuffle rows.
+    val p = plan("q68_triangles")
+    val joins = p.collect {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: BroadcastHashJoinExec => j
+    }
+    assert(joins.nonEmpty, s"expected closing equi-joins:\n$p")
+    for (j <- joins; side <- j.children) {
+      val gens = side.collect { case g: GenerateExec => g }
+      assert(gens.isEmpty,
+        s"no explode may feed a join input (wedge materialization):\n$p")
+    }
+  }
+
   test("q56: the query/df/stats sides broadcast; corpus never shuffles for them") {
     val p = plan("q56_bm25")
     val bhj = p.collect { case j: BroadcastHashJoinExec => j }
