@@ -7,7 +7,7 @@ import org.scalacheck.rng.Seed
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, PrefixSum, RangeJoin}
+import graft.operators.{Dedup, PrefixSum, RangeJoin, SuffixRank}
 
 /** Property-based equivalence: the distributed rewrites must equal their
   * naive single-node renderings on arbitrary inputs, not just the
@@ -155,6 +155,39 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       val expect = vals.scanLeft(0L)(_ + _).tail.zipWithIndex
         .map { case (c, i) => (i.toLong, c) }.toMap
       assert(got == expect, s"seed=$seed blockSize=$blockSize")
+    }
+  }
+
+  test("prefix doubling ≡ direct rank-by-16-token-slice on random repetitive corpora") {
+    import spark.implicits._
+    // tiny alphabet with prefix-of-another tokens ("a" vs "ab") — the
+    // adversarial case for the joined-string order argument — and doc
+    // lengths straddling the 16-token span (shorter suffixes must sort
+    // before their extensions through the −1 sentinel rounds)
+    val docsGen = Gen.nonEmptyListOf(
+      Gen.chooseNum(0, 24).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("a", "b", "ab", "ba"))))
+    val cases = samples(docsGen, 6)
+    assert(cases.size >= 4)
+    cases.foreach { case (seed, docs) =>
+      val df = docs.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val doubled = SuffixRank.suffixRanks(df)
+        .select("doc_id", "p", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val direct = df
+        .select(col("doc_id"), expr(Dedup.toks).as("t"))
+        .select(col("doc_id"), col("t"),
+          posexplode(col("t")).as(Seq("p", "tok")))
+        .withColumn("key",
+          expr("concat_ws(' ', slice(t, p + 1, 16))"))
+        .withColumn("rank",
+          dense_rank().over(org.apache.spark.sql.expressions.Window
+            .orderBy("key")).cast("long"))
+        .select("doc_id", "p", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      assert(doubled == direct, s"seed=$seed")
     }
   }
 
