@@ -34,12 +34,17 @@ import org.apache.spark.sql.functions._
   * web scale it becomes the same bucketed form keyed by token prefix).
   *
   * The DuckDB oracle ranks by the space-joined 16-token slice directly:
-  * token-wise order and joined-string order coincide because the space
-  * separator (0x20) sorts below every non-space token character, and a
-  * clamped shorter suffix is a strict string prefix of any extension —
-  * the same shorter-first rule the doubling's −1 sentinel encodes. The
-  * hash match therefore proves all four doubling rounds, the bucketed
-  * rank stitching, and the repeated-span extraction end-to-end.
+  * token-wise order and joined-string order coincide WHEN every token
+  * character sorts above the space separator (0x20) — true for all
+  * printable text, the corpus contract here; a token containing a C0
+  * control character (which `\s+` does not strip) would order
+  * differently under the two renderings, so a corpus that can carry
+  * control bytes must be normalized first (the q25 redaction pass's
+  * natural home). A clamped shorter suffix is a strict string prefix of
+  * any extension — the same shorter-first rule the doubling's −1
+  * sentinel encodes. The hash match therefore proves all four doubling
+  * rounds, the bucketed rank stitching, and the repeated-span
+  * extraction end-to-end.
   */
 object SuffixRank {
 
@@ -53,8 +58,12 @@ object SuffixRank {
     * counts (B rows). Returns (r, nxt, nr).
     */
   private def pairRanks(pairs: DataFrame, maxR: Long): DataFrame = {
+    // the round's largest exchange — materialize once for its two
+    // consumers (per-bucket ranking and the offsets sum) instead of
+    // leaning on exchange reuse to not run the distinct twice
     val d = pairs.distinct()
       .withColumn("bucket", (col("r") * B / (maxR + 1)).cast("long"))
+      .localCheckpoint()
     val ranked = d.withColumn("within",
       dense_rank().over(Window.partitionBy("bucket").orderBy("r", "nxt"))
         .cast("long"))
@@ -82,7 +91,9 @@ object SuffixRank {
       .localCheckpoint()
     var cur = tok.join(vmap, "token").select("doc_id", "p", "n", "r")
       .localCheckpoint()
-    var maxR = vmap.agg(max(col("r"))).first.getLong(0)
+    // coalesce: an empty corpus yields a NULL max — rank 0 keeps every
+    // downstream frame empty instead of NPE-ing the driver probe
+    var maxR = vmap.agg(coalesce(max(col("r")), lit(0L))).first.getLong(0)
     val wDoc = Window.partitionBy("doc_id").orderBy("p")
     var k = 1
     while (k < SpanTokens) {
@@ -98,7 +109,7 @@ object SuffixRank {
       cur = withNxt.join(rm, Seq("r", "nxt"))
         .select(col("doc_id"), col("p"), col("n"), col("nr").as("r"))
         .localCheckpoint()
-      maxR = rm.agg(max(col("nr"))).first.getLong(0)
+      maxR = rm.agg(coalesce(max(col("nr")), lit(0L))).first.getLong(0)
       k *= 2
     }
     cur.withColumnRenamed("r", "rank")

@@ -55,8 +55,8 @@ object Triangles {
       // (orders of magnitude fewer) become rows. Orientation still bounds
       // every array at O(√m) entries, so a worst-case row is ~KBs.
       val adj = oriented.groupBy(col("src").as("u"))
-        .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-        .localCheckpoint() // joined twice (u side, v side)
+        .agg(collect_list(col("dst")).as("nbrs")) // array_intersect is
+        .localCheckpoint() // hash-based: no sort needed; joined twice
       val tri = oriented.select(col("src").as("u"), col("dst").as("v"))
         .join(adj.hint("shuffle_hash"), "u")
         .withColumnRenamed("nbrs", "nu")

@@ -189,6 +189,10 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
         .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
       assert(doubled == direct, s"seed=$seed")
     }
+    // empty corpus: every round's max-rank probe sees a NULL aggregate —
+    // must come back as an empty frame, not a driver NPE
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(SuffixRank.suffixRanks(empty).collect().isEmpty)
   }
 
   test("q63b spans tile every doc exactly and fill every non-final sequence to L") {
