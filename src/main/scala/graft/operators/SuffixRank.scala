@@ -123,16 +123,56 @@ object SuffixRank {
     // same token length, so full-length filtering before the group
     // count drops whole groups, never individual members.
     "q111_suffix_ranks" -> { (s, dir) =>
-      val ranked = suffixRanks(Synth.documents(s, dir))
-      val wG = Window.partitionBy("rank")
-      ranked.filter(col("p") + SpanTokens <= col("n"))
-        .withColumn("n_occ", count(lit(1)).over(wG))
-        .filter(col("n_occ") >= 2)
+      repeatedSpans(s, dir)
         .select(col("doc_id"), col("p").cast("int").as("p"),
           col("rank").as("span_group"), col("n_occ"))
         .orderBy("doc_id", "p")
+    },
+
+    // Maximal repeated regions — q111's span starts coalesced into the
+    // per-document intervals an exact substring dedup actually cuts:
+    // the union of all repeated [p, p+16) windows, merged wherever they
+    // overlap or touch. The merge is the classic interval-coalesce
+    // (gaps-and-islands) window: a span opens a new region iff its
+    // start exceeds the running max end of everything before it; the
+    // region id is the running count of such opens. Both windows run
+    // per-document (bounded by doc length), the region aggregate
+    // reuses the same doc_id partitioning, and every quantity is an
+    // exact integer — cross-engine identical.
+    "q111b_repeated_regions" -> { (s, dir) =>
+      val wDoc = Window.partitionBy("doc_id").orderBy("p")
+      val prevMaxEnd = max(col("p") + SpanTokens)
+        .over(wDoc.rowsBetween(Window.unboundedPreceding, -1))
+      repeatedSpans(s, dir)
+        .withColumn("opens",
+          when(col("p") > coalesce(prevMaxEnd, lit(Long.MinValue)), 1L)
+            .otherwise(0L))
+        .withColumn("region", sum(col("opens")).over(wDoc))
+        .groupBy("doc_id", "region")
+        .agg(
+          min(col("p")).cast("int").as("region_start"),
+          (max(col("p")) + SpanTokens).cast("int").as("region_end"),
+          count(lit(1)).as("n_spans"))
+        .withColumn("region_len", col("region_end") - col("region_start"))
+        .select("doc_id", "region_start", "region_end", "region_len", "n_spans")
+        .orderBy("doc_id", "region_start")
     }
   )
+
+  /** Full-length positions whose 16-token span repeats anywhere in the
+    * corpus: (doc_id, p, rank, n_occ). Within a rank group all keys are
+    * identical, hence all the same token length, so full-length
+    * filtering before the group count drops whole groups, never
+    * individual members.
+    */
+  private def repeatedSpans(s: SparkSession, dir: String): DataFrame = {
+    val ranked = suffixRanks(Synth.documents(s, dir))
+    val wG = Window.partitionBy("rank")
+    ranked.filter(col("p") + SpanTokens <= col("n"))
+      .withColumn("n_occ", count(lit(1)).over(wG))
+      .filter(col("n_occ") >= 2)
+      .select("doc_id", "p", "rank", "n_occ")
+  }
 
   def oracle: Map[String, String] = Map(
     // dense_rank over the clamped 16-token slice — one declarative
@@ -151,6 +191,42 @@ object SuffixRank {
          |  SELECT doc_id, cast(p as int) AS p, span_group,
          |    count(*) OVER (PARTITION BY span_group) AS n_occ
          |  FROM r WHERE p + $SpanTokens <= n)
-         |WHERE n_occ >= 2 ORDER BY doc_id, p""".stripMargin
+         |WHERE n_occ >= 2 ORDER BY doc_id, p""".stripMargin,
+
+    // q111's repeated positions + the same interval-coalesce windows
+    "q111b_repeated_regions" ->
+      s"""WITH tok AS MATERIALIZED (
+         |  SELECT doc_id, ${Dedup.dToks} AS t FROM documents),
+         |pos AS MATERIALIZED (
+         |  SELECT doc_id, u.p - 1 AS p, len(t) AS n,
+         |    array_to_string(list_slice(t, u.p, u.p + ${SpanTokens - 1}), ' ') AS key
+         |  FROM tok, unnest(range(1, len(t) + 1)) u(p)),
+         |r AS MATERIALIZED (
+         |  SELECT doc_id, p, n, dense_rank() OVER (ORDER BY key) AS span_group
+         |  FROM pos),
+         |rep AS MATERIALIZED (
+         |  SELECT doc_id, p FROM (
+         |    SELECT doc_id, p,
+         |      count(*) OVER (PARTITION BY span_group) AS n_occ
+         |    FROM r WHERE p + $SpanTokens <= n)
+         |  WHERE n_occ >= 2),
+         |opened AS (
+         |  SELECT doc_id, p,
+         |    CASE WHEN p > coalesce(max(p + $SpanTokens) OVER (
+         |        PARTITION BY doc_id ORDER BY p
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      -9223372036854775808) THEN 1 ELSE 0 END AS opens
+         |  FROM rep),
+         |regions AS (
+         |  SELECT doc_id, p,
+         |    sum(opens) OVER (PARTITION BY doc_id ORDER BY p
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS region
+         |  FROM opened)
+         |SELECT doc_id, cast(min(p) as int) AS region_start,
+         |  cast(max(p) + $SpanTokens as int) AS region_end,
+         |  cast(max(p) + $SpanTokens - min(p) as int) AS region_len,
+         |  count(*) AS n_spans
+         |FROM regions GROUP BY doc_id, region
+         |ORDER BY doc_id, region_start""".stripMargin
   )
 }
