@@ -27,7 +27,8 @@ object SparkEntry {
       Dedup.queries ++ Similarity.queries ++ KMeans.queries ++
       Multimodal.queries ++ Curation.queries ++ RangeJoin.queries ++
       ProductQuantization.queries ++ PageRank.queries ++ ZOrder.queries ++
-      Triangles.queries ++ Perceptron.queries ++ SuffixRank.queries
+      Triangles.queries ++ Perceptron.queries ++ SuffixRank.queries ++
+      Drift.queries ++ Spectral.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -37,5 +38,6 @@ object SparkEntry {
       Dedup.oracle ++ Similarity.oracle ++ KMeans.oracle ++
       Multimodal.oracle ++ Curation.oracle ++ RangeJoin.oracle ++
       ProductQuantization.oracle ++ PageRank.oracle ++ ZOrder.oracle ++
-      Triangles.oracle ++ Perceptron.oracle ++ SuffixRank.oracle
+      Triangles.oracle ++ Perceptron.oracle ++ SuffixRank.oracle ++
+      Drift.oracle ++ Spectral.oracle
 }

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus distribution-drift monitoring — the "did the new crawl change
+  * the data mix" check every recurring training-data pipeline runs before
+  * accepting a snapshot. Two corpus slices (here: even- vs odd-numbered
+  * sources, standing in for release N and N+1) are histogrammed on a
+  * feature, and the histograms are compared with total-variation
+  * distance.
+  *
+  * Exactness at scale: TV = ½ Σᵢ |aᵢ/Nₐ − bᵢ/N_b| is a sum of doubles —
+  * order-dependent under a shuffle. Instead each bucket keeps the
+  * INTEGER cross-product numerator |aᵢ·N_b − bᵢ·Nₐ| (bigint, exact,
+  * order-independent to sum) and the single division by 2·Nₐ·N_b happens
+  * once at the end — the same fixed-point trick as [[KMeans]]. One
+  * shuffle for the bucket histogram; the totals and the TV numerator are
+  * 1-row frames broadcast back over the buckets.
+  */
+object Drift {
+
+  /** Histogram both slices in one pass: bucket → (n_a, n_b). */
+  private def hist(s: SparkSession, dir: String): DataFrame =
+    Synth.documents(s, dir)
+      .select(
+        expr("cast(n_chars div 50 as bigint)").as("bucket"),
+        expr("cast(substring(source, 4) as int) % 2").as("slice"))
+      .groupBy("bucket")
+      .agg(
+        sum(when(col("slice") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("slice") === 1, 1L).otherwise(0L)).as("n_b"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-bucket histogram of both slices + slice proportions + the
+    // corpus-level TV distance (constant column, exact). A drift alarm
+    // is `tv_total > threshold`; the per-bucket rows say WHERE the mass
+    // moved.
+    "q112_distribution_drift" -> { (s, dir) =>
+      val h = hist(s, dir)
+      val totals = h.agg(sum("n_a").as("tot_a"), sum("n_b").as("tot_b"))
+      val withTot = h.crossJoin(broadcast(totals))
+        .withColumn("num", abs(col("n_a") * col("tot_b") - col("n_b") * col("tot_a")))
+      val tv = withTot
+        .agg((sum("num").cast("double") /
+          (lit(2L) * first("tot_a") * first("tot_b")).cast("double")).as("tv_total"))
+      withTot.crossJoin(broadcast(tv))
+        .select(
+          col("bucket"), col("n_a"), col("n_b"),
+          (col("n_a").cast("double") / col("tot_a").cast("double")).as("p_a"),
+          (col("n_b").cast("double") / col("tot_b").cast("double")).as("p_b"),
+          col("tv_total"))
+        .orderBy("bucket")
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q112_distribution_drift" ->
+      """WITH h AS (
+        |  SELECT cast(n_chars // 50 as bigint) AS bucket,
+        |    sum(CASE WHEN cast(substring(source, 4) as int) % 2 = 0
+        |             THEN 1 ELSE 0 END) AS n_a,
+        |    sum(CASE WHEN cast(substring(source, 4) as int) % 2 = 1
+        |             THEN 1 ELSE 0 END) AS n_b
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n_a) AS tot_a, sum(n_b) AS tot_b FROM h),
+        |n AS (SELECT bucket, n_a, n_b, tot_a, tot_b,
+        |        abs(n_a * tot_b - n_b * tot_a) AS num FROM h CROSS JOIN t),
+        |tv AS (SELECT cast(sum(num) as double)
+        |         / cast(2 * any_value(tot_a) * any_value(tot_b) as double)
+        |         AS tv_total FROM n)
+        |SELECT bucket, cast(n_a as bigint) AS n_a, cast(n_b as bigint) AS n_b,
+        |  cast(n_a as double) / cast(tot_a as double) AS p_a,
+        |  cast(n_b as double) / cast(tot_b as double) AS p_b,
+        |  tv_total
+        |FROM n CROSS JOIN tv ORDER BY bucket""".stripMargin
+  )
+}

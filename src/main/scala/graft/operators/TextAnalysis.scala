@@ -740,6 +740,37 @@ object TextAnalysis {
         .limit(50)
     },
 
+    // q83's overlap matrix at the scale where the distinct
+    // (source, shingle) compaction itself is the bottleneck: per-source
+    // HLL sketches + inclusion-exclusion. The corpus pass is ONE
+    // map-side-combinable sketch aggregation (no distinct shuffle —
+    // HLL absorbs duplicate inserts natively); the pairwise stage is
+    // #sources² unions of KB-sized sketches, independent of corpus
+    // bytes. Estimates are engine-specific by design → rows-only check
+    // (the q44 pattern); q83 is the exact hash-checked twin.
+    "q83b_source_overlap_hll" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val sk = Synth.documents(s, dir)
+        .select(col("source"), explode(expr(s"graft_shingles($toks, 3)")).as("sh"))
+        .groupBy("source")
+        .agg(expr("hll_sketch_agg(sh, 14)").as("sk"))
+        .withColumn("n_est", expr("hll_sketch_estimate(sk)"))
+      val a = sk.toDF("src_a", "sk_a", "na")
+      val b = sk.toDF("src_b", "sk_b", "nb")
+      a.crossJoin(b)
+        .filter(col("src_a") < col("src_b"))
+        .withColumn("n_union",
+          expr("hll_sketch_estimate(hll_union(sk_a, sk_b))"))
+        .withColumn("n_shared",
+          greatest(round(col("na") + col("nb") - col("n_union")).cast("bigint"),
+            lit(0L)))
+        .withColumn("jaccard", col("n_shared").cast("double") /
+          greatest(round(col("n_union")).cast("bigint"), lit(1L)).cast("double"))
+        .select("src_a", "src_b", "n_shared", "jaccard")
+        .orderBy(col("jaccard").desc, col("src_a"), col("src_b"))
+        .limit(50)
+    },
+
     // Mixture sampling to a per-source token budget — THE pre-training
     // data-mixing op: each source gets a token quota (here an upweight
     // of even-numbered sources, 600 vs 200 tokens — the "replay the

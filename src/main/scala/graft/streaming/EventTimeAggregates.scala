@@ -163,6 +163,52 @@ object EventTimeAggregates {
     }.reduce(_ unionAll _)
       .groupBy("row", "bucket").agg(count(lit(1)).as("c"))
 
+  /** Streaming distribution-drift monitor — the streaming twin of batch
+    * q112: per tumbling event-time window, histogram a bucketed feature
+    * of the arriving data and emit the total-variation distance against
+    * a REFERENCE histogram (precomputed offline from the accepted
+    * corpus, broadcast into every micro-batch as the static side of a
+    * stream-static join). One row per finalized window; the alert rule
+    * is `tv > SLO`.
+    *
+    * Buckets absent from a window still carry reference mass; a
+    * stream-static join cannot emit static-side-unmatched rows, so TV
+    * uses the missing-mass identity instead: with p the window
+    * histogram and q the reference,
+    *   TV = ½ (Σ_{present} |p_i − q_i| + (1 − Σ_{present} q_i)).
+    * Two chained event-time aggregations (Spark's multi-stateful-op
+    * support): state per open window is O(#buckets) — histogram width,
+    * never stream volume. The per-window bucket list is re-assembled
+    * with collect_list and folded with the aggregate() HOF so the
+    * ratio p_i = n_i/tot can use the window total computed in the same
+    * aggregation.
+    *
+    * `rows` columns: ts (event time), bucket (bigint).
+    * `refHist` columns: bucket, ref_p (double, Σ ref_p = 1).
+    */
+  def streamingDriftMonitor(
+      rows: DataFrame,
+      refHist: DataFrame,
+      windowLength: String = "10 minutes",
+      watermarkDelay: String = "30 minutes"): DataFrame =
+    rows
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength).as("w"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(refHist), Seq("bucket"), "left")
+      .withColumn("ref_p", coalesce(col("ref_p"), lit(0.0)))
+      .groupBy(window(col("w"), windowLength).as("w"))
+      .agg(
+        sum(col("n")).as("tot"),
+        collect_list(struct(col("n"), col("ref_p"))).as("pairs"))
+      .withColumn("tv",
+        expr("""0.5D * (
+          aggregate(pairs, 0D,
+            (acc, p) -> acc + abs(cast(p.n as double) / cast(tot as double) - p.ref_p))
+          + (1D - aggregate(pairs, 0D, (acc, p) -> acc + p.ref_p)))"""))
+      .select(col("w.start").as("window_start"), col("tot").as("n_rows"),
+        col("tv"))
+
   final case class QuotaDoc(source: String, doc_id: Long, n_tokens: Long)
   final case class QuotaState(seenTokens: Long)
   final case class QuotaAdmission(

@@ -249,6 +249,33 @@ class EventTimeSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming drift monitor: per-window TV against the broadcast reference histogram") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val rows = mem.toDF().toDF("ts", "bucket")
+    // reference mix: bucket 0 half the corpus, 1 and 2 a quarter each
+    val ref = Seq((0L, 0.5), (1L, 0.25), (2L, 0.25)).toDF("bucket", "ref_p")
+    val out = EventTimeAggregates.streamingDriftMonitor(rows, ref,
+      "10 minutes", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("drift")
+      .outputMode(OutputMode.Append()).start()
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    try {
+      // window 10:00: buckets {0,0,1,1} → p = (0.5, 0.5, 0); bucket 2 is
+      // missing mass. TV = ½(|0.5−0.5| + |0.5−0.25| + (1−0.75)) = 0.25
+      mem.addData((t(1), 0L), (t(2), 0L), (t(3), 1L), (t(4), 1L))
+      q.processAllAvailable()
+      mem.addData((t(45), 0L)) // watermark → 10:35, closes the 10:00 window
+      q.processAllAvailable()
+      val got = spark.sql(
+        "select window_start, n_rows, tv from drift order by 1").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2)))
+      assert(got.contains(("2024-01-01 10:00:00.0", 4L, 0.25)),
+        s"got ${got.mkString(", ")}")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join with watermarks matches views to purchases") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

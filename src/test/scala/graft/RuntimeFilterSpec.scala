@@ -47,4 +47,53 @@ class RuntimeFilterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("dynamicpruning"),
       s"expected a runtime partition filter on the fact scan:\n${plan.take(3000)}")
   }
+
+  test("a selective dim filter injects a bloom runtime filter on an UNpartitioned fact") {
+    import spark.implicits._
+    // the non-partitioned complement of DPP: the optimizer builds a bloom
+    // filter from the filtered dim side and pushes membership tests into
+    // the fact scan — row-group skipping without any physical layout.
+    // Thresholds lowered so the tiny fixture qualifies; at 100 TB the
+    // defaults (10MB creation side) fire on exactly the dims we broadcast.
+    val bloomDir = java.nio.file.Files.createTempDirectory("bloom").toString
+    try {
+      spark.range(200000)
+        .select((col("id") % 1000).as("k"), col("id").as("v"))
+        .write.mode("overwrite").parquet(bloomDir)
+      val fact = spark.read.parquet(bloomDir)
+      spark.range(1000).select(col("id").as("k"),
+          (col("id") % 7).as("attr"))
+        .write.mode("overwrite").parquet(bloomDir + "_dim")
+      val dim = spark.read.parquet(bloomDir + "_dim").filter(col("attr") === 3)
+      val j = spark.sessionState.conf
+      val prev = (j.getConfString("spark.sql.optimizer.runtime.bloomFilter.enabled", "true"),
+        j.getConfString("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB"),
+        j.getConfString("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "10GB"),
+        j.getConfString("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+      j.setConfString("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      j.setConfString("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
+      j.setConfString("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+      // bloom injection targets SHUFFLE joins (a broadcast build side
+      // already prunes row-by-row); the fixture must not auto-broadcast
+      j.setConfString("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val q = fact.join(dim, "k").agg(sum(col("v")).as("s"))
+        val got = q.as[Long].head()
+        val expect = (0L until 200000L).filter(id => (id % 1000) % 7 == 3).sum
+        assert(got == expect)
+        val plan = q.queryExecution.optimizedPlan.toString
+        assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+          s"expected an injected bloom runtime filter on the fact side:\n${plan.take(3000)}")
+      } finally {
+        j.setConfString("spark.sql.optimizer.runtime.bloomFilter.enabled", prev._1)
+        j.setConfString("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", prev._2)
+        j.setConfString("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", prev._3)
+        j.setConfString("spark.sql.autoBroadcastJoinThreshold", prev._4)
+      }
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(bloomDir)).deleteRecursively()
+      new Directory(new java.io.File(bloomDir + "_dim")).deleteRecursively()
+    }
+  }
 }
