@@ -141,6 +141,45 @@ object Dedup {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Sorted-neighborhood candidate generation (Hernández & Stolfo's
+    // merge/purge) — the third blocking family next to LSH buckets
+    // (q32) and pigeonhole blocks (q33b): sort each language block by a
+    // content-derived key (the 5 lexicographically-smallest distinct
+    // tokens — near-dups share their rare-token prefix), then compare
+    // each doc only to its w=2 successors in that order. Cost is
+    // exactly w·n comparisons — no bucket-size skew at all, the
+    // property LSH cannot give. Scale shape: the window partitions by
+    // (lang) — at corpus scale the key's leading characters join the
+    // partition key so no partition outgrows a task, same trick as
+    // q100/q111's bucketed windows. Exact integer set sizes, one
+    // fixed-order divide for the Jaccard.
+    "q115_sorted_neighborhood" -> { (s, dir) =>
+      val d = Synth.documents(s, dir).select(
+        col("doc_id"), col("lang"),
+        expr(s"array_distinct($toks)").as("ts"))
+        .withColumn("key",
+          expr("array_join(slice(array_sort(ts), 1, 5), ' ')"))
+      val w = Window.partitionBy("lang").orderBy("key", "doc_id")
+      val withLeads = d
+        .withColumn("b1_id", lead(col("doc_id"), 1).over(w))
+        .withColumn("b1_ts", lead(col("ts"), 1).over(w))
+        .withColumn("b2_id", lead(col("doc_id"), 2).over(w))
+        .withColumn("b2_ts", lead(col("ts"), 2).over(w))
+      def pairAt(idCol: String, tsCol: String) = withLeads
+        .filter(col(idCol).isNotNull)
+        .select(
+          col("doc_id").as("doc_a"), col(idCol).as("doc_b"),
+          expr(s"size(array_intersect(ts, $tsCol))").cast("long").as("n_shared"),
+          expr(s"size(ts) + size($tsCol) - size(array_intersect(ts, $tsCol))")
+            .cast("long").as("n_union"))
+      pairAt("b1_id", "b1_ts").unionAll(pairAt("b2_id", "b2_ts"))
+        .withColumn("jaccard",
+          col("n_shared").cast("double") / col("n_union").cast("double"))
+        .select("doc_a", "doc_b", "n_shared", "jaccard")
+        .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+        .limit(50)
+    },
+
     // Exact dedup: hash-groupBy. At scale this is one shuffle on a
     // 16-byte key with map-side distinct — the cheapest possible dedup.
     "q30_exact_dedup" -> { (s, dir) =>
@@ -552,6 +591,32 @@ object Dedup {
   }
 
   private def oracleBase: Map[String, String] = Map(
+    "q115_sorted_neighborhood" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, list_distinct($dToks) AS ts FROM documents),
+         |k AS (
+         |  SELECT doc_id, lang, ts,
+         |    array_to_string(list_slice(list_sort(ts), 1, 5), ' ') AS key
+         |  FROM d),
+         |w AS (
+         |  SELECT doc_id, ts,
+         |    lead(doc_id, 1) OVER win AS b1_id, lead(ts, 1) OVER win AS b1_ts,
+         |    lead(doc_id, 2) OVER win AS b2_id, lead(ts, 2) OVER win AS b2_ts
+         |  FROM k WINDOW win AS (PARTITION BY lang ORDER BY key, doc_id)),
+         |pairs AS (
+         |  SELECT doc_id AS doc_a, b1_id AS doc_b,
+         |    len(list_intersect(ts, b1_ts)) AS n_shared,
+         |    len(ts) + len(b1_ts) - len(list_intersect(ts, b1_ts)) AS n_union
+         |  FROM w WHERE b1_id IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id, b2_id,
+         |    len(list_intersect(ts, b2_ts)),
+         |    len(ts) + len(b2_ts) - len(list_intersect(ts, b2_ts))
+         |  FROM w WHERE b2_id IS NOT NULL)
+         |SELECT doc_a, doc_b, cast(n_shared as bigint) AS n_shared,
+         |  cast(n_shared as double) / cast(n_union as double) AS jaccard
+         |FROM pairs ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50""".stripMargin,
+
     "q30_exact_dedup" ->
       """SELECT doc_id,
         | min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,

@@ -143,6 +143,48 @@ object ProductQuantization {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Scalar (per-dimension uniform) quantization — the cheap tier
+    // below PQ: float32 → uint8 per component (4× compression, zero
+    // codebook training, exact per-dimension bounds). One distributed
+    // pass computes the 64 (min, max) ranges (only 64 rows reach the
+    // driver — the KMeans loop contract); encode is then map-only with
+    // the ranges broadcast as literals. Codes are exact integers;
+    // the reconstruction error folds per-vector in index order
+    // (left-fold ≡ DuckDB list_reduce), so even the err doubles are
+    // hash-exact. At 100 TB the stats pass is one map-side-combinable
+    // aggregation and encode streams.
+    "q116_scalar_quantization" -> { (s, dir) =>
+      val e = Synth.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val stats = e.select(posexplode(col("embedding")).as(Seq("d", "x")))
+        .groupBy("d")
+        .agg(expr("min(cast(x as double))").as("mn"),
+          expr("max(cast(x as double))").as("mx"))
+        .collect()
+      val mn = new Array[Double](dim); val mx = new Array[Double](dim)
+      stats.foreach { r =>
+        mn(r.getInt(0)) = r.getDouble(1); mx(r.getInt(0)) = r.getDouble(2)
+      }
+      val mnLit = mn.map(v => s"${v}D").mkString("array(", ", ", ")")
+      val mxLit = mx.map(v => s"${v}D").mkString("array(", ", ", ")")
+      e.withColumn("codes", expr(
+          s"""transform(sequence(1, $dim), i -> cast(least(greatest(
+             |floor(((cast(element_at(embedding, i) as double) - element_at($mnLit, i)) * 255)
+             |  / (element_at($mxLit, i) - element_at($mnLit, i))), 0L), 255L) as int))"""
+            .stripMargin.replace("\n", " ")))
+        .withColumn("err", expr(
+          s"""aggregate(transform(sequence(1, $dim), i ->
+             |    cast(element_at(embedding, i) as double) -
+             |    (element_at($mnLit, i) + (cast(element_at(codes, i) as double) + 0.5D)
+             |      * (element_at($mxLit, i) - element_at($mnLit, i)) / 256D)),
+             |  0D, (acc, z) -> acc + z * z)"""
+            .stripMargin.replace("\n", " ")))
+        .select(col("vec_id"),
+          expr("array_join(transform(codes, c -> cast(c as string)), '-')")
+            .as("codes_str"),
+          col("err"))
+        .orderBy("vec_id")
+    },
+
     // Encode every vector (map-only), broadcast the queries WITH their
     // ADC tables, score candidates by M table lookups, rank top-k.
     "q48_pq_ann" -> { (s, dir) =>
@@ -237,6 +279,30 @@ object ProductQuantization {
   )
 
   def oracle: Map[String, String] = Map(
+    "q116_scalar_quantization" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |st AS (
+        |  SELECT r.d, min(CAST(embedding[r.d] AS DOUBLE)) AS mn,
+        |         max(CAST(embedding[r.d] AS DOUBLE)) AS mx
+        |  FROM e CROSS JOIN range(1, 65) r(d) GROUP BY r.d),
+        |cd AS (
+        |  SELECT e.vec_id, st.d,
+        |    cast(least(greatest(floor(((CAST(e.embedding[st.d] AS DOUBLE) - st.mn) * 255)
+        |      / (st.mx - st.mn)), 0), 255) as int) AS c,
+        |    CAST(e.embedding[st.d] AS DOUBLE) AS x, st.mn, st.mx
+        |  FROM e CROSS JOIN st),
+        |df AS (
+        |  SELECT vec_id, d, c,
+        |    x - (mn + (cast(c as double) + 0.5) * (mx - mn) / 256) AS z
+        |  FROM cd),
+        |agg AS (
+        |  SELECT vec_id,
+        |    array_to_string(list(c ORDER BY d), '-') AS codes_str,
+        |    list(z ORDER BY d) AS zs
+        |  FROM df GROUP BY vec_id)
+        |SELECT vec_id, codes_str,
+        |  list_reduce(list_transform(zs, z -> z * z), (a, b) -> a + b) AS err
+        |FROM agg ORDER BY vec_id""".stripMargin,
     "q48_pq_ann" -> {
       val codeCols = (0 until nSub)
         .map(m => s"${codeDuck("embedding", m)} AS code$m").mkString(",\n  ")

@@ -139,6 +139,40 @@ object TextAnalysis {
     .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Positional phrase search — the exact-match retrieval primitive
+    // BM25 (q56) cannot express: "these words, ADJACENT, in this
+    // order". Postings carry positions; a k-term phrase is k−1
+    // positional self-joins on (doc_id, start_pos) with each term's
+    // postings offset by its phrase slot — the classic inverted-index
+    // phrase plan (Lucene's exact PhraseQuery shape, distributed).
+    // The phrase itself is data-derived (the corpus's most frequent
+    // bigram, deterministic tiebreak) so the query is self-contained
+    // at every scale factor. Scale shape: postings are filtered to the
+    // phrase terms by a broadcast semi-join BEFORE any shuffle, so the
+    // positional joins move Σ df(term) rows, never corpus tokens.
+    "q114_phrase_search" -> { (s, dir) =>
+      val t = Synth.documents(s, dir).select(col("doc_id"), expr(toks).as("t"))
+      val postings = t.select(
+        col("doc_id"), posexplode(col("t")).as(Seq("pos", "word")))
+      val phrase = broadcast(
+        t.filter(expr("size(t) >= 2")).select(explode(expr(
+            "transform(sequence(1, size(t) - 1), " +
+              "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"))
+            .as("b"))
+          .groupBy("b.w1", "b.w2").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("w1"), col("w2")).limit(1)
+          .select("w1", "w2"))
+      val p1 = postings.join(phrase, postings("word") === phrase("w1"))
+        .select(col("doc_id"), col("pos"))
+      val p2 = postings.join(phrase, postings("word") === phrase("w2"))
+        .select(col("doc_id"), (col("pos") - 1).as("pos"))
+      p1.join(p2, Seq("doc_id", "pos"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_matches"),
+          (min(col("pos")) + 1).cast("long").as("first_pos"))
+        .orderBy("doc_id")
+    },
+
     // Token counting: whitespace tokens + a BPE-ish regex token count
     // (non-overlapping [a-z]{1,4} chunks approximate subword splitting).
     "q20_token_stats" -> { (s, dir) =>
@@ -957,6 +991,23 @@ object TextAnalysis {
       s"i -> array_to_string(list_slice($dToks, i, i + ${n - 1}), ' ')))"
 
   def oracle: Map[String, String] = Map(
+    "q114_phrase_search" ->
+      s"""WITH t AS (SELECT doc_id, $dToks AS t FROM documents),
+         |idx AS (
+         |  SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM t),
+         |post AS (SELECT doc_id, i, t[i] AS word FROM idx),
+         |big AS (
+         |  SELECT t[i] AS w1, t[i+1] AS w2, count(*) AS c
+         |  FROM idx WHERE i + 1 <= len(t) GROUP BY 1, 2
+         |  ORDER BY c DESC, w1, w2 LIMIT 1)
+         |SELECT a.doc_id, cast(count(*) as bigint) AS n_matches,
+         |  cast(min(a.i) as bigint) AS first_pos
+         |FROM post a
+         |JOIN post b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+         |CROSS JOIN big
+         |WHERE a.word = big.w1 AND b.word = big.w2
+         |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
+
     "q37_repetition_filter" ->
       s"""WITH c AS (
          |  SELECT doc_id,

@@ -307,6 +307,25 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"only the 1-row n_tokens frame may nest:\n$p")
   }
 
+  test("q114: phrase terms broadcast into the postings before the positional join") {
+    val p = plan("q114_phrase_search")
+    // the 1-row phrase frame must broadcast into BOTH postings filters,
+    // and the positional join must be a hash join on (doc_id, pos) —
+    // never a cartesian over corpus tokens
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.size >= 2,
+      s"expected the phrase to broadcast into both term filters:\n$p")
+    assert(!p.toString.contains("CartesianProduct"),
+      s"the positional join must stay keyed:\n$p")
+  }
+
+  test("q115: the neighborhood window partitions by lang, not a global sort") {
+    val p = plan("q115_sorted_neighborhood")
+    assert(p.toString.contains("hashpartitioning(lang"),
+      s"expected the per-language sorted neighborhood window:\n$p")
+    assert(!p.toString.contains("rangepartitioning(key"),
+      s"no corpus-wide sort may appear:\n$p")
+  }
+
   test("q62: the batch/corpus doc_id filters reach the documents scans") {
     val scans = plan("q62_incremental_dedup").collect {
       case f: FileSourceScanExec => f }
