@@ -41,6 +41,47 @@ object RangeJoin {
       .drop("_rj_bin")
   }
 
+  /** Bin width for the interval-overlap join: 1 hour in microseconds.
+    * Intervals are replicated to EVERY bin they cover (via sequence()),
+    * so completeness holds for any interval length — longer intervals
+    * just replicate to more bins. Synthetic durations here are ≤ 1 h,
+    * so replication is ≤ 2 bins/row.
+    */
+  private val OverlapBinUs = 3600000000L
+
+  /** Interval-overlap self-join: pair rows of the same `key` whose
+    * intervals `[startUs, endUs]` intersect. The complement to
+    * [[withinRadius]] (points within a distance): here BOTH sides carry
+    * extent, the predicate is `a.start <= b.end AND b.start <= a.end`,
+    * and Spark would otherwise plan the theta-join as a nested-loop
+    * cartesian.
+    *
+    * Same binning family as every native interval join: replicate each
+    * interval to all `W`-wide bins it covers; any overlapping pair shares
+    * the bin containing the LATER start (that instant lies inside both
+    * intervals), so emitting a candidate only from that owner bin —
+    * `bin == floor(greatest(a.start, b.start) / W)` — yields each pair
+    * exactly once with no distinct pass. Cost is Σ per-(key, bin)
+    * occupancy², never |L|², and the join is a plain shuffled hash join
+    * AQE can re-balance.
+    */
+  def overlapPairs(intervals: DataFrame, key: String, id: String,
+      startUs: String, endUs: String): DataFrame = {
+    val W = OverlapBinUs
+    def side(tag: String) = intervals.select(
+      col(key),
+      col(id).as(s"${tag}_id"),
+      col(startUs).as(s"${tag}_s"),
+      col(endUs).as(s"${tag}_e"),
+      explode(expr(s"sequence($startUs div $W, $endUs div $W)"))
+        .as("_ov_bin"))
+    side("a").join(side("b"), Seq(key, "_ov_bin"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+      .filter(col("_ov_bin") === expr(s"greatest(a_s, b_s) div $W"))
+      .drop("_ov_bin")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Temporal neighborhood count: for each probe event (id ≡ 0 mod 100),
     // how many same-type events land within ±30 min. Timestamps compare as
@@ -64,6 +105,28 @@ object RangeJoin {
         .groupBy("probe_id")
         .agg(count(lit(1)).as("n_nearby"))
         .orderBy("probe_id")
+    },
+
+    // Concurrent-activity detection: each event opens an interval
+    // [ts, ts + value minutes] (duration via floor() so both engines
+    // truncate identically); overlapping same-user intervals are
+    // paired via the binned overlap join, then rolled up per user as
+    // (pair count, total overlap micros). Every quantity is integer
+    // microseconds — exact on both engines. The oracle is the naive
+    // theta join, proving the binned plan lossless.
+    "q117_interval_overlap" -> { (s, dir) =>
+      val iv = Synth.events(s, dir).select(
+        col("user_id"),
+        col("event_id"),
+        expr("unix_micros(ts)").as("s_us"),
+        expr("unix_micros(ts) + cast(floor(value * 60) as bigint) * 1000000")
+          .as("e_us"))
+      overlapPairs(iv, "user_id", "event_id", "s_us", "e_us")
+        .withColumn("ov_us",
+          least(col("a_e"), col("b_e")) - greatest(col("a_s"), col("b_s")))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"), sum(col("ov_us")).as("overlap_us"))
+        .orderBy("user_id")
     }
   )
 
@@ -76,6 +139,21 @@ object RangeJoin {
         |    AND epoch_us(p.ts) + 1800000000
         |  AND e.event_id <> p.event_id
         |WHERE p.event_id % 100 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q117_interval_overlap" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id,
+        |    epoch_us(ts) AS s_us,
+        |    epoch_us(ts) + cast(floor(value * 60) as bigint) * 1000000
+        |      AS e_us
+        |  FROM events)
+        |SELECT a.user_id, count(*) AS n_pairs,
+        |  cast(sum(least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us))
+        |    as bigint) AS overlap_us
+        |FROM iv a JOIN iv b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |  AND a.s_us <= b.e_us AND b.s_us <= a.e_us
         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -109,6 +109,28 @@ object Similarity {
       .map(p => s"if(${Dedup.dot(col, planeArraySpark(p))} > 0, '1', '0')")
       .mkString("concat(", ", ", ")")
 
+  /** q118 shortlist depth: Hamming-candidate pool the exact rerank pays
+    * full-precision cosine on. 50 of n keeps the rerank trivially small
+    * while covering top-10 with headroom (1-bit signs lose real
+    * resolution — the 5× pool absorbs it).
+    */
+  private val hammingShortlist = 50
+
+  /** Sign bits of dims [32h, 32h+32) packed little-endian into a BIGINT
+    * — two half-words per 64-dim vector. Rendered as a literal sum of
+    * `if(element > 0, 2^d, 0)` terms: pure integer arithmetic both
+    * engines fold identically, and per-term literals stay < 2^32.
+    */
+  private def packHalfSpark(h: Int): String =
+    (0 until 32).map { d =>
+      s"if(element_at(embedding, ${h * 32 + d + 1}) > 0, ${1L << d}L, 0L)"
+    }.mkString(" + ")
+
+  private def packHalfDuck(c: String, h: Int): String =
+    (0 until 32).map { d =>
+      s"CASE WHEN $c[${h * 32 + d + 1}] > 0 THEN ${1L << d} ELSE 0 END"
+    }.mkString("(", " + ", ")::BIGINT")
+
   private[operators] def dotDuck(a: String, b: String): String =
     s"list_reduce(list_transform(list_zip($a, $b), " +
       s"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
@@ -249,6 +271,47 @@ object Similarity {
           col("n_hit").cast("double") / lit(topK.toDouble))
         .select("query_id", "n_hit", "recall")
         .orderBy("query_id")
+    },
+
+    // Binary quantization + Hamming shortlist + exact rerank — the
+    // 1-bit-per-dimension compression tier below q116's int8: each
+    // embedding collapses to its 64 sign bits packed into two BIGINTs
+    // (32 bits each — the half-word split keeps every shifted literal
+    // < 2^32, so neither engine can overflow a signed 64-bit lane), and
+    // candidate distance is bit_count(xor) — 2 XORs + 2 popcounts per
+    // pair instead of 64 fused multiply-adds, on 8 bytes instead of 256.
+    // At 100 TB the packed fingerprints are a 32× smaller scan that fits
+    // page cache, the Hamming pass is map-only against broadcast query
+    // words, and only the 50-deep shortlist pays the full-precision
+    // cosine. Everything up to the final cosine is integer arithmetic —
+    // hash-exact across engines.
+    "q118_binary_hamming" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val e = Synth.embeddings(s, dir)
+        .withColumn("w0", expr(packHalfSpark(0)))
+        .withColumn("w1", expr(packHalfSpark(1)))
+      val q = broadcast(e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("w0").as("q0"), col("w1").as("q1")))
+      val short = q.crossJoin(e)
+        .withColumn("hamming",
+          expr("bit_count(q0 ^ w0) + bit_count(q1 ^ w1)"))
+        .groupBy("query_id")
+        .agg(expr(
+          s"graft_topk(cast(-hamming as double), vec_id, $hammingShortlist)")
+          .as("top"))
+        .select(col("query_id"), explode(col("top")).as("c"))
+        .select(col("query_id"), col("c.id").as("vec_id"),
+          (-col("c.score")).cast("int").as("hamming"))
+      short.join(e, "vec_id")
+        .join(q.select(col("query_id"), col("q_emb")), "query_id")
+        .withColumn("cosine", expr(Dedup.dot("q_emb", "embedding")))
+        .groupBy("query_id")
+        .agg(expr(s"graft_topk(cosine, vec_id, $topK)").as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), (col("pos") + 1).cast("int").as("rk"),
+          col("col.id").as("vec_id"), col("col.score").as("cosine"))
+        .orderBy("query_id", "rk")
     },
 
     // IVF-style ANN: assign every vector to its nearest pseudo-centroid
@@ -463,6 +526,33 @@ object Similarity {
          |FROM ex LEFT JOIN ap
          |  ON ap.query_id = ex.query_id AND ap.vec_id = ex.vec_id
          |GROUP BY ex.query_id ORDER BY query_id""".stripMargin,
+
+    "q118_binary_hamming" -> {
+      val ham = "(bit_count(xor(q.w0, e.w0)) + bit_count(xor(q.w1, e.w1)))"
+      s"""WITH p AS (
+         | SELECT vec_id, embedding,
+         |  ${packHalfDuck("embedding", 0)} AS w0,
+         |  ${packHalfDuck("embedding", 1)} AS w1
+         | FROM embeddings),
+         |short AS (
+         | SELECT query_id, vec_id FROM (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |     ORDER BY $ham ASC, e.vec_id) AS srk
+         |  FROM p q CROSS JOIN p e
+         |  WHERE q.vec_id < $nQueries)
+         | WHERE srk <= $hammingShortlist)
+         |SELECT query_id, rk, vec_id, cosine FROM (
+         | SELECT s.query_id, s.vec_id,
+         |  ${dotDuck("q.embedding", "e.embedding")} AS cosine,
+         |  cast(row_number() OVER (PARTITION BY s.query_id
+         |    ORDER BY ${dotDuck("q.embedding", "e.embedding")} DESC,
+         |      s.vec_id) as int) AS rk
+         | FROM short s
+         |  JOIN embeddings e ON e.vec_id = s.vec_id
+         |  JOIN embeddings q ON q.vec_id = s.query_id)
+         |WHERE rk <= $topK ORDER BY query_id, rk""".stripMargin
+    },
 
     "q42_knn_ivf" ->
       s"""WITH c AS (

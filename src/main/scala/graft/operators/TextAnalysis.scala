@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   /** Whitespace tokenization shared by every operator (Spark side). */
-  private val toks = "split(trim(text), '\\\\s+')"
+  private[operators] val toks = "split(trim(text), '\\\\s+')"
 
   /** The q60 funnel body: exact-dedup (keep canonical) → quality floor →
     * language filter → deterministic sample, one plan. `tap` is called
@@ -938,7 +938,7 @@ object TextAnalysis {
         "replace(syms, concat(' ', _mp, ' '), concat(' ', replace(_mp, ' ', ''), ' '))"))
       .drop("_mp")
 
-  private val dToks = "regexp_split_to_array(trim(text), '\\s+')"
+  private[operators] val dToks = "regexp_split_to_array(trim(text), '\\s+')"
 
   /** DuckDB rendering of [[hybridShortlist]] (srk carried into `rr`) —
     * shared CTE prefix of the q54 and q54b oracles.

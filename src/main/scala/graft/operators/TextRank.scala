@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** TextRank keyword extraction (Mihalcea & Tarau, EMNLP'04): rank words
+  * by PageRank over the word co-occurrence graph, instead of by raw
+  * frequency (q24) or tf-idf (q38) — a word matters if it co-occurs
+  * with other words that matter.
+  *
+  * Composition, not new machinery: the co-occurrence pairs are q110's
+  * ±2-token skip-gram multiset, the ranking loop is [[PageRank]]'s
+  * fixed-point integer iteration (bigint micro-units, bit-identical
+  * across engines and partitionings). The pair counts become SYMMETRIC
+  * weighted edges (TextRank's graph is undirected — each unordered pair
+  * feeds both directions), compacted once before iterating.
+  *
+  * Scale shape at 100 TB: the pair explode is narrow (≤ 2 rows/token),
+  * one shuffle counts edges, and after the `c_ab ≥ 3` head cut the
+  * graph is vocabulary-sized — iteration cost is |edges|-bounded joins
+  * over that compacted graph, never re-touching the corpus. The corpus
+  * is read exactly once.
+  */
+object TextRank {
+
+  private val nIters = 3
+  private val minEdge = 3
+  private val topN = 25
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_textrank" -> { (s, dir) =>
+      val t = Synth.documents(s, dir)
+        .select(col("doc_id"), expr(TextAnalysis.toks).as("t"))
+      // q110's unordered ±2-window pair multiset, minus self-pairs
+      val pairs = t.filter(expr("size(t) >= 2"))
+        .select(explode(expr(
+          "flatten(transform(sequence(1, size(t) - 1), " +
+            "i -> transform(sequence(i + 1, least(i + 2, size(t))), " +
+            "j -> struct(least(element_at(t, i), element_at(t, j)) AS a, " +
+            "greatest(element_at(t, i), element_at(t, j)) AS b))))")).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .filter(col("a") =!= col("b"))
+      val co = pairs.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= minEdge)
+      val wedges = co.select(col("a").as("src"), col("b").as("dst"),
+          col("c_ab").as("cnt"))
+        .unionAll(co.select(col("b").as("src"), col("a").as("dst"),
+          col("c_ab").as("cnt")))
+      val verts = wedges.select(col("src").as("id")).distinct()
+      PageRank.runWeighted(verts, wedges, nIters)
+        .orderBy(col("rank_fp").desc, col("id"))
+        .limit(topN)
+    }
+  )
+
+  def oracle: Map[String, String] = {
+    // PageRank's unrolled integer iterations, weighted-edge form:
+    // contribution = (rank div deg) * cnt per compacted edge.
+    val iterCtes = (1 to nIters).map { i =>
+      s"""r$i AS (
+         |  SELECT v.id,
+         |    (SELECT base FROM consts)
+         |      + coalesce(c.in_sum, 0) * 85 // 100 AS rank_fp
+         |  FROM verts v LEFT JOIN (
+         |    SELECT e.dst AS id,
+         |      cast(sum((r.rank_fp // d.deg) * e.cnt) as bigint) AS in_sum
+         |    FROM wedges e
+         |      JOIN r${i - 1} r ON r.id = e.src
+         |      JOIN deg d ON d.src = e.src
+         |    GROUP BY e.dst) c ON c.id = v.id)""".stripMargin
+    }.mkString(",\n")
+    Map(
+      "q119_textrank" ->
+        s"""WITH t AS (SELECT doc_id, ${TextAnalysis.dToks} AS t FROM documents),
+           |idx AS (
+           | SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+           | FROM t WHERE len(t) >= 2),
+           |pairs AS (
+           | SELECT least(t[i], t[i+1]) AS a, greatest(t[i], t[i+1]) AS b
+           | FROM idx
+           | UNION ALL
+           | SELECT least(t[i], t[i+2]), greatest(t[i], t[i+2])
+           | FROM idx WHERE i + 2 <= len(t)),
+           |co AS (
+           | SELECT a, b, count(*) AS c_ab FROM pairs
+           | WHERE a <> b GROUP BY a, b HAVING count(*) >= $minEdge),
+           |wedges AS (
+           | SELECT a AS src, b AS dst, c_ab AS cnt FROM co
+           | UNION ALL
+           | SELECT b, a, c_ab FROM co),
+           |verts AS (SELECT DISTINCT src AS id FROM wedges),
+           |consts AS (
+           |  SELECT ${PageRank.Scale} * 15 // 100 // count(*) AS base,
+           |         ${PageRank.Scale} // count(*) AS r_init
+           |  FROM verts),
+           |deg AS (
+           |  SELECT src, cast(sum(cnt) as bigint) AS deg
+           |  FROM wedges GROUP BY src),
+           |r0 AS (SELECT id, (SELECT r_init FROM consts) AS rank_fp FROM verts),
+           |$iterCtes
+           |SELECT id, cast(rank_fp as bigint) AS rank_fp
+           |FROM r$nIters ORDER BY rank_fp DESC, id LIMIT $topN""".stripMargin
+    )
+  }
+}
