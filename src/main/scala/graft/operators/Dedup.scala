@@ -257,6 +257,36 @@ object Dedup {
         .limit(50)
     },
 
+    // Broder CONTAINMENT |A∩B| / min(|A|,|B|) over the q31 inverted
+    // index — the asymmetric cousin of Jaccard that catches
+    // template/superset pairs: a boilerplate page fully contained in a
+    // longer one scores ~1.0 here but low Jaccard (the union is
+    // dominated by the longer doc), so a Jaccard-only dedup pass
+    // misses it. Same candidate machinery and df cap as q31 (cap
+    // mirrored in the oracle); only the denominator changes —
+    // min(n_a, n_b) instead of the union.
+    "q120_containment" -> { (s, dir) =>
+      val all = shingled(s, dir)
+        .select(col("doc_id"), expr("size(sh)").as("n_sh"),
+          explode(col("sh")).as("shingle"))
+      val rare = all.groupBy("shingle")
+        .agg(count(lit(1)).as("df")).filter(col("df") <= ShingleDfCap)
+        .select("shingle")
+      val docs = all.join(rare.hint("shuffle_hash"), Seq("shingle"), "left_semi")
+      val a = docs.toDF("shingle", "id_a", "n_a")
+      val b = docs.toDF("shingle", "id_b", "n_b")
+      a.join(b.hint("shuffle_hash"), "shingle")
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(count(lit(1)).as("shared"))
+        .withColumn("containment",
+          col("shared").cast("double")
+            / least(col("n_a"), col("n_b")).cast("double"))
+        .select("id_a", "id_b", "shared", "containment")
+        .orderBy(col("containment").desc, col("id_a"), col("id_b"))
+        .limit(50)
+    },
+
     // Prefix-filtered set-similarity self-join (the PPJoin/Vernica-et-al
     // shape): for Jaccard ≥ 1/2, two shingle sets sorted by one GLOBAL
     // order (ascending document frequency, shingle as tiebreak) must share
@@ -659,6 +689,23 @@ object Dedup {
          |FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
          |ORDER BY jaccard DESC, id_a, id_b LIMIT 50""".stripMargin,
+
+    "q120_containment" ->
+      s"""WITH allsh AS (
+         |  SELECT doc_id, unnest(sh) AS shingle, len(sh) AS n_sh
+         |  FROM (SELECT doc_id, $dShingles AS sh FROM documents)
+         |),
+         |sh AS (
+         |  SELECT * FROM allsh WHERE shingle IN (
+         |    SELECT shingle FROM allsh GROUP BY shingle
+         |    HAVING count(*) <= $ShingleDfCap)
+         |)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
+         |  cast(count(*) as double) / cast(least(a.n_sh, b.n_sh) as double)
+         |    AS containment
+         |FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+         |ORDER BY containment DESC, id_a, id_b LIMIT 50""".stripMargin,
 
     // Oracle is the UNFILTERED exact similarity join — no prefix filter, no
     // length filter. A hash match therefore proves the Spark-side pruning

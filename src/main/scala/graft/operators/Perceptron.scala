@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** In-engine linear-classifier training — the "learned quality filter"
@@ -100,6 +101,38 @@ object Perceptron {
           when(col("tp") + col("fn") > 0L,
             col("tp").cast("double") / (col("tp") + col("fn")).cast("double")))
         .orderBy("source")
+    },
+
+    // Ranking AUC (Mann–Whitney) for q101's scores — the
+    // threshold-free metric a quality-filter rollout actually gates
+    // on. Scale-correct decomposition (the q96 pattern): aggregate the
+    // corpus to per-SCORE (n_pos, n_neg) counts first — one shuffle —
+    // then the rank arithmetic windows over #distinct-scores rows,
+    // never the corpus. Ties use the standard midrank correction via
+    // ALL-INTEGER arithmetic: num2 = Σ_s npos(s)·(2·cumneg(<s) +
+    // nneg(s)) ≡ 2·U, so AUC = num2 / (2·n_pos·n_neg) is one final
+    // exactly-rounded IEEE divide — hash-exact across engines. (At
+    // petabyte scale num2 ~ n² motivates the per-slice form — AUC per
+    // source/day — whose counts this same plan yields by adding the
+    // slice key to both group-bys.)
+    "q101c_ranking_auc" -> { (s, dir) =>
+      val f = features(s, dir)
+      val w = train(f)
+      val per = f.withColumn("score", expr(scoreSql(w)))
+        .groupBy("score")
+        .agg(
+          sum(when(col("y") === 1L, 1L).otherwise(0L)).as("npos"),
+          sum(when(col("y") =!= 1L, 1L).otherwise(0L)).as("nneg"))
+      val win = Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      per
+        .withColumn("cumneg", coalesce(sum(col("nneg")).over(win), lit(0L)))
+        .agg(
+          sum(col("npos")).as("n_pos"), sum(col("nneg")).as("n_neg"),
+          sum(expr("npos * (2 * cumneg + nneg)")).as("num2"))
+        .withColumn("auc", col("num2").cast("double") /
+          (lit(2.0) * col("n_pos").cast("double")
+            * col("n_neg").cast("double")))
     }
   )
 
@@ -162,6 +195,35 @@ object Perceptron {
          |    THEN cast(tp as double) / cast(tp + fp as double) END AS precision,
          |  CASE WHEN tp + fn > 0
          |    THEN cast(tp as double) / cast(tp + fn as double) END AS recall
-         |FROM cm ORDER BY source""".stripMargin
+         |FROM cm ORDER BY source""".stripMargin,
+
+    "q101c_ranking_auc" ->
+      s"""WITH f AS ($dFeat),
+         |w0 AS (SELECT 0 AS w0, 0 AS w1, 0 AS w2, 0 AS w3),
+         |${dStep("w0", "w1t")},
+         |${dStep("w1t", "w2t")},
+         |${dStep("w2t", "w3t")},
+         |scored AS (
+         |  SELECT f.y,
+         |    cast(w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3 as bigint) AS score
+         |  FROM f CROSS JOIN w3t w),
+         |per AS (
+         |  SELECT score,
+         |    cast(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) as bigint) AS npos,
+         |    cast(sum(CASE WHEN y <> 1 THEN 1 ELSE 0 END) as bigint) AS nneg
+         |  FROM scored GROUP BY score),
+         |c AS (
+         |  SELECT npos, nneg,
+         |    cast(coalesce(sum(nneg) OVER (ORDER BY score
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      as bigint) AS cumneg
+         |  FROM per)
+         |SELECT cast(sum(npos) as bigint) AS n_pos,
+         |  cast(sum(nneg) as bigint) AS n_neg,
+         |  cast(sum(npos * (2 * cumneg + nneg)) as bigint) AS num2,
+         |  cast(sum(npos * (2 * cumneg + nneg)) as double)
+         |    / (2.0 * cast(sum(npos) as double) * cast(sum(nneg) as double))
+         |    AS auc
+         |FROM c""".stripMargin
   )
 }

@@ -27,26 +27,60 @@ object TextRank {
   private val minEdge = 3
   private val topN = 25
 
+  /** The symmetric weighted word graph shared by q119 (TextRank) and
+    * q121 (label propagation): q110's ±2-window unordered pair
+    * multiset, self-pairs dropped, compacted to counts, `c_ab ≥
+    * minEdge` head cut, then both directions emitted. Returns
+    * (vertices(id), weighted edges(src, dst, cnt)).
+    */
+  private[operators] def wordGraph(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val t = Synth.documents(s, dir)
+      .select(col("doc_id"), expr(TextAnalysis.toks).as("t"))
+    val pairs = t.filter(expr("size(t) >= 2"))
+      .select(explode(expr(
+        "flatten(transform(sequence(1, size(t) - 1), " +
+          "i -> transform(sequence(i + 1, least(i + 2, size(t))), " +
+          "j -> struct(least(element_at(t, i), element_at(t, j)) AS a, " +
+          "greatest(element_at(t, i), element_at(t, j)) AS b))))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a") =!= col("b"))
+    val co = pairs.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minEdge)
+    val wedges = co.select(col("a").as("src"), col("b").as("dst"),
+        col("c_ab").as("cnt"))
+      .unionAll(co.select(col("b").as("src"), col("a").as("dst"),
+        col("c_ab").as("cnt")))
+    val verts = wedges.select(col("src").as("id")).distinct()
+    (verts, wedges)
+  }
+
+  /** DuckDB rendering of [[wordGraph]] — CTEs `t, idx, pairs, co,
+    * wedges, verts`, shared by the q119/q121 oracles.
+    */
+  private[operators] val duckGraphCtes: String =
+    s"""t AS (SELECT doc_id, ${TextAnalysis.dToks} AS t FROM documents),
+       |idx AS (
+       | SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+       | FROM t WHERE len(t) >= 2),
+       |pairs AS (
+       | SELECT least(t[i], t[i+1]) AS a, greatest(t[i], t[i+1]) AS b
+       | FROM idx
+       | UNION ALL
+       | SELECT least(t[i], t[i+2]), greatest(t[i], t[i+2])
+       | FROM idx WHERE i + 2 <= len(t)),
+       |co AS (
+       | SELECT a, b, count(*) AS c_ab FROM pairs
+       | WHERE a <> b GROUP BY a, b HAVING count(*) >= $minEdge),
+       |wedges AS (
+       | SELECT a AS src, b AS dst, c_ab AS cnt FROM co
+       | UNION ALL
+       | SELECT b, a, c_ab FROM co),
+       |verts AS (SELECT DISTINCT src AS id FROM wedges)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_textrank" -> { (s, dir) =>
-      val t = Synth.documents(s, dir)
-        .select(col("doc_id"), expr(TextAnalysis.toks).as("t"))
-      // q110's unordered ±2-window pair multiset, minus self-pairs
-      val pairs = t.filter(expr("size(t) >= 2"))
-        .select(explode(expr(
-          "flatten(transform(sequence(1, size(t) - 1), " +
-            "i -> transform(sequence(i + 1, least(i + 2, size(t))), " +
-            "j -> struct(least(element_at(t, i), element_at(t, j)) AS a, " +
-            "greatest(element_at(t, i), element_at(t, j)) AS b))))")).as("p"))
-        .select(col("p.a").as("a"), col("p.b").as("b"))
-        .filter(col("a") =!= col("b"))
-      val co = pairs.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
-        .filter(col("c_ab") >= minEdge)
-      val wedges = co.select(col("a").as("src"), col("b").as("dst"),
-          col("c_ab").as("cnt"))
-        .unionAll(co.select(col("b").as("src"), col("a").as("dst"),
-          col("c_ab").as("cnt")))
-      val verts = wedges.select(col("src").as("id")).distinct()
+      val (verts, wedges) = wordGraph(s, dir)
       PageRank.runWeighted(verts, wedges, nIters)
         .orderBy(col("rank_fp").desc, col("id"))
         .limit(topN)
@@ -71,24 +105,7 @@ object TextRank {
     }.mkString(",\n")
     Map(
       "q119_textrank" ->
-        s"""WITH t AS (SELECT doc_id, ${TextAnalysis.dToks} AS t FROM documents),
-           |idx AS (
-           | SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
-           | FROM t WHERE len(t) >= 2),
-           |pairs AS (
-           | SELECT least(t[i], t[i+1]) AS a, greatest(t[i], t[i+1]) AS b
-           | FROM idx
-           | UNION ALL
-           | SELECT least(t[i], t[i+2]), greatest(t[i], t[i+2])
-           | FROM idx WHERE i + 2 <= len(t)),
-           |co AS (
-           | SELECT a, b, count(*) AS c_ab FROM pairs
-           | WHERE a <> b GROUP BY a, b HAVING count(*) >= $minEdge),
-           |wedges AS (
-           | SELECT a AS src, b AS dst, c_ab AS cnt FROM co
-           | UNION ALL
-           | SELECT b, a, c_ab FROM co),
-           |verts AS (SELECT DISTINCT src AS id FROM wedges),
+        s"""WITH $duckGraphCtes,
            |consts AS (
            |  SELECT ${PageRank.Scale} * 15 // 100 // count(*) AS base,
            |         ${PageRank.Scale} // count(*) AS r_init
