@@ -336,4 +336,52 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(filters.exists(_.contains("% 5")),
       s"expected the doc_id %% 5 split at the scan, got: ${filters.mkString("; ")}")
   }
+
+  test("q117: the interval-overlap theta join plans as a hash join on (user, bin)") {
+    val p = plan("q117_interval_overlap")
+    assert(p.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, s"the binned overlap join must never nest/cartesian:\n$p")
+    assert(p.toString.contains("_ov_bin"),
+      s"expected the bin key in the join:\n$p")
+  }
+
+  test("q118: both ranking stages run on the bounded heap, not window sorts") {
+    val p = plan("q118_binary_hamming")
+    val heaps = p.collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+        if a.toString.contains("graft_topk") => a
+    }
+    // partial + final per stage (shortlist, rerank) = 4 ObjectHashAggregates
+    assert(heaps.size == 4,
+      s"expected heap-ranked shortlist AND rerank, got ${heaps.size}:\n$p")
+    assert(!p.toString.contains("row_number"),
+      s"no per-query window sort may appear:\n$p")
+  }
+
+  test("q119/q121: iteration output never re-reads the corpus (checkpointed loop)") {
+    // the PageRank / LPA loop contract: rounds run against the compacted
+    // graph, and the returned frame consumes checkpointed iteration
+    // state — zero file scans in the final plan
+    for (q <- Seq("q119_textrank", "q121_label_prop")) {
+      val scans = plan(q).collect { case f: FileSourceScanExec => f }
+      assert(scans.isEmpty,
+        s"$q: expected checkpoint-rooted plan, found corpus scans")
+    }
+  }
+
+  test("q123/q124: corpus aggregates first; only tiny frames nest or window") {
+    // q123: ONE corpus scan feeds the per-source agg; the Gini window
+    // runs over the #sources frame
+    val g = plan("q123_source_gini")
+    assert(g.collect { case f: FileSourceScanExec => f }.size == 1,
+      s"gini must aggregate the corpus in one pass:\n$g")
+    // q124: the 1-row label-totals frame broadcasts; no cartesian on
+    // the vocabulary side
+    val c = plan("q124_chi2_features")
+    val bnl = c.collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnl.size == 1,
+      s"expected exactly the broadcast totals row, got ${bnl.size}:\n$c")
+  }
 }
