@@ -103,6 +103,78 @@ object Dedup {
     */
   private val NearDupThreshold = 0.8
 
+  /** q61's oracle CTE chain through transitive reachability — shared
+    * with q125. WITH RECURSIVE; callers append their own final SELECT
+    * (and further CTEs after a comma).
+    */
+  private lazy val duckQ61Reach: String =
+    s"""WITH RECURSIVE mh AS (
+       |  SELECT doc_id, $duckMhCols
+       |  FROM (SELECT doc_id, $dShingles AS sh FROM documents)),
+       |wb AS (SELECT doc_id, $duckBandCols FROM mh),
+       |lng AS (
+       |  SELECT doc_id, 0 AS band, band0 AS bucket FROM wb UNION ALL
+       |  SELECT doc_id, 1, band1 FROM wb UNION ALL
+       |  SELECT doc_id, 2, band2 FROM wb UNION ALL
+       |  SELECT doc_id, 3, band3 FROM wb),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM lng a JOIN lng b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |shs AS (SELECT doc_id, $dShingles AS sh FROM documents),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst
+       |  FROM cand
+       |    JOIN shs sa ON sa.doc_id = cand.id_a
+       |    JOIN shs sb ON sb.doc_id = cand.id_b
+       |  WHERE cast(len(list_intersect(sa.sh, sb.sh)) as double)
+       |    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+       |    >= $NearDupThreshold),
+       |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM sym
+       |  UNION
+       |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)""".stripMargin
+
+  /** The q61 pipeline through its cluster map (doc_id → cluster_id),
+    * shared with q125's keep-best selection: band-bucket candidates,
+    * exact-Jaccard verify, connected components over edge ENDPOINTS
+    * only — docs with no verified near-dup are their own cluster by
+    * construction, so the per-round join/agg touches |near-dup docs|
+    * rows, not |corpus|. The cluster map joins back out to every doc;
+    * AQE picks broadcast when the near-dup set is small and falls back
+    * to a shuffle join when it isn't (web corpora can be 30-50%
+    * near-dup). The shingled projection is referenced three times
+    * (bands, verify×2); a production pipeline would persist() it across
+    * those uses — a returned-DataFrame query can't manage that
+    * lifecycle, so the plan recomputes the map-only pass instead.
+    */
+  private def minhashClusterMap(s: SparkSession, dir: String): DataFrame = {
+    val docsSh = shingled(s, dir)
+    val lng = bandsLong(minhashBanded(s, dir))
+    val a = lng.toDF("id_a", "band", "bucket")
+    val b = lng.toDF("id_b", "band", "bucket")
+    val cands = a.join(b.hint("shuffle_hash"), Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val shA = docsSh.toDF("id_a", "sh_a")
+    val shB = docsSh.toDF("id_b", "sh_b")
+    val edges = cands
+      .join(shA, "id_a").join(shB, "id_b")
+      .withColumn("inter", expr("size(array_intersect(sh_a, sh_b))"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (expr("size(sh_a)") + expr("size(sh_b)") - col("inter")))
+      .filter(col("jaccard") >= NearDupThreshold)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val touched = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+    val clusters = ConnectedComponents.run(touched, edges)
+      .select(col("id").as("doc_id"), col("component"))
+    docsSh.select("doc_id")
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("component"), col("doc_id")))
+  }
+
   /** Verified Jaccard ≥ 1/2 pairs from a (doc_id, sh) frame via the
     * q31b prefix/length/positional prunes — shared by the query and the
     * PropertySpec completeness property (prefix filtering must find
@@ -409,37 +481,70 @@ object Dedup {
     // uses — a returned-DataFrame query can't manage that lifecycle, so
     // the plan recomputes the map-only pass instead.
     "q61_minhash_dedup" -> { (s, dir) =>
-      val docsSh = shingled(s, dir)
-      val lng = bandsLong(minhashBanded(s, dir))
+      minhashClusterMap(s, dir)
+        .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+        .select("doc_id", "cluster_id", "is_canonical")
+        .orderBy("doc_id")
+    },
+
+    // MinHash estimator calibration — the q46-recall analog for the
+    // sketch itself: over the band-candidate pairs, compare the
+    // 12-slot MinHash Jaccard ESTIMATE (matching slots / 12) against
+    // the exact shingle Jaccard, and report the corpus-level error the
+    // index actually operates at (mean |err|, over/under split). Both
+    // quantities live in integer millionths — est_e6 = matches·10⁶ div
+    // 12, true_e6 = |∩|·10⁶ div |∪| — so the error SUM is exact bigint
+    // arithmetic under any shuffle order; only the final mean divides.
+    // This is the measurement that justifies (or indicts) nHashes=12
+    // before anyone trusts q61's threshold.
+    "q126_minhash_calibration" -> { (s, dir) =>
+      val banded = minhashBanded(s, dir)
+      val lng = bandsLong(banded)
       val a = lng.toDF("id_a", "band", "bucket")
       val b = lng.toDF("id_b", "band", "bucket")
       val cands = a.join(b.hint("shuffle_hash"), Seq("band", "bucket"))
         .filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct()
-      val shA = docsSh.toDF("id_a", "sh_a")
-      val shB = docsSh.toDF("id_b", "sh_b")
-      val edges = cands
-        .join(shA, "id_a").join(shB, "id_b")
-        .withColumn("inter", expr("size(array_intersect(sh_a, sh_b))"))
-        .withColumn("jaccard", col("inter").cast("double") /
-          (expr("size(sh_a)") + expr("size(sh_b)") - col("inter")))
-        .filter(col("jaccard") >= NearDupThreshold)
-        .select(col("id_a").as("src"), col("id_b").as("dst"))
-      // Iterate CC only over edge ENDPOINTS — docs with no verified
-      // near-dup are their own cluster by construction, so the per-round
-      // join/agg touches |near-dup docs| rows, not |corpus|. The cluster
-      // map joins back out to every doc; AQE picks broadcast when the
-      // near-dup set is small and falls back to a shuffle join when it
-      // isn't (web corpora can be 30-50% near-dup).
-      val touched = edges.select(col("src").as("id"))
-        .union(edges.select(col("dst").as("id"))).distinct()
-      val clusters = ConnectedComponents.run(touched, edges)
-        .select(col("id").as("doc_id"), col("component"))
-      docsSh.select("doc_id")
-        .join(clusters, Seq("doc_id"), "left")
-        .withColumn("cluster_id", coalesce(col("component"), col("doc_id")))
-        .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
-        .select("doc_id", "cluster_id", "is_canonical")
+      def side(tag: String) = banded.select(
+        col("doc_id").as(s"id_$tag") +: col("sh").as(s"sh_$tag") +:
+          (0 until nHashes).map(i => col(s"mh$i").as(s"${tag}m$i")): _*)
+      val matching = (0 until nHashes)
+        .map(i => s"if(am$i = bm$i, 1, 0)").mkString(" + ")
+      cands.join(side("a"), "id_a").join(side("b"), "id_b")
+        .withColumn("est_e6",
+          expr(s"cast(($matching) as bigint) * 1000000 div $nHashes"))
+        .withColumn("inter",
+          expr("cast(size(array_intersect(sh_a, sh_b)) as bigint)"))
+        .withColumn("true_e6", expr(
+          "inter * 1000000 div (size(sh_a) + size(sh_b) - inter)"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(abs(col("est_e6") - col("true_e6"))).as("sum_abs_err_e6"),
+          sum(when(col("est_e6") > col("true_e6"), 1L).otherwise(0L))
+            .as("n_over"),
+          sum(when(col("est_e6") < col("true_e6"), 1L).otherwise(0L))
+            .as("n_under"))
+        .withColumn("mean_abs_err_e6",
+          col("sum_abs_err_e6").cast("double") / col("n_pairs").cast("double"))
+    },
+
+    // Keep-BEST canonical selection — the decision q61 leaves implicit:
+    // q61's min-id canonical is arbitrary; real pipelines keep the most
+    // complete copy of each near-dup cluster. Same cluster map, then one
+    // |corpus| join against a quality key (token count here — any score
+    // slots in) and a per-cluster argmax window (cluster-sized
+    // partitions, ties to the smaller id). The rest of the corpus —
+    // singleton clusters — passes through the identical window with
+    // 1-row partitions.
+    "q125_dedup_keep_best" -> { (s, dir) =>
+      val quality = Synth.documents(s, dir).select(col("doc_id"),
+        expr(s"cast(size($toks) as bigint)").as("n_tokens"))
+      val byCluster = Window.partitionBy("cluster_id")
+        .orderBy(col("n_tokens").desc, col("doc_id"))
+      minhashClusterMap(s, dir)
+        .join(quality, "doc_id")
+        .withColumn("keep", row_number().over(byCluster) === 1)
+        .select("doc_id", "cluster_id", "n_tokens", "keep")
         .orderBy("doc_id")
     },
 
@@ -798,38 +903,59 @@ object Dedup {
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q61_minhash_dedup" ->
-      s"""WITH RECURSIVE mh AS (
-         |  SELECT doc_id, $duckMhCols
-         |  FROM (SELECT doc_id, $dShingles AS sh FROM documents)),
-         |wb AS (SELECT doc_id, $duckBandCols FROM mh),
-         |lng AS (
-         |  SELECT doc_id, 0 AS band, band0 AS bucket FROM wb UNION ALL
-         |  SELECT doc_id, 1, band1 FROM wb UNION ALL
-         |  SELECT doc_id, 2, band2 FROM wb UNION ALL
-         |  SELECT doc_id, 3, band3 FROM wb),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM lng a JOIN lng b
-         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-         |shs AS (SELECT doc_id, $dShingles AS sh FROM documents),
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst
-         |  FROM cand
-         |    JOIN shs sa ON sa.doc_id = cand.id_a
-         |    JOIN shs sb ON sb.doc_id = cand.id_b
-         |  WHERE cast(len(list_intersect(sa.sh, sb.sh)) as double)
-         |    / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
-         |    >= $NearDupThreshold),
-         |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM sym
-         |  UNION
-         |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
+      s"""$duckQ61Reach
          |SELECT d.doc_id AS doc_id,
          |  least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id,
          |  d.doc_id = least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS is_canonical
          |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
          |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    // reuses duckQ61Reach's CTE chain; the unreferenced edges/sym/reach
+    // CTEs are pruned at bind time, only mh/lng/cand/shs execute
+    "q126_minhash_calibration" -> {
+      val matching = (0 until nHashes)
+        .map(i => s"CASE WHEN ma.mh$i = mb.mh$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""$duckQ61Reach,
+         |scored AS (
+         |  SELECT
+         |    cast($matching as bigint) * 1000000 // $nHashes AS est_e6,
+         |    cast(len(list_intersect(sa.sh, sb.sh)) as bigint) * 1000000
+         |      // (len(sa.sh) + len(sb.sh)
+         |          - len(list_intersect(sa.sh, sb.sh))) AS true_e6
+         |  FROM cand
+         |    JOIN mh ma ON ma.doc_id = cand.id_a
+         |    JOIN mh mb ON mb.doc_id = cand.id_b
+         |    JOIN shs sa ON sa.doc_id = cand.id_a
+         |    JOIN shs sb ON sb.doc_id = cand.id_b)
+         |SELECT cast(count(*) as bigint) AS n_pairs,
+         |  cast(sum(abs(est_e6 - true_e6)) as bigint) AS sum_abs_err_e6,
+         |  cast(sum(CASE WHEN est_e6 > true_e6 THEN 1 ELSE 0 END) as bigint)
+         |    AS n_over,
+         |  cast(sum(CASE WHEN est_e6 < true_e6 THEN 1 ELSE 0 END) as bigint)
+         |    AS n_under,
+         |  cast(sum(abs(est_e6 - true_e6)) as double)
+         |    / cast(count(*) as double) AS mean_abs_err_e6
+         |FROM scored""".stripMargin
+    },
+
+    "q125_dedup_keep_best" ->
+      s"""$duckQ61Reach,
+         |clusters AS (
+         |  SELECT d.doc_id,
+         |    least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id
+         |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+         |  GROUP BY d.doc_id),
+         |quality AS (
+         |  SELECT doc_id, cast(len($dToks) as bigint) AS n_tokens
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT c.doc_id, c.cluster_id, q.n_tokens,
+         |    row_number() OVER (PARTITION BY c.cluster_id
+         |      ORDER BY q.n_tokens DESC, c.doc_id) AS rn
+         |  FROM clusters c JOIN quality q USING (doc_id))
+         |SELECT doc_id, cluster_id, n_tokens, rn = 1 AS keep
+         |FROM ranked ORDER BY doc_id""".stripMargin,
 
     "q62_incremental_dedup" ->
       s"""WITH shs AS (SELECT doc_id, $dShingles AS sh FROM documents),

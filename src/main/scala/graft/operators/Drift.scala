@@ -51,6 +51,34 @@ object Drift {
           (col("n_b").cast("double") / col("tot_b").cast("double")).as("p_b"),
           col("tv_total"))
         .orderBy("bucket")
+    },
+
+    // Burst detection over the event stream — the temporal twin of the
+    // distribution drift check: per (event_type, day), flag days whose
+    // volume exceeds 2× the trailing-7-day average. All-integer
+    // predicate (n·7 > 2·Σ_prev7 ∧ n ≥ 10 — no division, no floats) so
+    // the flag is engine-exact. Scale shape (the q96/q123
+    // decomposition): the corpus aggregates to (type, day) counts in
+    // ONE shuffle; the trailing window RANGEs over day numbers within
+    // each type's few-hundred-row frame, never the event log. RANGE on
+    // the epoch-day integer — not ROWS — so a day with zero events
+    // can't silently stretch the lookback.
+    "q127_burst_days" -> { (s, dir) =>
+      val daily = Synth.events(s, dir)
+        .select(col("event_type"),
+          expr("cast(datediff(cast(ts as date), date'1970-01-01') as bigint)")
+            .as("day_num"))
+        .groupBy("event_type", "day_num")
+        .agg(count(lit(1)).as("n"))
+      val trail = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("day_num")
+        .rangeBetween(-7, -1)
+      daily
+        .withColumn("prev7", coalesce(sum(col("n")).over(trail), lit(0L)))
+        .withColumn("is_burst",
+          col("n") * 7L > col("prev7") * 2L && col("n") >= 10L)
+        .select("event_type", "day_num", "n", "prev7", "is_burst")
+        .orderBy("event_type", "day_num")
     }
   )
 
@@ -73,6 +101,23 @@ object Drift {
         |  cast(n_a as double) / cast(tot_a as double) AS p_a,
         |  cast(n_b as double) / cast(tot_b as double) AS p_b,
         |  tv_total
-        |FROM n CROSS JOIN tv ORDER BY bucket""".stripMargin
+        |FROM n CROSS JOIN tv ORDER BY bucket""".stripMargin,
+
+    "q127_burst_days" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    cast(date_diff('day', DATE '1970-01-01', cast(ts as date))
+        |      as bigint) AS day_num,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day_num, n,
+        |    cast(coalesce(sum(n) OVER (PARTITION BY event_type
+        |      ORDER BY day_num RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING),
+        |      0) as bigint) AS prev7
+        |  FROM daily)
+        |SELECT event_type, day_num, cast(n as bigint) AS n, prev7,
+        |  n * 7 > prev7 * 2 AND n >= 10 AS is_burst
+        |FROM w ORDER BY event_type, day_num""".stripMargin
   )
 }
