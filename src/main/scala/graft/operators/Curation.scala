@@ -240,10 +240,79 @@ object Curation {
           col("n_hit").cast("double") / col("n_sh").cast("double"))
         .select("doc_id", "n_sh", "n_hit", "contamination")
         .orderBy("doc_id")
+    },
+
+    // URL / domain curation — the provenance filter every web corpus
+    // runs first: normalize each document's source URL, extract host
+    // and registered domain (last two labels) with Spark's NATIVE
+    // parse_url (codegen'd; the oracle renders the same grammar with
+    // anchored regexes — identical on well-formed URLs, which the
+    // synthetic column is by construction), apply a literal domain
+    // blocklist, and roll up per-domain doc counts / distinct hosts /
+    // tracking-param rate. Everything before the roll-up is map-only;
+    // the blocklist is a NOT IN over a literal set (broadcast-trivial
+    // at any scale). URLs are synthesized from doc fields the same way
+    // Synth renders event lines — the dataset stands in for a crawl's
+    // url column.
+    "q128_url_domains" -> { (s, dir) =>
+      val d = Synth.documents(s, dir)
+        .withColumn("url", expr(urlSpark))
+        .withColumn("host", expr("parse_url(url, 'HOST')"))
+        .withColumn("domain",
+          expr("regexp_extract(host, '([^.]+\\\\.[^.]+)$', 1)"))
+        .withColumn("ref", expr("parse_url(url, 'QUERY', 'ref')"))
+      d.filter(!col("domain").isin(BlockedDomains: _*))
+        .groupBy("domain")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("host")).as("n_hosts"),
+          sum(when(col("ref").isNotNull, 1L).otherwise(0L)).as("n_tracked"))
+        .orderBy("domain")
     }
   )
 
+  /** Synthetic crawl URL: subdomain cycles on doc_id, the source names
+    * the registered domain, an odd doc_id carries a tracking param.
+    * One rendering per engine, same grammar.
+    */
+  private val urlSpark =
+    "concat('https://', element_at(array('www.', 'cdn.', ''), " +
+      "cast(doc_id % 3 as int) + 1), source, '-corpus.org/', lang, " +
+      "'/doc-', cast(doc_id as string), " +
+      "if(doc_id % 2 = 1, '?ref=newsletter', ''))"
+
+  private val urlDuck =
+    "concat('https://', ['www.', 'cdn.', ''][cast(doc_id % 3 as int) + 1], " +
+      "source, '-corpus.org/', lang, '/doc-', cast(doc_id as varchar), " +
+      "CASE WHEN doc_id % 2 = 1 THEN '?ref=newsletter' ELSE '' END)"
+
+  /** Domains dropped by the q128 blocklist — the spam/SEO-farm list a
+    * curation run maintains; literal here, a broadcast side input in
+    * production.
+    */
+  private val BlockedDomains = Seq("src3-corpus.org", "src7-corpus.org")
+
   def oracle: Map[String, String] = Map(
+    "q128_url_domains" ->
+      s"""WITH d AS (
+         |  SELECT $urlDuck AS url FROM documents),
+         |p AS (
+         |  SELECT url,
+         |    regexp_extract(url, '^[a-z]+://([^/?]+)', 1) AS host,
+         |    nullif(regexp_extract(url, 'ref=([^&]*)', 1), '') AS ref
+         |  FROM d),
+         |r AS (
+         |  SELECT host, ref,
+         |    regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain
+         |  FROM p)
+         |SELECT domain, count(*) AS n_docs,
+         |  cast(count(DISTINCT host) as bigint) AS n_hosts,
+         |  cast(sum(CASE WHEN ref IS NOT NULL THEN 1 ELSE 0 END) as bigint)
+         |    AS n_tracked
+         |FROM r
+         |WHERE domain NOT IN (${BlockedDomains.map("'" + _ + "'").mkString(", ")})
+         |GROUP BY domain ORDER BY domain""".stripMargin,
+
     "q64_temperature_resample" ->
       s"""WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
          |m AS (SELECT min(c) AS cmin FROM c),
