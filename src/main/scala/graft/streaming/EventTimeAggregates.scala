@@ -251,6 +251,47 @@ object EventTimeAggregates {
         })
   }
 
+  final case class DailyCount(event_type: String, day_num: Long, n: Long)
+  final case class DayBin(day_num: Long, n: Long)
+  final case class BurstFlag(
+      event_type: String, day_num: Long, n: Long, prev7: Long,
+      is_burst: Boolean)
+
+  /** Streaming twin of the batch q127 burst detector: consumes CLOSED
+    * (event_type, day_num, n) daily-count rows — the append-mode output
+    * of an upstream watermarked daily window — and flags days whose
+    * volume exceeds 2× the trailing-7-day sum, with the same
+    * all-integer predicate as the batch query (n·7 > 2·Σ_prev7 ∧
+    * n ≥ 10). State per event type is a ≤ 7-entry day ring (bins older
+    * than day−6 can never fall inside a later day's lookback, so
+    * they're dropped on every update) — O(#types × 7), independent of
+    * stream volume, which is why NoTimeout is safe here where per-user
+    * state would leak. Assumes each (type, day) arrives once and days
+    * arrive non-decreasing per type — exactly what a watermarked window
+    * emits; within a micro-batch, rows are applied in day order.
+    */
+  def streamingBurstDetector(daily: Dataset[DailyCount]): Dataset[BurstFlag] = {
+    import daily.sparkSession.implicits._
+    daily
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (et: String, rows: Iterator[DailyCount], state: GroupState[Seq[DayBin]]) => {
+          var hist = state.getOption.getOrElse(Seq.empty)
+          val out = rows.toSeq.sortBy(_.day_num).map { r =>
+            val prev7 = hist.iterator
+              .filter(b => b.day_num >= r.day_num - 7 && b.day_num < r.day_num)
+              .map(_.n).sum
+            hist = (hist :+ DayBin(r.day_num, r.n))
+              .filter(_.day_num >= r.day_num - 6)
+            BurstFlag(et, r.day_num, r.n, prev7,
+              r.n * 7 > prev7 * 2 && r.n >= 10)
+          }
+          state.update(hist)
+          out.iterator
+        })
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

@@ -119,6 +119,40 @@ class EventTimeSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming burst detector: trailing-7-day state crosses batches, gaps don't stretch the lookback") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long)]
+    val daily = mem.toDS()
+      .map { case (t, d, n) => EventTimeAggregates.DailyCount(t, d, n) }
+    val out = EventTimeAggregates.streamingBurstDetector(daily)
+    val q = out.writeStream.format("memory").queryName("burst")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: quiet week for "click"
+      mem.addData(("click", 1L, 5L), ("click", 2L, 6L), ("click", 3L, 4L))
+      q.processAllAvailable()
+      // batch 2: spike on day 4 (15 > 2·avg(5,6,4)=10 ✓, n ≥ 10 ✓) —
+      // prev7 must include the PREVIOUS batch's days; day 20 sits past
+      // the 7-day range of everything before it → prev7 = 0, and a
+      // large-but-unsupported day stays is_burst=false under n ≥ 10
+      mem.addData(("click", 4L, 15L), ("click", 20L, 9L), ("view", 4L, 50L))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "select event_type, day_num, n, prev7, is_burst from burst")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+      assert(rows(("click", 1L)) == ((5L, 0L, false)))
+      assert(rows(("click", 4L)) == ((15L, 15L, true)),
+        s"cross-batch trailing sum: ${rows(("click", 4L))}")
+      assert(rows(("click", 20L)) == ((9L, 0L, false)),
+        "a day gap empties the RANGE lookback and n<10 can't flag")
+      assert(rows(("view", 4L)) == ((50L, 0L, true)),
+        "first day of a type bursts on zero history when n >= 10")
+    } finally q.stop()
+  }
+
   test("streaming quota sampler: per-source budget, prefix semantics, cross-batch state") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
