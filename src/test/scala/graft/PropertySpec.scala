@@ -85,6 +85,57 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("interval-overlap join ≡ naive theta-join; owner-bin dedup emits each pair once") {
+    import spark.implicits._
+    // intervals deliberately span 0..6× the 100-unit bin width so the
+    // sequence() replication covers multi-bin intervals, zero-length
+    // intervals, and bin-boundary touches
+    val ivGen = Gen.nonEmptyListOf(for {
+      k <- Gen.oneOf("a", "b")
+      s <- Gen.chooseNum(0L, 1000L)
+      len <- Gen.chooseNum(0L, 600L)
+    } yield (k, s, s + len))
+    samples(ivGen, 8).foreach { case (seed, ivs) =>
+      val df = ivs.zipWithIndex.map { case ((k, s, e), i) =>
+        (i.toLong, k, s, e) }.toDF("id", "k", "s_us", "e_us")
+      // exercise the production path at its real bin width by scaling:
+      // overlapPairs bins by 3_600_000_000 — multiply the domain up so
+      // intervals straddle bins exactly as events do
+      val W = 3600000000L
+      val scaled = df.select(col("id"), col("k"),
+        (col("s_us") * (W / 100)).as("s_us"), (col("e_us") * (W / 100)).as("e_us"))
+      val binned = RangeJoin.overlapPairs(scaled, "k", "id", "s_us", "e_us")
+        .select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val naive = scaled.toDF("aid", "k", "as", "ae")
+        .join(scaled.toDF("bid", "k", "bs", "be"), "k")
+        .filter(col("aid") < col("bid") &&
+          col("as") <= col("be") && col("bs") <= col("ae"))
+        .select("aid", "bid").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(binned.length == binned.toSet.size,
+        s"seed=$seed: owner-bin rule must emit each pair exactly once")
+      assert(binned.toSet == naive.toSet, s"seed=$seed")
+    }
+  }
+
+  test("q118 sign-bit packing: popcount Hamming ≡ per-dimension sign disagreement count") {
+    import spark.implicits._
+    val vecGen = Gen.listOfN(64, Gen.chooseNum(-8, 8).map(_ / 4.0f))
+    samples(Gen.zip(vecGen, vecGen), 8).foreach { case (seed, (va, vb)) =>
+      val df = Seq((va, vb)).toDF("ea", "eb")
+      def pack(c: String, h: Int) = (0 until 32).map { d =>
+        s"if(element_at($c, ${h * 32 + d + 1}) > 0, ${1L << d}L, 0L)"
+      }.mkString(" + ")
+      val packed = df.selectExpr(
+        s"bit_count((${pack("ea", 0)}) ^ (${pack("eb", 0)})) + " +
+          s"bit_count((${pack("ea", 1)}) ^ (${pack("eb", 1)})) AS h")
+        .collect()(0).getInt(0)
+      val direct = va.zip(vb).count { case (x, y) => (x > 0) != (y > 0) }
+      assert(packed == direct, s"seed=$seed")
+    }
+  }
+
   test("q31b prefix/length/positional filters find EVERY Jaccard ≥ 1/2 pair on random docs") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
