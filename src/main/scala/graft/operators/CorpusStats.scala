@@ -74,6 +74,34 @@ object CorpusStats {
         .select("n_sources", "total_tokens", "gini_num", "gini_den", "gini")
     },
 
+    // Quantile normalization — map each document's raw quality score
+    // (n_chars here; any integer score slots in) to its corpus
+    // percentile, the transform that makes scores from different
+    // filters mixable on one [0,1] scale. NO global sort (the naive
+    // percent_rank would single-partition the corpus): aggregate to
+    // per-SCORE counts, cumulate over the #distinct-scores frame
+    // (q101c's decomposition), then one broadcast-sized join maps every
+    // doc. Midrank tie handling in integer form — quantile =
+    // (2·cum_below + cnt − 1) / (2·(n − 1)) — so the only float op is
+    // the final exactly-rounded divide.
+    "q129_quantile_normalize" -> { (s, dir) =>
+      val d = Synth.documents(s, dir)
+        .select(col("doc_id"), col("n_chars").cast("long").as("score"))
+      val per = d.groupBy("score").agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val table = per
+        .withColumn("cum_below", coalesce(sum(col("cnt")).over(w), lit(0L)))
+        .crossJoin(broadcast(d.agg(count(lit(1)).as("n"))))
+        .withColumn("quantile",
+          (lit(2L) * col("cum_below") + col("cnt") - 1L).cast("double")
+            / (lit(2L) * (col("n") - 1L)).cast("double"))
+        .select("score", "quantile")
+      d.join(broadcast(table), "score")
+        .select("doc_id", "score", "quantile")
+        .orderBy("doc_id")
+    },
+
     // χ²(word, en-label) over doc-level presence. Cells: a = en docs
     // containing w, b = non-en docs containing w, c/d their label
     // complements. diff = a·d − b·c (|diff| ≤ n²/4), diff² ≤ n⁴/16 —
@@ -145,6 +173,23 @@ object CorpusStats {
          |  cast(2 * rank_sum - (n_sources + 1) * total_tokens as double)
          |    / cast(n_sources * total_tokens as double) AS gini
          |FROM agg""".stripMargin,
+
+    "q129_quantile_normalize" ->
+      """WITH d AS (
+        |  SELECT doc_id, cast(n_chars as bigint) AS score FROM documents),
+        |per AS (SELECT score, count(*) AS cnt FROM d GROUP BY score),
+        |c AS (
+        |  SELECT score, cnt,
+        |    cast(coalesce(sum(cnt) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      as bigint) AS cum_below
+        |  FROM per),
+        |n AS (SELECT cast(count(*) as bigint) AS n FROM d)
+        |SELECT d.doc_id, d.score,
+        |  cast(2 * c.cum_below + c.cnt - 1 as double)
+        |    / cast(2 * (n.n - 1) as double) AS quantile
+        |FROM d JOIN c USING (score) CROSS JOIN n
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q124_chi2_features" ->
       s"""WITH pres AS (
