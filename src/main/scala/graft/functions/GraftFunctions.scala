@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.descriptors.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => NativeDotProduct)
     ext.injectOptimizerRule(_ => CosineFusion)
+    ext.injectOptimizerRule(_ => IntersectSizeFusion)
   }
 }
 
@@ -51,6 +52,9 @@ object GraftFunctions {
       (children: Seq[Expression]) => Winnow(children(0),
         children(1).eval().asInstanceOf[Int],
         children(2).eval().asInstanceOf[Int])),
+    (FunctionIdentifier("graft_intersect_size"),
+      new ExpressionInfo(classOf[IntersectSize].getName, "graft_intersect_size"),
+      (children: Seq[Expression]) => IntersectSize(children(0), children(1))),
     (FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKByScore].getName, "graft_topk"),
       // the analyzer wraps AggregateFunctions in AggregateExpression

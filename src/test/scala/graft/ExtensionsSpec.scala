@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{VectorCosine, VectorDot}
+import graft.functions.{IntersectSize, VectorCosine, VectorDot}
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` end-to-end: the
   * native functions resolve without a manual register() call, and the
@@ -114,6 +114,36 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .selectExpr(s"$cosExpr AS c")
     assert(hasVectorCosine(df))
     assert(df.collect()(0).isNullAt(0))
+  }
+
+  private def hasIntersectSize(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.expressions
+      .exists(_.exists(_.isInstanceOf[IntersectSize]))
+
+  test("size(array_intersect) fuses to IntersectSize: dedup + null-element parity") {
+    // a has a duplicate match, an unmatched element, and a null; b holds
+    // a null too → array_intersect = ['x', null] → size 2. The fused
+    // count must reproduce BOTH the distinct-elements-of-a semantics and
+    // the null-counted-once rule.
+    val df = spark.range(1, 2).selectExpr(
+      "array('x', 'x', 'y', cast(null as string), 'z', concat('k', id)) AS a",
+      "array('x', cast(null as string), 'q', 'z') AS b")
+      .selectExpr("size(array_intersect(a, b)) AS n")
+    assert(hasIntersectSize(df))
+    assert(df.collect()(0).getInt(0) == 3) // x, null, z
+  }
+
+  test("fused intersect-size keeps NULL-in -> NULL-out; floats stay composed") {
+    val nullIn = spark.range(1, 2).selectExpr(
+      "cast(null as array<string>) AS a", "array(concat('x', id)) AS b")
+      .selectExpr("size(array_intersect(a, b)) AS n")
+    assert(nullIn.collect()(0).isNullAt(0))
+    // double arrays: -0.0/NaN set semantics differ boxed — must NOT fuse
+    val floats = spark.range(1, 2).selectExpr(
+      "array(cast(id as double), 2D) AS a", "array(2D, 3D) AS b")
+      .selectExpr("size(array_intersect(a, b)) AS n")
+    assert(!hasIntersectSize(floats))
+    assert(floats.collect()(0).getInt(0) == 1)
   }
 
   test("plain-SQL cosine cascades: composed dots -> VectorDot -> VectorCosine") {
