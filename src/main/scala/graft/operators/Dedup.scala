@@ -487,6 +487,41 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // IDF-WEIGHTED Jaccard — the rarity-aware refinement of q31: a
+    // match on a corpus-rare shingle is strong dup evidence, a match on
+    // a common one is noise, so each shingle carries weight
+    // w = 10⁶ div df and similarity is Σ_{shared} w / (W_a + W_b −
+    // Σ_{shared} w). ALL-integer numerators and denominators (weights,
+    // per-doc totals, shared sums), one final IEEE divide — hash-exact.
+    // Same inverted-index candidate machinery and df cap as q31 (the
+    // cap bounds candidate generation only; W_a/W_b total over ALL
+    // shingles — mirrored exactly in the oracle).
+    "q131_weighted_jaccard" -> { (s, dir) =>
+      val all = shingled(s, dir)
+        .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      val wdf = all.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .withColumn("w", expr("1000000 div df"))
+      val weighted = all.join(wdf.hint("shuffle_hash"), "shingle")
+      val wtot = weighted.groupBy("doc_id").agg(sum(col("w")).as("wt"))
+      val capped = weighted.filter(col("df") <= ShingleDfCap)
+        .select("doc_id", "shingle", "w")
+      val a = capped.select("shingle", "doc_id", "w")
+        .toDF("shingle", "id_a", "w")
+      val b = capped.select("shingle", "doc_id").toDF("shingle", "id_b")
+      a.join(b.hint("shuffle_hash"), "shingle")
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(sum(col("w")).as("shared_w"))
+        .join(wtot.toDF("id_a", "wa"), "id_a")
+        .join(wtot.toDF("id_b", "wb"), "id_b")
+        .withColumn("wjaccard",
+          col("shared_w").cast("double")
+            / (col("wa") + col("wb") - col("shared_w")).cast("double"))
+        .select("id_a", "id_b", "shared_w", "wjaccard")
+        .orderBy(col("wjaccard").desc, col("id_a"), col("id_b"))
+        .limit(50)
+    },
+
     // MinHash estimator calibration — the q46-recall analog for the
     // sketch itself: over the band-candidate pairs, compare the
     // 12-slot MinHash Jaccard ESTIMATE (matching slots / 12) against
@@ -909,6 +944,32 @@ object Dedup {
          |  d.doc_id = least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS is_canonical
          |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
          |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    "q131_weighted_jaccard" ->
+      s"""WITH allsh AS (
+         |  SELECT doc_id, unnest(sh) AS shingle
+         |  FROM (SELECT doc_id, $dShingles AS sh FROM documents)),
+         |wdf AS (
+         |  SELECT shingle, count(*) AS df, 1000000 // count(*) AS w
+         |  FROM allsh GROUP BY shingle),
+         |weighted AS (
+         |  SELECT a.doc_id, a.shingle, wdf.df, wdf.w
+         |  FROM allsh a JOIN wdf USING (shingle)),
+         |wtot AS (
+         |  SELECT doc_id, cast(sum(w) as bigint) AS wt
+         |  FROM weighted GROUP BY doc_id),
+         |capped AS (
+         |  SELECT doc_id, shingle, w FROM weighted WHERE df <= $ShingleDfCap)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  cast(sum(a.w) as bigint) AS shared_w,
+         |  cast(sum(a.w) as double)
+         |    / cast(ta.wt + tb.wt - sum(a.w) as double) AS wjaccard
+         |FROM capped a
+         |  JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  JOIN wtot ta ON ta.doc_id = a.doc_id
+         |  JOIN wtot tb ON tb.doc_id = b.doc_id
+         |GROUP BY a.doc_id, b.doc_id, ta.wt, tb.wt
+         |ORDER BY wjaccard DESC, id_a, id_b LIMIT 50""".stripMargin,
 
     // reuses duckQ61Reach's CTE chain; the unreferenced edges/sym/reach
     // CTEs are pruned at bind time, only mh/lng/cand/shs execute

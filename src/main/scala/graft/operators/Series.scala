@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed time-series similarity search (the EDBT'19 streaming
+  * TS-similarity / REPOSE problem shape, batch form): find the users
+  * whose daily-activity series correlate most with a probe user's.
+  *
+  * Series construction is the scale-critical step: per-user daily
+  * counts aggregate in ONE shuffle, then each user's 30-day dense
+  * vector assembles map-only — `map_from_entries(collect_list(...))`
+  * probed by a `transform(sequence(...))` gap-fill, so a missing day is
+  * an explicit 0, not a dropped position (ragged series would misalign
+  * every downstream dot product). No pivot, no per-day columns, no
+  * second shuffle.
+  *
+  * Scoring: Pearson r against the broadcast probe series. All five
+  * sufficient statistics (Σx, Σy, Σxy, Σx², Σy²) are INTEGER sums of
+  * per-day counts — the numerator n·Σxy − Σx·Σy and both variance terms
+  * are exact bigints; only the final sqrt/divide are floats, in one
+  * fixed IEEE order, so scores hash-match the oracle bit-for-bit.
+  * Zero-variance users are excluded by the exact integer predicate
+  * (n·Σy² − (Σy)² > 0) BEFORE ranking — r is undefined there and NaN
+  * ordering differs across engines. Ranking is the bounded-heap
+  * graft_topk: k rows per probe cross the wire, never a per-probe sort.
+  */
+object Series {
+
+  private val nDays = 30
+  private val topK = 10
+  private val probeUser = 1L
+
+  /** (user_id, series array<long>[nDays], sx, sxx) with day 0 = the
+    * corpus's first day; counts beyond nDays-1 are clamped out (the
+    * synthetic stream spans 30 days).
+    */
+  private def userSeries(s: SparkSession, dir: String): DataFrame = {
+    val ev = Synth.events(s, dir)
+      .select(col("user_id"),
+        expr("cast(datediff(cast(ts as date), date'1970-01-01') as bigint)")
+          .as("abs_day"))
+    val base = ev.agg(min(col("abs_day")).as("d0"))
+    ev.crossJoin(broadcast(base))
+      .withColumn("day", col("abs_day") - col("d0"))
+      .filter(col("day") < nDays)
+      .groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(map_from_entries(collect_list(struct(col("day"), col("n"))))
+        .as("m"))
+      .withColumn("series",
+        expr(s"transform(sequence(0L, ${nDays - 1}L), d -> coalesce(m[d], 0L))"))
+      .withColumn("sx", expr("aggregate(series, 0L, (a, x) -> a + x)"))
+      .withColumn("sxx", expr("aggregate(series, 0L, (a, x) -> a + x * x)"))
+      .select("user_id", "series", "sx", "sxx")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_series_similarity" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val u = userSeries(s, dir)
+      val probe = broadcast(u.filter(col("user_id") === probeUser)
+        .select(col("series").as("p_series"), col("sx").as("p_sx"),
+          col("sxx").as("p_sxx")))
+      u.filter(col("user_id") =!= probeUser)
+        .crossJoin(probe)
+        .withColumn("sxy", expr(
+          "aggregate(zip_with(series, p_series, (x, y) -> x * y), " +
+            "0L, (a, v) -> a + v)"))
+        .withColumn("num", expr(s"$nDays * sxy - sx * p_sx"))
+        .withColumn("varx", expr(s"$nDays * sxx - sx * sx"))
+        .withColumn("vary", expr(s"$nDays * p_sxx - p_sx * p_sx"))
+        .filter(col("varx") > 0L && col("vary") > 0L)
+        .withColumn("r", expr(
+          "cast(num as double) / " +
+            "(sqrt(cast(varx as double)) * sqrt(cast(vary as double)))"))
+        .groupBy(lit(probeUser).as("probe_id"))
+        .agg(expr(s"graft_topk(r, user_id, $topK)").as("top"))
+        .select(col("probe_id"), posexplode(col("top")))
+        .select(col("probe_id"), (col("pos") + 1).cast("int").as("rk"),
+          col("col.id").as("user_id"), col("col.score").as("r"))
+        .orderBy("rk")
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q130_series_similarity" ->
+      s"""WITH ev AS (
+         |  SELECT user_id,
+         |    cast(date_diff('day', DATE '1970-01-01', cast(ts as date))
+         |      as bigint) AS abs_day
+         |  FROM events),
+         |base AS (SELECT min(abs_day) AS d0 FROM ev),
+         |daily AS (
+         |  SELECT user_id, abs_day - (SELECT d0 FROM base) AS day,
+         |    count(*) AS n
+         |  FROM ev WHERE abs_day - (SELECT d0 FROM base) < $nDays
+         |  GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT u.user_id, t.d
+         |  FROM (SELECT DISTINCT user_id FROM daily) u, range(0, $nDays) t(d)),
+         |dense AS (
+         |  SELECT g.user_id, g.d, coalesce(daily.n, 0) AS n
+         |  FROM grid g LEFT JOIN daily
+         |    ON daily.user_id = g.user_id AND daily.day = g.d),
+         |ser AS (
+         |  SELECT user_id, list(n ORDER BY d) AS series
+         |  FROM dense GROUP BY user_id),
+         |stats AS (
+         |  SELECT user_id, series,
+         |    cast(list_reduce(series, (a, x) -> a + x) as bigint) AS sx,
+         |    cast(list_reduce(list_transform(series, x -> x * x),
+         |      (a, x) -> a + x) as bigint) AS sxx
+         |  FROM ser),
+         |probe AS (
+         |  SELECT series AS p_series, sx AS p_sx, sxx AS p_sxx
+         |  FROM stats WHERE user_id = $probeUser),
+         |scored AS (
+         |  SELECT u.user_id,
+         |    $nDays * cast(list_reduce(list_transform(
+         |        list_zip(u.series, p.p_series),
+         |        z -> cast(z[1] as bigint) * cast(z[2] as bigint)),
+         |      (a, v) -> a + v) as bigint)
+         |      - u.sx * p.p_sx AS num,
+         |    $nDays * u.sxx - u.sx * u.sx AS varx,
+         |    $nDays * p.p_sxx - p.p_sx * p.p_sx AS vary
+         |  FROM stats u CROSS JOIN probe p
+         |  WHERE u.user_id <> $probeUser)
+         |SELECT probe_id, rk, user_id, r FROM (
+         |  SELECT cast($probeUser as bigint) AS probe_id, user_id,
+         |    cast(num as double)
+         |      / (sqrt(cast(varx as double)) * sqrt(cast(vary as double)))
+         |      AS r,
+         |    cast(row_number() OVER (ORDER BY cast(num as double)
+         |      / (sqrt(cast(varx as double)) * sqrt(cast(vary as double)))
+         |      DESC, user_id) as int) AS rk
+         |  FROM scored WHERE varx > 0 AND vary > 0)
+         |WHERE rk <= $topK ORDER BY rk""".stripMargin
+  )
+}
