@@ -84,6 +84,29 @@ object TextRank {
       PageRank.runWeighted(verts, wedges, nIters)
         .orderBy(col("rank_fp").desc, col("id"))
         .limit(topN)
+    },
+
+    // Link prediction by common neighbors — related-term discovery over
+    // the same word graph: word pairs that share many neighbors but are
+    // NOT directly connected (the co-occurrence graph's missing edges
+    // with the strongest structural evidence — distributional synonym
+    // candidates). The wedge join is the q68-triangle shape: edges ⋈
+    // edges on the middle vertex gives every 2-path in one hash join
+    // (Σ deg² work, bounded by the c_ab ≥ 3 head cut), the pair count
+    // is one shuffle, and existing edges leave via a left_anti join —
+    // never an all-pairs space. Candidate order (a < b) makes each
+    // unordered pair count once.
+    "q132_link_prediction" -> { (s, dir) =>
+      val (_, wedges) = wordGraph(s, dir)
+      val e = wedges.select("src", "dst").localCheckpoint()
+      val wedgePairs = e.toDF("mid", "a")
+        .join(e.toDF("mid", "b").hint("shuffle_hash"), "mid")
+        .filter(col("a") < col("b"))
+      val cn = wedgePairs.groupBy("a", "b")
+        .agg(count(lit(1)).as("common_neighbors"))
+      cn.join(e.toDF("a", "b"), Seq("a", "b"), "left_anti")
+        .orderBy(col("common_neighbors").desc, col("a"), col("b"))
+        .limit(topN)
     }
   )
 
@@ -116,7 +139,21 @@ object TextRank {
            |r0 AS (SELECT id, (SELECT r_init FROM consts) AS rank_fp FROM verts),
            |$iterCtes
            |SELECT id, cast(rank_fp as bigint) AS rank_fp
-           |FROM r$nIters ORDER BY rank_fp DESC, id LIMIT $topN""".stripMargin
+           |FROM r$nIters ORDER BY rank_fp DESC, id LIMIT $topN""".stripMargin,
+
+      "q132_link_prediction" ->
+        s"""WITH $duckGraphCtes,
+           |wp AS (
+           |  SELECT e1.dst AS a, e2.dst AS b
+           |  FROM wedges e1 JOIN wedges e2 ON e1.src = e2.src
+           |  WHERE e1.dst < e2.dst),
+           |cn AS (
+           |  SELECT a, b, count(*) AS common_neighbors
+           |  FROM wp GROUP BY a, b)
+           |SELECT a, b, common_neighbors FROM cn
+           |WHERE NOT EXISTS (
+           |  SELECT 1 FROM wedges e WHERE e.src = cn.a AND e.dst = cn.b)
+           |ORDER BY common_neighbors DESC, a, b LIMIT $topN""".stripMargin
     )
   }
 }
