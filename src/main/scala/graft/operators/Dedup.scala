@@ -487,6 +487,77 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // Blocking-family RECALL comparison — the measurement that picks a
+    // dedup architecture: all three candidate generators this engine
+    // ships (MinHash band buckets q32b, SimHash64 pigeonhole blocks
+    // q33c, sorted-neighborhood q115) evaluated against the EXACT
+    // ground truth (prefix-filtered similarity join, losslessness
+    // proven by q31b's unfiltered oracle + property test) at the
+    // production threshold. One row per blocker: candidate volume (the
+    // cost) and true-pair recall (the benefit). Everything is counts
+    // over deterministic pair sets — hash-exact; the only floats are
+    // the three final recall divides. Each blocker's candidate pass
+    // keeps its native plan shape (bucket joins / window leads); the
+    // truth set is computed once and checkpointed, and the summary
+    // aggregates are 1-row frames.
+    "q133_blocking_recall" -> { (s, dir) =>
+      val sh = shingled(s, dir)
+      val truth = prefixJaccardPairs(sh)
+        .filter(col("jaccard") >= NearDupThreshold)
+        .select("id_a", "id_b").localCheckpoint()
+      val nTrue = truth.agg(count(lit(1)).as("n_true"))
+
+      val lng = bandsLong(minhashBanded(s, dir))
+      val bands = lng.toDF("id_a", "band", "bucket")
+        .join(lng.toDF("id_b", "band", "bucket").hint("shuffle_hash"),
+          Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+
+      val simBlocks = Synth.documents(s, dir)
+        .select(col("doc_id"), expr(s"graft_simhash64($toks)").as("sim"))
+        .select(col("doc_id"),
+          explode(expr("array(0, 1, 2, 3)")).as("blk"), col("sim"))
+        .withColumn("block", expr("shiftright(sim, blk * 16) & 65535"))
+      val simC = simBlocks.select(col("blk"), col("block"),
+          col("doc_id").as("id_a"))
+        .join(simBlocks.select(col("blk"), col("block"),
+          col("doc_id").as("id_b")).hint("shuffle_hash"), Seq("blk", "block"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+
+      val keyed = Synth.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          expr(s"array_join(slice(array_sort(array_distinct($toks)), 1, 5), ' ')")
+            .as("key"))
+      val win = Window.partitionBy("lang").orderBy("key", "doc_id")
+      val leads = keyed.select(col("doc_id"),
+        lead(col("doc_id"), 1).over(win).as("b1"),
+        lead(col("doc_id"), 2).over(win).as("b2"))
+      val nbr = leads.select(col("doc_id"), col("b1").as("b"))
+        .filter(col("b").isNotNull)
+        .unionAll(leads.select(col("doc_id"), col("b2").as("b"))
+          .filter(col("b2").isNotNull))
+        .select(least(col("doc_id"), col("b")).as("id_a"),
+          greatest(col("doc_id"), col("b")).as("id_b"))
+        .distinct()
+
+      def row(name: String, cands: DataFrame) =
+        cands.agg(count(lit(1)).as("n_candidates"))
+          .crossJoin(truth.join(cands, Seq("id_a", "id_b"), "left_semi")
+            .agg(count(lit(1)).as("n_true_found")))
+          .crossJoin(nTrue)
+          .select(lit(name).as("blocker"), col("n_candidates"),
+            col("n_true_found"),
+            (col("n_true_found").cast("double")
+              / col("n_true").cast("double")).as("recall"))
+
+      row("minhash_bands", bands)
+        .unionAll(row("simhash64_blocks", simC))
+        .unionAll(row("sorted_neighborhood", nbr))
+        .orderBy("blocker")
+    },
+
     // IDF-WEIGHTED Jaccard — the rarity-aware refinement of q31: a
     // match on a corpus-rare shingle is strong dup evidence, a match on
     // a common one is noise, so each shingle carries weight
@@ -944,6 +1015,86 @@ object Dedup {
          |  d.doc_id = least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS is_canonical
          |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
          |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    "q133_blocking_recall" -> {
+      def summary(name: String, cte: String) =
+        s"""SELECT '$name' AS blocker,
+           |  (SELECT cast(count(*) as bigint) FROM $cte) AS n_candidates,
+           |  (SELECT cast(count(*) as bigint)
+           |     FROM $cte JOIN truth USING (id_a, id_b)) AS n_true_found,
+           |  cast((SELECT count(*) FROM $cte JOIN truth USING (id_a, id_b))
+           |      as double)
+           |    / cast((SELECT n_true FROM tc) as double) AS recall""".stripMargin
+      s"""WITH allsh AS (
+         |  SELECT doc_id, unnest(sh) AS shingle, len(sh) AS n
+         |  FROM (SELECT doc_id, $dShingles AS sh FROM documents)),
+         |truth AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM allsh a JOIN allsh b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id, a.n, b.n
+         |  HAVING cast(count(*) as double) / (a.n + b.n - count(*))
+         |    >= $NearDupThreshold),
+         |tc AS (SELECT cast(count(*) as bigint) AS n_true FROM truth),
+         |mh AS (
+         |  SELECT doc_id, $duckMhCols
+         |  FROM (SELECT doc_id, $dShingles AS sh FROM documents)),
+         |wb AS (SELECT doc_id, $duckBandCols FROM mh),
+         |lng AS (
+         |  SELECT doc_id, 0 AS band, band0 AS bucket FROM wb UNION ALL
+         |  SELECT doc_id, 1, band1 FROM wb UNION ALL
+         |  SELECT doc_id, 2, band2 FROM wb UNION ALL
+         |  SELECT doc_id, 3, band3 FROM wb),
+         |cb AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM lng a JOIN lng b
+         |    ON a.band = b.band AND a.bucket = b.bucket
+         |      AND a.doc_id < b.doc_id),
+         |tok AS (
+         |  SELECT doc_id, md5(unnest($dToks)) AS h FROM documents),
+         |bits AS (
+         |  SELECT doc_id, b,
+         |    strpos('0123456789abcdef', substring(h, b // 4 + 1, 1)) - 1 AS d
+         |  FROM tok, (SELECT unnest(generate_series(0, 63)) AS b)),
+         |votes AS (
+         |  SELECT doc_id, b,
+         |    sum(CASE WHEN (d >> (3 - b % 4)) & 1 = 1 THEN 1 ELSE -1 END)
+         |      AS vote
+         |  FROM bits GROUP BY doc_id, b),
+         |blocks AS (
+         |  SELECT doc_id, b // 16 AS blk,
+         |    cast(sum(CASE WHEN vote > 0
+         |      THEN cast(pow(2, b % 16) as bigint) ELSE 0 END) as bigint)
+         |      AS block
+         |  FROM votes GROUP BY doc_id, b // 16),
+         |cs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM blocks a JOIN blocks b
+         |    ON a.blk = b.blk AND a.block = b.block
+         |      AND a.doc_id < b.doc_id),
+         |dd AS (
+         |  SELECT doc_id, lang,
+         |    array_to_string(list_slice(list_sort(list_distinct($dToks)),
+         |      1, 5), ' ') AS key
+         |  FROM documents),
+         |ww AS (
+         |  SELECT doc_id,
+         |    lead(doc_id, 1) OVER win AS b1, lead(doc_id, 2) OVER win AS b2
+         |  FROM dd WINDOW win AS (PARTITION BY lang ORDER BY key, doc_id)),
+         |cn AS (
+         |  SELECT DISTINCT least(doc_id, b) AS id_a,
+         |    greatest(doc_id, b) AS id_b
+         |  FROM (
+         |    SELECT doc_id, b1 AS b FROM ww WHERE b1 IS NOT NULL
+         |    UNION ALL
+         |    SELECT doc_id, b2 FROM ww WHERE b2 IS NOT NULL))
+         |${summary("minhash_bands", "cb")}
+         |UNION ALL
+         |${summary("simhash64_blocks", "cs")}
+         |UNION ALL
+         |${summary("sorted_neighborhood", "cn")}
+         |ORDER BY blocker""".stripMargin
+    },
 
     "q131_weighted_jaccard" ->
       s"""WITH allsh AS (
