@@ -74,6 +74,32 @@ object CorpusStats {
         .select("n_sources", "total_tokens", "gini_num", "gini_den", "gini")
     },
 
+    // Frequent 3-itemset mining, A-priori shape: round-1 pruning keeps
+    // only the corpus's top-30 words by document frequency (in
+    // production: every word above min-support — the same cut, data-
+    // sized), then candidate triples come from three doc-presence
+    // self-joins under w1 < w2 < w3 — the candidate space is C(30,3),
+    // never the vocabulary cube. The pruned vocabulary BROADCASTS into
+    // the presence scan, so the corpus pays one map-only filter + the
+    // triple joins run over presence rows only. Co-occurrence support
+    // is an integer doc count — hash-exact.
+    "q134_frequent_triples" -> { (s, dir) =>
+      val pres = Synth.documents(s, dir)
+        .select(col("doc_id"),
+          explode(expr(s"array_distinct(${TextAnalysis.toks})")).as("w"))
+      val vocab = pres.groupBy("w").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("w")).limit(30).select("w")
+      val p = pres.join(broadcast(vocab), "w")
+      val t = p.toDF("w1", "doc_id")
+        .join(p.toDF("w2", "doc_id"), "doc_id")
+        .join(p.toDF("w3", "doc_id"), "doc_id")
+        .filter(col("w1") < col("w2") && col("w2") < col("w3"))
+      t.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 5)
+        .orderBy(col("support").desc, col("w1"), col("w2"), col("w3"))
+        .limit(25)
+    },
+
     // Quantile normalization — map each document's raw quality score
     // (n_chars here; any integer score slots in) to its corpus
     // percentile, the transform that makes scores from different
@@ -173,6 +199,21 @@ object CorpusStats {
          |  cast(2 * rank_sum - (n_sources + 1) * total_tokens as double)
          |    / cast(n_sources * total_tokens as double) AS gini
          |FROM agg""".stripMargin,
+
+    "q134_frequent_triples" ->
+      s"""WITH pres AS (
+         |  SELECT doc_id, unnest(list_distinct(${TextAnalysis.dToks})) AS w
+         |  FROM documents),
+         |vocab AS (
+         |  SELECT w FROM (
+         |    SELECT w, count(*) AS df FROM pres GROUP BY w
+         |    ORDER BY df DESC, w LIMIT 30)),
+         |p AS (SELECT doc_id, w FROM pres JOIN vocab USING (w))
+         |SELECT a.w AS w1, b.w AS w2, c.w AS w3, count(*) AS support
+         |FROM p a JOIN p b ON a.doc_id = b.doc_id AND a.w < b.w
+         |         JOIN p c ON a.doc_id = c.doc_id AND b.w < c.w
+         |GROUP BY 1, 2, 3 HAVING count(*) >= 5
+         |ORDER BY support DESC, w1, w2, w3 LIMIT 25""".stripMargin,
 
     "q129_quantile_normalize" ->
       """WITH d AS (

@@ -82,6 +82,25 @@ object PageRank {
         .filter(col("dst").isNotNull)
       val vertices = ev.select(col("event_type").as("id")).distinct()
       run(vertices, edges, nIters).orderBy("id")
+    },
+
+    // Frequent 3-step journeys — sequence-pattern mining over the same
+    // per-user event-time order q67's transition graph uses, kept as
+    // SEQUENCES instead of collapsed to edges: two leads give every
+    // consecutive (t1, t2, t3) window, one shuffle counts them. The
+    // lead window and the count both hash-partition on user_id-free
+    // keys of bounded cardinality (|types|³), so the heavy side is the
+    // one windowed pass over the log.
+    "q135_journey_trigrams" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Synth.events(s, dir)
+        .select(col("event_type").as("t1"),
+          lead(col("event_type"), 1).over(w).as("t2"),
+          lead(col("event_type"), 2).over(w).as("t3"))
+        .filter(col("t2").isNotNull && col("t3").isNotNull)
+        .groupBy("t1", "t2", "t3").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+        .limit(20)
     }
   )
 
@@ -117,7 +136,19 @@ object PageRank {
            |r0 AS (SELECT id, (SELECT r_init FROM consts) AS rank_fp FROM verts),
            |$iterCtes
            |SELECT id, cast(rank_fp as bigint) AS rank_fp
-           |FROM r$nIters ORDER BY id""".stripMargin
+           |FROM r$nIters ORDER BY id""".stripMargin,
+
+      "q135_journey_trigrams" ->
+        """WITH tri AS (
+          |  SELECT event_type AS t1,
+          |    lead(event_type, 1) OVER win AS t2,
+          |    lead(event_type, 2) OVER win AS t3
+          |  FROM events
+          |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+          |SELECT t1, t2, t3, count(*) AS n
+          |FROM tri WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+          |GROUP BY 1, 2, 3
+          |ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin
     )
   }
 }
