@@ -164,6 +164,21 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
         if inter.toDouble / (sets(i).size + sets(j).size - inter) >= 0.5
       } yield (i.toLong, j.toLong)).toSet
       assert(got == expect, s"seed=$seed docs=${docs.size}")
+
+      // the parameterized thresholds (q133's truth runs t = 4/5): the
+      // prefix/length/positional prunes must stay lossless at every p/q
+      for ((p, q) <- Seq((4, 5), (2, 3))) {
+        val t = p.toDouble / q
+        val gotT = Dedup.prefixJaccardPairs(df, p, q, t)
+          .select("id_a", "id_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val expectT = (for {
+          i <- sets.indices; j <- sets.indices if i < j
+          inter = (sets(i) & sets(j)).size
+          if inter.toDouble / (sets(i).size + sets(j).size - inter) >= t
+        } yield (i.toLong, j.toLong)).toSet
+        assert(gotT == expectT, s"seed=$seed t=$p/$q")
+      }
     }
   }
 
