@@ -26,6 +26,7 @@ object TextRank {
   private val nIters = 3
   private val minEdge = 3
   private val topN = 25
+  private val bfsRounds = 3
 
   /** The symmetric weighted word graph shared by q119 (TextRank) and
     * q121 (label propagation): q110's ±2-window unordered pair
@@ -86,6 +87,32 @@ object TextRank {
         .limit(topN)
     },
 
+    // BFS levels — frontier expansion from a deterministic source (the
+    // lexicographically smallest vertex), the traversal primitive under
+    // shortest-paths / reachability / influence-radius queries. Each
+    // round is ONE |edges|-bounded join (frontier → neighbors) + an
+    // anti-join against the assigned set — never touches non-frontier
+    // vertices; `localCheckpoint` per round keeps plans flat (the
+    // PageRank/CC loop contract). Unreached-within-3-hops vertices are
+    // simply absent, as a traversal leaves them.
+    "q136_bfs_levels" -> { (s, dir) =>
+      val (verts, wedges) = wordGraph(s, dir)
+      val e = wedges.select("src", "dst").localCheckpoint()
+      val src = broadcast(verts.agg(min(col("id")).as("src_id")))
+      var levels = verts.join(src, col("id") === col("src_id"))
+        .select(col("id"), lit(0).as("level")).localCheckpoint()
+      for (k <- 1 to bfsRounds) {
+        val frontier = levels.filter(col("level") === k - 1)
+          .select(col("id").as("src"))
+        val next = e.join(frontier, "src").select(col("dst").as("id"))
+          .distinct()
+          .join(levels, Seq("id"), "left_anti")
+          .withColumn("level", lit(k))
+        levels = levels.unionAll(next).localCheckpoint()
+      }
+      levels.orderBy("level", "id")
+    },
+
     // Link prediction by common neighbors — related-term discovery over
     // the same word graph: word pairs that share many neighbors but are
     // NOT directly connected (the co-occurrence graph's missing edges
@@ -140,6 +167,24 @@ object TextRank {
            |$iterCtes
            |SELECT id, cast(rank_fp as bigint) AS rank_fp
            |FROM r$nIters ORDER BY rank_fp DESC, id LIMIT $topN""".stripMargin,
+
+      "q136_bfs_levels" -> {
+        val roundCtes = (1 to bfsRounds).map { k =>
+          s"""l$k AS (
+             |  SELECT id, $k AS level FROM (
+             |    SELECT DISTINCT e.dst AS id
+             |    FROM wedges e JOIN l${k - 1} f ON f.id = e.src) n
+             |  WHERE NOT EXISTS (
+             |    SELECT 1 FROM a${k - 1} x WHERE x.id = n.id)),
+             |a$k AS (SELECT id, level FROM a${k - 1}
+             |  UNION ALL SELECT id, level FROM l$k)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $duckGraphCtes,
+           |l0 AS (SELECT min(id) AS id, 0 AS level FROM verts),
+           |a0 AS (SELECT id, level FROM l0),
+           |$roundCtes
+           |SELECT id, level FROM a$bfsRounds ORDER BY level, id""".stripMargin
+      },
 
       "q132_link_prediction" ->
         s"""WITH $duckGraphCtes,
