@@ -371,6 +371,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q134: the pruned vocabulary broadcasts into the presence scan; triples are hash joins") {
+    val p = plan("q134_frequent_triples")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"expected the top-30 vocabulary to broadcast:\n$p")
+    assert(p.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, s"triple candidates must come from equi-joins:\n$p")
+  }
+
+  test("q130: the probe row broadcasts; the corpus side never shuffles for the scoring join") {
+    val p = plan("q130_series_similarity")
+    val bnl = p.collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnl.nonEmpty, s"expected the 1-row probe/base frames to broadcast:\n$p")
+    assert(p.toString.contains("graft_topk"),
+      s"ranking must run on the bounded heap:\n$p")
+  }
+
   test("q123/q124: corpus aggregates first; only tiny frames nest or window") {
     // q123: ONE corpus scan feeds the per-source agg; the Gini window
     // runs over the #sources frame
