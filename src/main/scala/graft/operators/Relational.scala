@@ -61,6 +61,83 @@ object Relational {
         .orderBy("r_name", "n_name")
     },
 
+    // TPC-H Q3 shape (shipping priority): segment-filtered customers ⋈
+    // orders ⋈ lineitem with the date split (ordered before / shipped
+    // after the pivot), revenue-ranked unshipped orders. Both date
+    // filters and the segment filter reach the scans (pushdown); the
+    // two fact joins shuffle on their keys and AQE picks build sides.
+    // Decimal-exact revenue, deterministic top-10 (revenue DESC,
+    // orderkey).
+    "q137_shipping_priority" -> { (s, dir) =>
+      val c = Synth.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+      val o = Synth.orders(s, dir)
+        .filter(col("o_orderdate") < lit("1998-06-30"))
+      val l = Synth.lineitem(s, dir)
+        .filter(col("l_shipdate") > lit("1998-06-30"))
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // TPC-H Q5 shape (local supplier volume): the 6-table join with the
+    // LOCAL constraint c_nationkey = s_nationkey — revenue only counts
+    // when the customer's and the line's supplier's nations agree.
+    // nation/region broadcast; the three fact joins shuffle on their
+    // keys; one year of orders via scan-pushed date bounds.
+    "q138_local_supplier_volume" -> { (s, dir) =>
+      val c = Synth.customer(s, dir)
+      val o = Synth.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
+      val l = Synth.lineitem(s, dir)
+      val sup = Synth.supplier(s, dir)
+      val n = Synth.nation(s, dir)
+      val r = Synth.region(s, dir).filter(col("r_name") === "ASIA")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey") &&
+          c("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // Table profiler — the ANALYZE-style stats pass a lakehouse runs per
+    // snapshot: row count, per-column non-null count, exact distinct
+    // count, min/max, for three numeric columns in ONE aggregation over
+    // the fact table (Spark plans the multi-distinct via Expand — still
+    // a single scan), then a map-only stack to one row per column.
+    "q139_table_profile" -> { (s, dir) =>
+      Synth.lineitem(s, dir)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("l_quantity")).as("nn_q"),
+          countDistinct(col("l_quantity")).as("nd_q"),
+          min(col("l_quantity")).as("mn_q"), max(col("l_quantity")).as("mx_q"),
+          count(col("l_extendedprice")).as("nn_e"),
+          countDistinct(col("l_extendedprice")).as("nd_e"),
+          min(col("l_extendedprice")).as("mn_e"),
+          max(col("l_extendedprice")).as("mx_e"),
+          count(col("l_discount")).as("nn_d"),
+          countDistinct(col("l_discount")).as("nd_d"),
+          min(col("l_discount")).as("mn_d"), max(col("l_discount")).as("mx_d"))
+        .selectExpr("n_rows", """stack(3,
+            'l_quantity', nn_q, nd_q, mn_q, mx_q,
+            'l_extendedprice', nn_e, nd_e, mn_e, mx_e,
+            'l_discount', nn_d, nd_d, mn_d, mx_d)
+          AS (column_name, n_nonnull, n_distinct, min_val, max_val)""")
+        .orderBy("column_name")
+    },
+
     // Ranking window: top-3 orders per customer (deterministic tiebreak).
     "q12_top_orders_per_cust" -> { (s, dir) =>
       val w = Window.partitionBy("o_custkey")
@@ -1246,6 +1323,55 @@ object Relational {
         |                        (o_orderpriority), ())
         |ORDER BY g_pri, g_st, o_orderpriority NULLS FIRST,
         |  o_orderstatus NULLS FIRST""".stripMargin,
+
+    "q137_shipping_priority" ->
+      """SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+        |  cast(sum(cast(l.l_extendedprice as decimal(18,2))
+        |    * cast(1 - l.l_discount as decimal(18,2))) as double) AS revenue
+        |FROM customer c
+        |  JOIN orders o ON c.c_custkey = o.o_custkey
+        |  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < '1998-06-30'
+        |  AND l.l_shipdate > '1998-06-30'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q138_local_supplier_volume" ->
+      """SELECT n.n_name,
+        |  cast(sum(cast(l.l_extendedprice as decimal(18,2))
+        |    * cast(1 - l.l_discount as decimal(18,2))) as double) AS revenue
+        |FROM customer c
+        |  JOIN orders o ON c.c_custkey = o.o_custkey
+        |  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |    AND c.c_nationkey = s.s_nationkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1997-01-01'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q139_table_profile" ->
+      """WITH w AS (
+        |  SELECT count(*) AS n_rows,
+        |    count(l_quantity) AS nn_q,
+        |    count(DISTINCT l_quantity) AS nd_q,
+        |    min(l_quantity) AS mn_q, max(l_quantity) AS mx_q,
+        |    count(l_extendedprice) AS nn_e,
+        |    count(DISTINCT l_extendedprice) AS nd_e,
+        |    min(l_extendedprice) AS mn_e, max(l_extendedprice) AS mx_e,
+        |    count(l_discount) AS nn_d,
+        |    count(DISTINCT l_discount) AS nd_d,
+        |    min(l_discount) AS mn_d, max(l_discount) AS mx_d
+        |  FROM lineitem)
+        |SELECT n_rows, 'l_quantity' AS column_name, nn_q AS n_nonnull,
+        |  nd_q AS n_distinct, mn_q AS min_val, mx_q AS max_val FROM w
+        |UNION ALL
+        |SELECT n_rows, 'l_extendedprice', nn_e, nd_e, mn_e, mx_e FROM w
+        |UNION ALL
+        |SELECT n_rows, 'l_discount', nn_d, nd_d, mn_d, mx_d FROM w
+        |ORDER BY column_name""".stripMargin,
 
     "q10_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
