@@ -371,6 +371,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q137/q138: TPC-H filters reach the scans; dims broadcast") {
+    val p3 = plan("q137_shipping_priority")
+    val pushed = p3.collect { case f: FileSourceScanExec => f }
+      .map(_.metadata.getOrElse("PushedFilters", "")).mkString
+    assert(pushed.contains("EqualTo(c_mktsegment") &&
+      pushed.contains("GreaterThan(l_shipdate"),
+      s"expected segment + ship-date pushdown, got: $pushed")
+    val p5 = plan("q138_local_supplier_volume")
+    assert(p5.collect { case j: BroadcastHashJoinExec => j }.size >= 2,
+      s"nation and region must broadcast:\n$p5")
+  }
+
   test("q134: the pruned vocabulary broadcasts into the presence scan; triples are hash joins") {
     val p = plan("q134_frequent_triples")
     assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
