@@ -499,6 +499,39 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // Per-source duplication report — the dataset-card number a corpus
+    // release ships: for each source, its doc count, how many docs are
+    // exact duplicates of an earlier doc (q30's md5 groups), and how
+    // many are near-duplicates (non-canonical members of q61's verified
+    // clusters). Exact-dup detection is one window over md5 groups;
+    // near-dup reuses the shared cluster map; both flags join the
+    // source dimension in one final rollup. All counts — hash-exact;
+    // the two rates are single IEEE divides.
+    "q140_dup_rate_by_source" -> { (s, dir) =>
+      val docs = Synth.documents(s, dir).select(col("doc_id"), col("source"))
+      val wHash = Window.partitionBy("content_hash")
+      val exactDup = Synth.documents(s, dir)
+        .select(col("doc_id"),
+          md5(col("text").cast("binary")).as("content_hash"))
+        .withColumn("is_exact_dup",
+          col("doc_id") =!= min(col("doc_id")).over(wHash))
+        .select("doc_id", "is_exact_dup")
+      val nearDup = minhashClusterMap(s, dir)
+        .withColumn("is_near_dup", col("doc_id") =!= col("cluster_id"))
+        .select("doc_id", "is_near_dup")
+      docs.join(exactDup, "doc_id").join(nearDup, "doc_id")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("is_exact_dup"), 1L).otherwise(0L)).as("n_exact_dup"),
+          sum(when(col("is_near_dup"), 1L).otherwise(0L)).as("n_near_dup"))
+        .withColumn("exact_rate",
+          col("n_exact_dup").cast("double") / col("n_docs").cast("double"))
+        .withColumn("near_rate",
+          col("n_near_dup").cast("double") / col("n_docs").cast("double"))
+        .orderBy("source")
+    },
+
     // Blocking-family RECALL comparison — the measurement that picks a
     // dedup architecture: all three candidate generators this engine
     // ships (MinHash band buckets q32b, SimHash64 pigeonhole blocks
@@ -1029,6 +1062,35 @@ object Dedup {
          |  d.doc_id = least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS is_canonical
          |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
          |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    "q140_dup_rate_by_source" ->
+      s"""$duckQ61Reach,
+         |clusters AS (
+         |  SELECT d.doc_id,
+         |    least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id
+         |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+         |  GROUP BY d.doc_id),
+         |ex AS (
+         |  SELECT doc_id,
+         |    doc_id <> min(doc_id) OVER (PARTITION BY md5(text))
+         |      AS is_exact_dup
+         |  FROM documents),
+         |flags AS (
+         |  SELECT d.source, ex.is_exact_dup,
+         |    c.doc_id <> c.cluster_id AS is_near_dup
+         |  FROM documents d
+         |    JOIN ex ON ex.doc_id = d.doc_id
+         |    JOIN clusters c ON c.doc_id = d.doc_id)
+         |SELECT source, count(*) AS n_docs,
+         |  cast(sum(CASE WHEN is_exact_dup THEN 1 ELSE 0 END) as bigint)
+         |    AS n_exact_dup,
+         |  cast(sum(CASE WHEN is_near_dup THEN 1 ELSE 0 END) as bigint)
+         |    AS n_near_dup,
+         |  cast(sum(CASE WHEN is_exact_dup THEN 1 ELSE 0 END) as double)
+         |    / cast(count(*) as double) AS exact_rate,
+         |  cast(sum(CASE WHEN is_near_dup THEN 1 ELSE 0 END) as double)
+         |    / cast(count(*) as double) AS near_rate
+         |FROM flags GROUP BY source ORDER BY source""".stripMargin,
 
     "q133_blocking_recall" -> {
       def summary(name: String, cte: String) =
