@@ -105,6 +105,51 @@ object Multimodal {
           expr(s"hex(substring(payload, chunk_idx * $chunk + 1, 8))").as("chunk_head_hex"),
           least(lit(chunk), col("n_bytes") - col("chunk_idx") * chunk).as("chunk_len"))
         .orderBy("doc_id", "chunk_idx")
+    },
+
+    // Perceptual-hash media dedup (aHash): resample the payload to 64
+    // "pixels" (q52's nearest-neighbor geometry), threshold each sample
+    // STRICTLY above the mean — sample·64 > Σ keeps the compare in
+    // exact integers — and pack the 64 bits into two 32-bit words
+    // (q118's overflow-safe halves). Near-dup pairs come from
+    // pigeonhole blocking at a FINER geometry than q33c: 8 blocks of 8
+    // bits, so Hamming ≤ 7 ⇒ some block agrees — 8 equality joins form
+    // a complete candidate set and bit_count(xor) disposes. (The ≤ 7
+    // budget matches perceptual-hash practice, where near-dup images
+    // sit several bits apart; the corpus's closest non-identical pair
+    // is 5 bits.) The oracle is the ALL-PAIRS exact join — a hash match
+    // proves the blocking lossless. With a real codec the sample step
+    // decodes pixels; every stage downstream is unchanged.
+    "q141_media_phash_pairs" -> { (s, dir) =>
+      val pix =
+        s"transform(sequence(0, 63), i -> cast(conv(hex(substring(" +
+          s"payload, cast(i * n_bytes / 64 as int) + 1, 1)), 16, 10) as int))"
+      def word(h: Int): String =
+        (0 until 32).map { d =>
+          s"if(element_at(pix, ${h * 32 + d + 1}) * 64 > psum, ${1L << d}L, 0L)"
+        }.mkString(" + ")
+      val ph = Synth.documents(s, dir)
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+        .withColumn("n_bytes", octet_length(col("payload")))
+        .withColumn("pix", expr(pix))
+        .withColumn("psum", expr("aggregate(pix, 0L, (a, x) -> a + x)"))
+        .select(col("doc_id"), expr(word(0)).as("w0"), expr(word(1)).as("w1"))
+      val blocked = ph.select(col("doc_id"), col("w0"), col("w1"),
+          explode(expr("sequence(0, 7)")).as("blk"))
+        .withColumn("block",
+          expr("shiftright(if(blk < 4, w0, w1), (blk % 4) * 8) & 255"))
+      val a = blocked.select(col("blk"), col("block"),
+        col("doc_id").as("id_a"), col("w0").as("a0"), col("w1").as("a1"))
+      val b = blocked.select(col("blk"), col("block"),
+        col("doc_id").as("id_b"), col("w0").as("b0"), col("w1").as("b1"))
+      a.join(b.hint("shuffle_hash"), Seq("blk", "block"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "a0", "a1", "b0", "b1").distinct()
+        .withColumn("hamming",
+          expr("bit_count(a0 ^ b0) + bit_count(a1 ^ b1)"))
+        .filter(col("hamming") <= 7)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
     }
   )
 
@@ -150,6 +195,41 @@ object Multimodal {
         |  SELECT doc_id, hx, n_bytes,
         |    cast(unnest(generate_series(0, cast(floor(greatest(n_bytes - 1, 0) / 256) as int))) as int) AS chunk_idx
         |  FROM h)
-        |ORDER BY doc_id, chunk_idx""".stripMargin
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // ALL-PAIRS exact rendering — no blocking — so the hash match proves
+    // the Spark side's pigeonhole candidate generation misses no pair
+    // within the Hamming threshold.
+    "q141_media_phash_pairs" -> {
+      val hexVal = (pos: String) =>
+        s"(strpos('0123456789ABCDEF', substring(hx, $pos, 1)) - 1) * 16" +
+          s" + strpos('0123456789ABCDEF', substring(hx, $pos + 1, 1)) - 1"
+      def word(h: Int) =
+        (0 until 32).map { d =>
+          s"CASE WHEN pix[${h * 32 + d + 1}] * 64 > psum" +
+            s" THEN ${1L << d} ELSE 0 END"
+        }.mkString("(", " + ", ")::BIGINT")
+      s"""WITH h AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx,
+         |    octet_length(encode(text)) AS n_bytes
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id,
+         |    list_transform(generate_series(0, 63),
+         |      i -> ${hexVal("((i * n_bytes) // 64) * 2 + 1")}) AS pix
+         |  FROM h),
+         |ps AS (
+         |  SELECT doc_id, pix,
+         |    cast(list_reduce(pix, (a, x) -> a + x) as bigint) AS psum
+         |  FROM p),
+         |w AS (
+         |  SELECT doc_id, ${word(0)} AS w0, ${word(1)} AS w1 FROM ps)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  cast(bit_count(xor(a.w0, b.w0))
+         |    + bit_count(xor(a.w1, b.w1)) as int) AS hamming
+         |FROM w a JOIN w b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 7
+         |ORDER BY id_a, id_b""".stripMargin
+    }
   )
 }
