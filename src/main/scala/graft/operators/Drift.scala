@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus distribution-drift monitoring — the "did the new crawl change
@@ -53,6 +54,43 @@ object Drift {
         .orderBy("bucket")
     },
 
+    // Kolmogorov–Smirnov distance between the two release slices — the
+    // CDF-based drift test next to q112's binned TV: D = max_x
+    // |F_a(x) − F_b(x)|, sensitive to location shifts the fixed-bin
+    // histogram can smear. Same exactness discipline: per-value counts
+    // (one shuffle), cumulative sums over the #distinct-values frame,
+    // and the sup statistic as the INTEGER cross-product max
+    // |cumA·N_b − cumB·N_a| — bigint, order-independent — divided once
+    // at the end. `at_value` reports the smallest x attaining the sup
+    // (deterministic argmax).
+    "q142_ks_distance" -> { (s, dir) =>
+      val per = Synth.documents(s, dir)
+        .select(col("n_chars").cast("long").as("x"),
+          expr("cast(substring(source, 4) as int) % 2").as("slice"))
+        .groupBy("x")
+        .agg(
+          sum(when(col("slice") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("slice") === 1, 1L).otherwise(0L)).as("n_b"))
+      val w = Window.orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      per
+        .withColumn("cum_a", sum(col("n_a")).over(w))
+        .withColumn("cum_b", sum(col("n_b")).over(w))
+        .crossJoin(broadcast(
+          per.agg(sum(col("n_a")).as("tot_a"), sum(col("n_b")).as("tot_b"))))
+        .withColumn("num",
+          abs(col("cum_a") * col("tot_b") - col("cum_b") * col("tot_a")))
+        .withColumn("mx", max(col("num")).over(wAll))
+        .agg(
+          max(col("num")).as("ks_num"),
+          first(col("tot_a")).as("tot_a"), first(col("tot_b")).as("tot_b"),
+          min(when(col("num") === col("mx"), col("x"))).as("at_value"))
+        .withColumn("ks", col("ks_num").cast("double")
+          / (col("tot_a") * col("tot_b")).cast("double"))
+    },
+
     // Burst detection over the event stream — the temporal twin of the
     // distribution drift check: per (event_type, day), flag days whose
     // volume exceeds 2× the trailing-7-day average. All-integer
@@ -102,6 +140,36 @@ object Drift {
         |  cast(n_b as double) / cast(tot_b as double) AS p_b,
         |  tv_total
         |FROM n CROSS JOIN tv ORDER BY bucket""".stripMargin,
+
+    "q142_ks_distance" ->
+      """WITH per AS (
+        |  SELECT cast(n_chars as bigint) AS x,
+        |    cast(sum(CASE WHEN cast(substring(source, 4) as int) % 2 = 0
+        |             THEN 1 ELSE 0 END) as bigint) AS n_a,
+        |    cast(sum(CASE WHEN cast(substring(source, 4) as int) % 2 = 1
+        |             THEN 1 ELSE 0 END) as bigint) AS n_b
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT cast(sum(n_a) as bigint) AS tot_a,
+        |        cast(sum(n_b) as bigint) AS tot_b FROM per),
+        |c AS (
+        |  SELECT x,
+        |    cast(sum(n_a) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint)
+        |      AS cum_a,
+        |    cast(sum(n_b) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint)
+        |      AS cum_b
+        |  FROM per),
+        |n AS (
+        |  SELECT x, abs(cum_a * tot_b - cum_b * tot_a) AS num, tot_a, tot_b
+        |  FROM c CROSS JOIN t)
+        |SELECT cast(max(num) as bigint) AS ks_num,
+        |  any_value(tot_a) AS tot_a, any_value(tot_b) AS tot_b,
+        |  cast(min(CASE WHEN num = (SELECT max(num) FROM n) THEN x END)
+        |    as bigint) AS at_value,
+        |  cast(max(num) as double)
+        |    / cast(any_value(tot_a) * any_value(tot_b) as double) AS ks
+        |FROM n""".stripMargin,
 
     "q127_burst_days" ->
       """WITH daily AS (
