@@ -53,7 +53,7 @@ object Bench {
       parsed.getOrElse(2)
     }
     val results = selected.map { case (name, fn) =>
-      val times = (1 to runsPerQuery).map { _ =>
+      def runOnce(): (Double, Boolean) = {
         val t0 = System.nanoTime()
         val ok =
           try {
@@ -69,6 +69,18 @@ object Bench {
             false
           }
         ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      var times = (1 to runsPerQuery).map(_ => runOnce())
+      // Noise damper: with min-of-2, a query whose BOTH runs hit the same
+      // scheduling hiccup (GC pause, JIT storm from a neighbor in this
+      // 160+-query JVM) records a phantom 2–10× regression that vanishes
+      // on re-measurement (r5 verdict: q52 2.28 s recorded vs 0.26 s on
+      // rerun). When the base runs disagree by > 30% on a non-trivial
+      // query, the min itself is suspect — pay ONE extra run and keep the
+      // overall min. Bounded cost: only the noisy tail re-runs.
+      if (times.forall(_._2) && times.size >= 2) {
+        val ts = times.map(_._1)
+        if (ts.min >= 0.5 && ts.max / ts.min > 1.3) times :+= runOnce()
       }
       // a query is ok only if EVERY run succeeded — a crash must never
       // read as a speedup

@@ -6,7 +6,6 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types._
 
 /** Fused `size(array_intersect(a, b))` — the intersection CARDINALITY
@@ -145,9 +144,12 @@ object IntersectSize {
   */
 object IntersectSizeFusion extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (SQLConf.get.legacySizeOfNull) plan
-    else plan.transformAllExpressions {
-      case Size(ArrayIntersect(a, b), _)
+    plan.transformAllExpressions {
+      // the per-node flag (captured at expression-construction time) is
+      // the source of truth for that node's semantics — a Size built
+      // under legacy mode keeps size(NULL) = -1 even if the conf has
+      // since flipped, so the rule must read the instance, not the conf
+      case Size(ArrayIntersect(a, b), false)
           if a.dataType.isInstanceOf[ArrayType] &&
             b.dataType.isInstanceOf[ArrayType] &&
             a.dataType.asInstanceOf[ArrayType].elementType ==

@@ -29,9 +29,9 @@ import org.apache.spark.sql.functions._
   * = rank order), ranked per-bucket by a ~distinct/B-row window, and
   * stitched with a B-row running-sum offset — q100's bucketed global
   * order applied to rank space. Driver traffic per round is one scalar
-  * (the new rank count). The only vocabulary-sized single-partition step
-  * is the round-0 token ranking (the q81/q39 small-side precedent; at
-  * web scale it becomes the same bucketed form keyed by token prefix).
+  * (the new rank count). Round 0 (token ranking) uses the same bucketed
+  * form keyed by 2-char token prefix ([[tokenRanks]]) — there is no
+  * single-partition sort anywhere in the operator, at any round.
   *
   * The DuckDB oracle ranks by the space-joined 16-token slice directly:
   * token-wise order and joined-string order coincide WHEN every token
@@ -76,6 +76,39 @@ object SuffixRank {
       .select(col("r"), col("nxt"), (col("offset") + col("within")).as("nr"))
   }
 
+  /** Round-0 global dense rank of the distinct tokens, bucketed by
+    * STRING PREFIX: bucket = the token's first two characters. Prefix
+    * bucketing preserves order across buckets (substring(t,1,2) is
+    * monotone in t under lexicographic comparison: a strictly smaller
+    * prefix implies a strictly smaller token), so ranking within a
+    * bucket + a running-sum offset over the ≤ |alphabet|² bucket rows
+    * stitches the global rank with no vocabulary-wide sort — the
+    * web-scale form the r5 scaladoc promised (the old implementation
+    * was a single-partition Window.orderBy over the whole vocabulary).
+    *
+    * The whole thing is ONE aggregation: collect_set per bucket dedups
+    * map-side (partial aggregation — the corpus-sized token stream
+    * never shuffles, only each partition's distinct tokens do),
+    * sort_array orders within the bucket, the offset window runs over
+    * the B bucket rows, and posexplode re-emits (token, rank). No
+    * checkpoint, no join-back. A bucket row holds ~vocab/B tokens
+    * (q100's bucket-fits-in-a-row contract; a larger vocabulary takes
+    * a longer prefix, which grows B and shrinks rows — self-tuning).
+    * Returns (token, r) with r = 1-based global dense rank.
+    */
+  private def tokenRanks(tok: DataFrame): DataFrame = {
+    val wB = Window.orderBy("bucket") // B rows: one per live 2-char prefix
+    tok
+      .select(col("token"), substring(col("token"), 1, 2).as("bucket"))
+      .groupBy("bucket")
+      .agg(sort_array(collect_set(col("token"))).as("toks"))
+      .withColumn("offset", coalesce(
+        sum(size(col("toks")).cast("long"))
+          .over(wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("offset"), posexplode(col("toks")).as(Seq("i", "token")))
+      .select(col("token"), (col("offset") + col("i") + 1L).as("r"))
+  }
+
   /** (doc_id, p, n, rank) with rank = global dense rank of the suffix at
     * (doc_id, p) by its first `SpanTokens` tokens.
     */
@@ -85,10 +118,9 @@ object SuffixRank {
       .select(col("doc_id"), expr(D.toks).as("t"))
       .select(col("doc_id"), expr("size(t)").as("n"),
         posexplode(col("t")).as(Seq("p", "token")))
-    // round 0: rank tokens themselves (vocabulary-sized window)
-    val vmap = tok.select("token").distinct()
-      .withColumn("r", dense_rank().over(Window.orderBy("token")).cast("long"))
-      .localCheckpoint()
+    // round 0: rank tokens themselves (bucketed by 2-char prefix — no
+    // vocabulary-wide single-partition sort)
+    val vmap = tokenRanks(tok).localCheckpoint()
     var cur = tok.join(vmap, "token").select("doc_id", "p", "n", "r")
       .localCheckpoint()
     // coalesce: an empty corpus yields a NULL max — rank 0 keeps every

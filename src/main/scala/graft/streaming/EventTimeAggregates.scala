@@ -253,6 +253,8 @@ object EventTimeAggregates {
 
   final case class DailyCount(event_type: String, day_num: Long, n: Long)
   final case class DayBin(day_num: Long, n: Long)
+  final case class BurstState(
+      maxDay: Long, bins: Seq[DayBin], droppedLate: Long)
   final case class BurstFlag(
       event_type: String, day_num: Long, n: Long, prev7: Long,
       is_burst: Boolean)
@@ -269,6 +271,12 @@ object EventTimeAggregates {
     * state would leak. Assumes each (type, day) arrives once and days
     * arrive non-decreasing per type — exactly what a watermarked window
     * emits; within a micro-batch, rows are applied in day order.
+    *
+    * The contract is ENFORCED, not just documented: state tracks the
+    * max emitted day per type, and a row at or before it (a late
+    * re-emit the upstream watermark should have suppressed) is dropped
+    * and counted rather than silently computing prev7 against
+    * already-pruned bins and corrupting the ring for later days.
     */
   def streamingBurstDetector(daily: Dataset[DailyCount]): Dataset[BurstFlag] = {
     import daily.sparkSession.implicits._
@@ -276,18 +284,28 @@ object EventTimeAggregates {
       .groupByKey(_.event_type)
       .flatMapGroupsWithState(
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-        (et: String, rows: Iterator[DailyCount], state: GroupState[Seq[DayBin]]) => {
-          var hist = state.getOption.getOrElse(Seq.empty)
-          val out = rows.toSeq.sortBy(_.day_num).map { r =>
-            val prev7 = hist.iterator
-              .filter(b => b.day_num >= r.day_num - 7 && b.day_num < r.day_num)
-              .map(_.n).sum
-            hist = (hist :+ DayBin(r.day_num, r.n))
-              .filter(_.day_num >= r.day_num - 6)
-            BurstFlag(et, r.day_num, r.n, prev7,
-              r.n * 7 > prev7 * 2 && r.n >= 10)
+        (et: String, rows: Iterator[DailyCount], state: GroupState[BurstState]) => {
+          val st = state.getOption
+            .getOrElse(BurstState(Long.MinValue, Seq.empty, 0L))
+          var hist = st.bins
+          var maxDay = st.maxDay
+          var dropped = st.droppedLate
+          val out = rows.toSeq.sortBy(_.day_num).flatMap { r =>
+            if (r.day_num <= maxDay) { // contract violation: fail safe
+              dropped += 1
+              None
+            } else {
+              val prev7 = hist.iterator
+                .filter(b => b.day_num >= r.day_num - 7 && b.day_num < r.day_num)
+                .map(_.n).sum
+              hist = (hist :+ DayBin(r.day_num, r.n))
+                .filter(_.day_num >= r.day_num - 6)
+              maxDay = r.day_num
+              Some(BurstFlag(et, r.day_num, r.n, prev7,
+                r.n * 7 > prev7 * 2 && r.n >= 10))
+            }
           }
-          state.update(hist)
+          state.update(BurstState(maxDay, hist, dropped))
           out.iterator
         })
   }

@@ -138,16 +138,29 @@ class EventTimeSpec extends AnyFunSuite with BeforeAndAfterAll {
       // large-but-unsupported day stays is_burst=false under n ≥ 10
       mem.addData(("click", 4L, 15L), ("click", 20L, 9L), ("view", 4L, 50L))
       q.processAllAvailable()
-      val rows = spark.sql(
+      // batch 3: a LATE re-emit of an already-processed day (contract
+      // violation — days must arrive non-decreasing per type) is dropped
+      // fail-safe instead of recomputing against pruned bins; the day
+      // after it still computes its trailing sum from uncorrupted state
+      mem.addData(("click", 2L, 100L), ("click", 21L, 30L))
+      q.processAllAvailable()
+      val collected = spark.sql(
         "select event_type, day_num, n, prev7, is_burst from burst")
         .collect()
         .map(r => (r.getString(0), r.getLong(1)) ->
-          (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+          (r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      val rows = collected.toMap
+      assert(collected.length == rows.size,
+        "the late day-2 re-emit must produce NO output row (no duplicate keys)")
       assert(rows(("click", 1L)) == ((5L, 0L, false)))
+      assert(rows(("click", 2L)) == ((6L, 5L, false)),
+        "the late n=100 re-emit of day 2 must not replace the original")
       assert(rows(("click", 4L)) == ((15L, 15L, true)),
         s"cross-batch trailing sum: ${rows(("click", 4L))}")
       assert(rows(("click", 20L)) == ((9L, 0L, false)),
         "a day gap empties the RANGE lookback and n<10 can't flag")
+      assert(rows(("click", 21L)) == ((30L, 9L, true)),
+        "state after a dropped late row stays correct for the next day")
       assert(rows(("view", 4L)) == ((50L, 0L, true)),
         "first day of a type bursts on zero history when n >= 10")
     } finally q.stop()

@@ -189,22 +189,32 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("q68: triangles materialize above the closing joins, wedges never as join input") {
-    // The adjacency-intersection close: the ONLY row explosion (the
-    // array_intersect explode that materializes triangles, plus the
-    // 3-node count fan-out) must sit ABOVE every join — a GenerateExec
-    // feeding a join would mean wedge-sized (Σ out-deg²) shuffle rows.
+  test("q68: triangle rows materialize above the closing join, wedges never as join input") {
+    // The adjacency-intersection close: wedge-sized (Σ out-deg²) ROW
+    // counts must never reach a join. Two legal explodes exist — the
+    // array_intersect explode that materializes triangles and the 3-node
+    // count fan-out — and both sit ABOVE the closing join. The edge-list
+    // recovery (explode of the checkpointed adjacency's single `nbrs`
+    // array) MAY feed the join: it generates exactly m = |edges| rows.
+    // The wedge hazard is an explode stacked over a join or over another
+    // explode (rows multiply to Σ out-deg²), so that is what's banned.
     val p = plan("q68_triangles")
     val joins = p.collect {
       case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
       case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
       case j: BroadcastHashJoinExec => j
     }
-    assert(joins.nonEmpty, s"expected closing equi-joins:\n$p")
-    for (j <- joins; side <- j.children) {
-      val gens = side.collect { case g: GenerateExec => g }
-      assert(gens.isEmpty,
-        s"no explode may feed a join input (wedge materialization):\n$p")
+    assert(joins.nonEmpty, s"expected the closing equi-join:\n$p")
+    for (j <- joins; side <- j.children; g <- side.collect { case g: GenerateExec => g }) {
+      val below = g.child.collect {
+        case x: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => x
+        case x: org.apache.spark.sql.execution.joins.SortMergeJoinExec => x
+        case x: BroadcastHashJoinExec => x
+        case x: GenerateExec => x
+      }
+      assert(below.isEmpty,
+        s"an explode feeding the closing join must be the m-row edge-list " +
+          s"recovery over the adjacency scan, not a wedge expansion:\n$p")
     }
   }
 
@@ -353,9 +363,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
         if a.toString.contains("graft_topk") => a
     }
-    // partial + final per stage (shortlist, rerank) = 4 ObjectHashAggregates
-    assert(heaps.size == 4,
-      s"expected heap-ranked shortlist AND rerank, got ${heaps.size}:\n$p")
+    // The invariant is that BOTH ranking stages (shortlist, rerank) run
+    // on the heap aggregate — i.e. >= 2 DISTINCT graft_topk aggregates
+    // by grouping key. Whether the planner splits each into a
+    // partial+final pair (4 exec nodes) or elides a stage under AQE is
+    // an implementation detail this test must not pin.
+    val distinctAggs =
+      heaps.map(_.aggregateExpressions.map(_.aggregateFunction.sql)).distinct
+    assert(distinctAggs.size >= 2,
+      s"expected heap-ranked shortlist AND rerank (>=2 distinct graft_topk " +
+        s"aggregates), got ${distinctAggs.size} among ${heaps.size} nodes:\n$p")
     assert(!p.toString.contains("row_number"),
       s"no per-query window sort may appear:\n$p")
   }
