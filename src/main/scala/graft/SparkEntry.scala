@@ -28,7 +28,8 @@ object SparkEntry {
       Multimodal.queries ++ Curation.queries ++ RangeJoin.queries ++
       ProductQuantization.queries ++ PageRank.queries ++ ZOrder.queries ++
       Triangles.queries ++ Perceptron.queries ++ SuffixRank.queries ++
-      Drift.queries ++ Spectral.queries ++ TextRank.queries ++ LabelProp.queries ++ CorpusStats.queries ++ Series.queries
+      Drift.queries ++ Spectral.queries ++ TextRank.queries ++ LabelProp.queries ++ CorpusStats.queries ++ Series.queries ++
+      GraphCore.queries ++ Frontier.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -39,5 +40,6 @@ object SparkEntry {
       Multimodal.oracle ++ Curation.oracle ++ RangeJoin.oracle ++
       ProductQuantization.oracle ++ PageRank.oracle ++ ZOrder.oracle ++
       Triangles.oracle ++ Perceptron.oracle ++ SuffixRank.oracle ++
-      Drift.oracle ++ Spectral.oracle ++ TextRank.oracle ++ LabelProp.oracle ++ CorpusStats.oracle ++ Series.oracle
+      Drift.oracle ++ Spectral.oracle ++ TextRank.oracle ++ LabelProp.oracle ++ CorpusStats.oracle ++ Series.oracle ++
+      GraphCore.oracle ++ Frontier.oracle
 }

@@ -357,6 +357,38 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected the bin key in the join:\n$p")
   }
 
+  test("q143/q145: the peel joins stay equi-joins; the sample ranks on the heap") {
+    val pk = plan("q143_kcore").toString
+    assert(!pk.contains("CartesianProduct") &&
+      !pk.contains("BroadcastNestedLoopJoin"),
+      s"k-core peeling must restrict edges via semi equi-joins:\n$pk")
+    val ps = plan("q145_priority_sample")
+    assert(ps.collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+        if a.toString.contains("graft_topk") => a
+    }.nonEmpty, s"the top-(k+1) selection must be the bounded heap:\n$ps")
+    assert(!ps.toString.contains("row_number"),
+      s"no corpus-wide ranking window may appear:\n$ps")
+  }
+
+  test("q144: the only unpartitioned skyline window runs over phase-1 survivors") {
+    // phase 1 must be a PARTITIONED window (per-bucket skyline); the
+    // global phase-2 window is fed by phase 1's filter, never the
+    // corpus-sized distinct-pair frame directly
+    val p = plan("q144_skyline")
+    val windows = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.size == 2, s"expected the two-phase skyline:\n$p")
+    val Seq(global, local) = windows // outermost first in collect order
+    assert(local.partitionSpec.nonEmpty,
+      s"phase 1 must partition by bucket:\n$p")
+    assert(global.partitionSpec.isEmpty &&
+      global.collectFirst {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.ne(global) => w }.nonEmpty,
+      s"the global window must sit above the bucketed one:\n$p")
+  }
+
   test("q118: both ranking stages run on the bounded heap, not window sorts") {
     val p = plan("q118_binary_hamming")
     val heaps = p.collect {
