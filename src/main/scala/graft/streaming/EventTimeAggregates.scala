@@ -209,6 +209,28 @@ object EventTimeAggregates {
       .select(col("w.start").as("window_start"), col("tot").as("n_rows"),
         col("tv"))
 
+  /** Streaming priority sample — the streaming twin of batch q145
+    * (Duffield–Lund–Thorup): maintain the top-k priorities (w/u with
+    * the deterministic salted-md5 u) over an unbounded doc stream. The
+    * bounded-heap graft_topk aggregate IS the streaming state — a
+    * TypedImperativeAggregate's buffer serves directly as aggregation
+    * state, so state is exactly one k-entry heap (KBs), independent of
+    * stream volume, and each micro-batch folds in map-side before
+    * touching it. Complete-mode emit: the current k-row sample.
+    *
+    * `docs` columns: doc_id (bigint), w (bigint weight > 0).
+    */
+  def streamingPrioritySample(docs: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .withColumn("h", expr(graft.operators.Curation
+        .u32Spark("priority:", "cast(doc_id as string)")))
+      .withColumn("priority",
+        col("w").cast("double") * lit(4294967296.0) /
+          (col("h") + lit(1L)).cast("double"))
+      .agg(expr(s"graft_topk(priority, doc_id, $k)").as("sample"))
+  }
+
   final case class QuotaDoc(source: String, doc_id: Long, n_tokens: Long)
   final case class QuotaState(seenTokens: Long)
   final case class QuotaAdmission(

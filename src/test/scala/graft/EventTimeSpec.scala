@@ -166,6 +166,41 @@ class EventTimeSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming priority sample: one bounded heap of state across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val docs = mem.toDF().toDF("doc_id", "w")
+    val out = EventTimeAggregates.streamingPrioritySample(docs, k = 5)
+    val q = out.writeStream.format("memory").queryName("psample")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      val batch1 = Seq(1L -> 10L, 2L -> 20L, 3L -> 30L, 4L -> 40L,
+        5L -> 50L, 6L -> 60L)
+      val batch2 = Seq(7L -> 70L, 8L -> 5L, 9L -> 80L)
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      val sample = spark.sql("select explode(sample) as e from psample")
+        .select("e.id").collect().map(_.getLong(0)).toSet
+      // the exact priorities the operator computes, replayed in Scala
+      def pr(id: Long, w: Long): Double = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"priority:$id".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val h = java.lang.Long.parseLong(md.substring(0, 8), 16)
+        w.toDouble * 4294967296.0 / (h + 1).toDouble
+      }
+      val expect = (batch1 ++ batch2)
+        .sortBy { case (id, w) => (-pr(id, w), id) }
+        .take(5).map(_._1).toSet
+      assert(sample == expect,
+        s"the k-heap must rank across BOTH batches: got $sample, want $expect")
+      assert(sample.size == 5)
+    } finally q.stop()
+  }
+
   test("streaming quota sampler: per-source budget, prefix semantics, cross-batch state") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
