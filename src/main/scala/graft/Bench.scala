@@ -84,13 +84,17 @@ object Bench {
       }
       // a query is ok only if EVERY run succeeded — a crash must never
       // read as a speedup
-      (name, times.map(_._1).min, times.forall(_._2))
+      val ts = times.map(_._1)
+      // spread = max/min across this query's runs: lets a reader separate
+      // scheduling noise (high spread) from a genuine regression (low
+      // spread at a higher min) without re-running the whole bench.
+      (name, ts.min, times.forall(_._2), ts.max / math.max(ts.min, 1e-9))
     }
     // Loader-path throughput: the production dataflow end-to-end (decode →
     // parse → salted repartition → rolling gzip objects on disk), timed as
     // its own entry. This is the path the reference engine IS; the query
     // surface above is the analytics layer on top of it.
-    val loaderResult: Option[(String, Double, Boolean)] =
+    val loaderResult: Option[(String, Double, Boolean, Double)] =
       if (subset.forall(_.exists("loader_batch_sink".startsWith))) Some {
         import org.apache.spark.sql.functions._
         val outDir = java.nio.file.Files.createTempDirectory("bench_loader").toString
@@ -113,17 +117,20 @@ object Bench {
             System.err.println(s"[bench] loader_batch_sink failed: ${e.getMessage}")
             false
           }
-        ("loader_batch_sink", (System.nanoTime() - t0) / 1e9, ok)
+        ("loader_batch_sink", (System.nanoTime() - t0) / 1e9, ok, 1.0)
       } else None
 
-    val qs = (results ++ loaderResult).map { case (k, v, ok) =>
+    val all = results ++ loaderResult
+    val qs = all.map { case (k, v, ok, _) =>
       "\"" + k + "\":" + (if (ok) v.toString else "\"failed\"") }
       .mkString("{", ",", "}")
+    val spreads = all.map { case (k, _, _, sp) =>
+      "\"" + k + "\":" + f"$sp%.2f" }.mkString("{", ",", "}")
     // failed queries are excluded from the total AND flagged — a crash must
     // never read as a speedup
-    val total = (results ++ loaderResult).collect { case (_, v, true) => v }.sum
-    val failed = (results ++ loaderResult).count(!_._3)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"runs_per_query":$runsPerQuery,"queries":$qs,"sf":"$sfDir"}""")
+    val total = all.collect { case (_, v, true, _) => v }.sum
+    val failed = all.count(!_._3)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"runs_per_query":$runsPerQuery,"queries":$qs,"spread":$spreads,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

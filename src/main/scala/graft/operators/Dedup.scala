@@ -144,12 +144,45 @@ object Dedup {
     * rows, not |corpus|. The cluster map joins back out to every doc;
     * AQE picks broadcast when the near-dup set is small and falls back
     * to a shuffle join when it isn't (web corpora can be 30-50%
-    * near-dup). The shingled projection is referenced three times
-    * (bands, verify×2); a production pipeline would persist() it across
-    * those uses — a returned-DataFrame query can't manage that
-    * lifecycle, so the plan recomputes the map-only pass instead.
+    * near-dup).
+    *
+    * MATERIALIZED ONCE per (warehouse, corpus dir): three consumers
+    * (q61's map, q125's keep-best, q140's per-source rates) all need
+    * the identical doc_id → cluster_id mapping, and at 100 TB the
+    * band→verify→CC pipeline is far too expensive to run three times.
+    * The first caller builds it and persists it as a bucketed+sorted
+    * table on doc_id (the key every downstream probe joins on — the
+    * same layout argument as [[DedupIndex.write]]); later callers read
+    * it in place with zero exchange on the index side.
     */
+  private val clusterMapLock = new Object
   private def minhashClusterMap(s: SparkSession, dir: String): DataFrame = {
+    val table = "graft_cluster_map_" +
+      java.lang.Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(dir) & 0x7fffffff)
+    clusterMapLock.synchronized {
+      if (!s.catalog.tableExists(table)) {
+        // stale catalog-less location from a previous JVM (in-memory
+        // catalog forgets tables; the warehouse dir does not)
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), table)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+        buildClusterMap(s, dir)
+          .write.bucketBy(8, "doc_id").sortBy("doc_id")
+          .mode("overwrite").saveAsTable(table)
+      }
+    }
+    s.table(table).select("doc_id", "cluster_id")
+  }
+
+  /** The band→verify→CC pipeline itself — see [[minhashClusterMap]] for
+    * the materialization contract. The shingled projection is referenced
+    * three times (bands, verify×2); the one-shot build recomputes the
+    * map-only pass instead of managing a persist lifecycle because the
+    * whole build runs exactly once per corpus.
+    */
+  private def buildClusterMap(s: SparkSession, dir: String): DataFrame = {
     val docsSh = shingled(s, dir)
     val lng = bandsLong(minhashBanded(s, dir))
     val a = lng.toDF("id_a", "band", "bucket")
@@ -173,6 +206,7 @@ object Dedup {
     docsSh.select("doc_id")
       .join(clusters, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("component"), col("doc_id")))
+      .select("doc_id", "cluster_id")
   }
 
   /** Verified Jaccard ≥ 1/2 pairs from a (doc_id, sh) frame via the
@@ -199,21 +233,49 @@ object Dedup {
     // scale); the rank window is per-doc partitioned (never global).
     val wSh = Window.partitionBy("shingle")
     val wDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+    // localCheckpoint: the posting list feeds BOTH sides of the self-join
+    // below — without it the df window + per-doc rank run twice (once per
+    // side). The checkpoint is prefix-sized (≈ n·(1−t) of each doc's
+    // shingles), the thing PPJoin already bounds.
     val prefix = tok
       .withColumn("df", count(lit(1)).over(wSh))
       .withColumn("rn", row_number().over(wDoc))
       // n − ⌈p·n/q⌉ + 1
       .filter(col("rn") <= expr(s"n - ($p * n + ${q - 1}) div $q + 1"))
+      // LOSSLESS posting prune: a df = 1 shingle exists in exactly one
+      // doc, so it can never produce a join match — it only needed to
+      // occupy its rn slot (computed above) for the positional bounds.
+      // On web corpora most shingles are unique, so this shrinks the
+      // self-join input by an order of magnitude.
+      .filter(col("df") >= 2)
       .select("shingle", "doc_id", "n", "rn")
+      .localCheckpoint()
     val a = prefix.toDF("shingle", "id_a", "n_a", "rn_a")
     val b = prefix.toDF("shingle", "id_b", "n_b", "rn_b")
+    // Accumulated positional filter (the full PPJoin bound, not just the
+    // per-match one): per pair, c = #shared prefix shingles and the LAST
+    // match's positions (the posting order is one consistent global
+    // (df, shingle) order, so max(rn_a) and max(rn_b) are attained by
+    // the same shingle; every uncounted shared shingle ranks after it in
+    // BOTH docs — otherwise it would sit inside both prefixes and be
+    // counted). Hence overlap ≤ c + min(n_a − max rn_a, n_b − max rn_b),
+    // and pairs below the α = ⌈t/(1+t)·(n_a+n_b)⌉ floor never reach the
+    // array-intersect verify — the verify join shrinks from |candidates|
+    // to nearly |true pairs|. Losslessness is property-tested on random
+    // docs (PropertySpec: EVERY Jaccard ≥ t pair is found).
     val cands = a.join(b.hint("shuffle_hash"), "shingle")
       .filter(col("id_a") < col("id_b"))
       .filter(col("n_b") * q >= col("n_a") * p &&
         col("n_a") * q >= col("n_b") * p)
       .filter(least(col("n_a") - col("rn_a"), col("n_b") - col("rn_b")) + 1
         >= expr(s"($p * (n_a + n_b) + ${p + q - 1}) div ${p + q}"))
-      .select("id_a", "id_b").distinct()
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("c"),
+        max(col("rn_a")).as("ma"), max(col("rn_b")).as("mb"),
+        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
+      .filter(col("c") + least(col("n_a") - col("ma"), col("n_b") - col("mb"))
+        >= expr(s"($p * (n_a + n_b) + ${p + q - 1}) div ${p + q}"))
+      .select("id_a", "id_b")
     val shA = sh.toDF("id_a", "sh_a")
     val shB = sh.toDF("id_b", "sh_b")
     cands.join(shA, "id_a").join(shB, "id_b")
@@ -488,10 +550,8 @@ object Dedup {
     // scale: one explode-free signature pass, one bucket self-join
     // bounded by band collisions, a |candidates|-sized verify join, and
     // CC rounds proportional to cluster diameter (near-dup clusters are
-    // shallow). The shingled projection is referenced three times (bands,
-    // verify×2); a production pipeline would persist() it across those
-    // uses — a returned-DataFrame query can't manage that lifecycle, so
-    // the plan recomputes the map-only pass instead.
+    // shallow) — paid ONCE: the cluster map is materialized as a
+    // bucketed table on first use and probed in place by q125/q140.
     "q61_minhash_dedup" -> { (s, dir) =>
       minhashClusterMap(s, dir)
         .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
@@ -554,12 +614,15 @@ object Dedup {
         .select("id_a", "id_b").localCheckpoint()
       val nTrue = truth.agg(count(lit(1)).as("n_true"))
 
+      // Each blocker's candidate set is referenced twice by row() (volume
+      // count + truth semi-join) — checkpoint each once so no blocker's
+      // signature pass or bucket join runs twice.
       val lng = bandsLong(minhashBanded(s, dir))
       val bands = lng.toDF("id_a", "band", "bucket")
         .join(lng.toDF("id_b", "band", "bucket").hint("shuffle_hash"),
           Seq("band", "bucket"))
         .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct()
+        .select("id_a", "id_b").distinct().localCheckpoint()
 
       val simBlocks = Synth.documents(s, dir)
         .select(col("doc_id"), expr(s"graft_simhash64($toks)").as("sim"))
@@ -571,7 +634,7 @@ object Dedup {
         .join(simBlocks.select(col("blk"), col("block"),
           col("doc_id").as("id_b")).hint("shuffle_hash"), Seq("blk", "block"))
         .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct()
+        .select("id_a", "id_b").distinct().localCheckpoint()
 
       val keyed = Synth.documents(s, dir)
         .select(col("doc_id"), col("lang"),
@@ -587,7 +650,7 @@ object Dedup {
           .filter(col("b2").isNotNull))
         .select(least(col("doc_id"), col("b")).as("id_a"),
           greatest(col("doc_id"), col("b")).as("id_b"))
-        .distinct()
+        .distinct().localCheckpoint()
 
       def row(name: String, cands: DataFrame) =
         cands.agg(count(lit(1)).as("n_candidates"))

@@ -421,7 +421,7 @@ object TextAnalysis {
     // Corpus-driven boilerplate stripping — the CCNet/RefinedWeb-style
     // stage that drops tokens carried by nearly every document (nav
     // chrome, licence headers): the stoplist is MINED from the corpus
-    // (doc-frequency ratio > 0.8), not hand-written. Scale shape: df is
+    // (doc-frequency ratio > 4/5), not hand-written. Scale shape: df is
     // one shuffle over distinct (doc, term) pairs; the stoplist is
     // vocabulary-sized and broadcast into a left-anti probe, so the
     // corpus pass stays map-side; the doc-count threshold is a 1-row
@@ -432,7 +432,7 @@ object TextAnalysis {
       val df = tok.distinct().groupBy("term").agg(count(lit(1)).as("df"))
       val stats = docs.agg(count(lit(1)).as("n"))
       val stop = df.crossJoin(broadcast(stats))
-        .filter(col("df").cast("double") > lit(0.8) * col("n").cast("double"))
+        .filter(col("df") * 5 > col("n") * 4)
         .select("term")
       val kept = tok.join(broadcast(stop), Seq("term"), "left_anti")
         .groupBy("doc_id").agg(count(lit(1)).as("n_kept"))
@@ -1421,7 +1421,7 @@ object TextAnalysis {
          |df AS (SELECT term, count(*) AS df FROM (
          |    SELECT DISTINCT doc_id, term FROM tok) GROUP BY 1),
          |stop AS (SELECT term FROM df, n
-         |         WHERE cast(df as double) > 0.8 * cast(n as double)),
+         |         WHERE df * 5 > n * 4),
          |kept AS (
          |  SELECT doc_id, cast(count(*) as bigint) AS n_kept FROM tok
          |  WHERE term NOT IN (SELECT term FROM stop) GROUP BY 1),

@@ -233,7 +233,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // to the vocabulary subplan in the static plan; AQE reuses the
     // exchange at runtime) — identified by its df-vs-n condition
     for ((q, marker) <- Seq("q54_hybrid_retrieval" -> "0.5",
-        "q59_boilerplate_strip" -> "0.8")) {
+        "q59_boilerplate_strip" -> "* 4")) {
       val p = plan(q)
       val bnlj = p.collect { case j: BroadcastNestedLoopJoinExec => j }
       assert(bnlj.forall(_.condition.exists(_.toString.contains(marker))),
