@@ -209,6 +209,34 @@ object Dedup {
       .select("doc_id", "cluster_id")
   }
 
+  /** MinHash band-collision candidate pairs (id_a < id_b) — the q32b
+    * blocker, shared by q133's recall table and q151's agreement score.
+    */
+  private def bandCollisionPairs(s: SparkSession, dir: String): DataFrame = {
+    val lng = bandsLong(minhashBanded(s, dir))
+    lng.toDF("id_a", "band", "bucket")
+      .join(lng.toDF("id_b", "band", "bucket").hint("shuffle_hash"),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** SimHash64 pigeonhole-block candidate pairs (id_a < id_b) — the q33c
+    * blocker, shared by q133 and q151.
+    */
+  private def simhash64BlockPairs(s: SparkSession, dir: String): DataFrame = {
+    val simBlocks = Synth.documents(s, dir)
+      .select(col("doc_id"), expr(s"graft_simhash64($toks)").as("sim"))
+      .select(col("doc_id"),
+        explode(expr("array(0, 1, 2, 3)")).as("blk"), col("sim"))
+      .withColumn("block", expr("shiftright(sim, blk * 16) & 65535"))
+    simBlocks.select(col("blk"), col("block"), col("doc_id").as("id_a"))
+      .join(simBlocks.select(col("blk"), col("block"),
+        col("doc_id").as("id_b")).hint("shuffle_hash"), Seq("blk", "block"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
   /** Verified Jaccard ≥ 1/2 pairs from a (doc_id, sh) frame via the
     * q31b prefix/length/positional prunes — shared by the query and the
     * PropertySpec completeness property (prefix filtering must find
@@ -617,24 +645,8 @@ object Dedup {
       // Each blocker's candidate set is referenced twice by row() (volume
       // count + truth semi-join) — checkpoint each once so no blocker's
       // signature pass or bucket join runs twice.
-      val lng = bandsLong(minhashBanded(s, dir))
-      val bands = lng.toDF("id_a", "band", "bucket")
-        .join(lng.toDF("id_b", "band", "bucket").hint("shuffle_hash"),
-          Seq("band", "bucket"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct().localCheckpoint()
-
-      val simBlocks = Synth.documents(s, dir)
-        .select(col("doc_id"), expr(s"graft_simhash64($toks)").as("sim"))
-        .select(col("doc_id"),
-          explode(expr("array(0, 1, 2, 3)")).as("blk"), col("sim"))
-        .withColumn("block", expr("shiftright(sim, blk * 16) & 65535"))
-      val simC = simBlocks.select(col("blk"), col("block"),
-          col("doc_id").as("id_a"))
-        .join(simBlocks.select(col("blk"), col("block"),
-          col("doc_id").as("id_b")).hint("shuffle_hash"), Seq("blk", "block"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct().localCheckpoint()
+      val bands = bandCollisionPairs(s, dir).localCheckpoint()
+      val simC = simhash64BlockPairs(s, dir).localCheckpoint()
 
       val keyed = Synth.documents(s, dir)
         .select(col("doc_id"), col("lang"),
@@ -666,6 +678,41 @@ object Dedup {
         .unionAll(row("simhash64_blocks", simC))
         .unionAll(row("sorted_neighborhood", nbr))
         .orderBy("blocker")
+    },
+
+    // Inter-blocker agreement (Cohen's κ) — q133 measures each blocker
+    // against ground truth; this measures them against EACH OTHER, the
+    // chance-corrected statistic that says whether two cheap blockers
+    // are redundant (high κ ⇒ running both buys nothing) or complement
+    // each other (low κ ⇒ union them). The item universe is all C(n,2)
+    // doc pairs, but the both-no cell is ARITHMETIC (n·(n−1)/2 minus the
+    // observed cells) — only the two candidate sets and their overlap
+    // are ever materialized, so the computation scales with candidate
+    // volume, not pair space. κ = (N·(a+d) − E) / (N² − E) with
+    // E = yes₁·yes₂ + no₁·no₂, all exact bigints (N² fits to n ≈ 80M
+    // docs per shard; beyond that the same counts feed a decimal), one
+    // final IEEE divide.
+    "q151_blocker_kappa" -> { (s, dir) =>
+      val tagged = bandCollisionPairs(s, dir).withColumn("f", lit(1))
+        .unionAll(simhash64BlockPairs(s, dir).withColumn("f", lit(2)))
+        .groupBy("id_a", "id_b").agg(sum(col("f")).as("f"))
+      val cells = tagged.agg(
+        sum(when(col("f") === 3, 1L).otherwise(0L)).as("both_yes"),
+        sum(when(col("f") === 1, 1L).otherwise(0L)).as("bands_only"),
+        sum(when(col("f") === 2, 1L).otherwise(0L)).as("sim_only"))
+      val nDocs = Synth.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      cells.crossJoin(broadcast(nDocs))
+        .withColumn("n_pairs", expr("n_docs * (n_docs - 1) div 2"))
+        .withColumn("both_no",
+          col("n_pairs") - col("both_yes") - col("bands_only") - col("sim_only"))
+        .withColumn("e",
+          (col("both_yes") + col("bands_only")) * (col("both_yes") + col("sim_only")) +
+            (col("both_no") + col("sim_only")) * (col("both_no") + col("bands_only")))
+        .withColumn("kappa", expr(
+          "cast(n_pairs * (both_yes + both_no) - e as double) / " +
+            "cast(n_pairs * n_pairs - e as double)"))
+        .select("n_pairs", "both_yes", "bands_only", "sim_only", "both_no",
+          "kappa")
     },
 
     // IDF-WEIGHTED Jaccard — the rarity-aware refinement of q31: a
@@ -926,6 +973,54 @@ object Dedup {
     s"list_distinct(list_transform(generate_series(1, greatest(len($dToks) - 2, 1)), " +
       s"i -> array_to_string(list_slice($dToks, i, i + 2), ' ')))"
 
+  /** DuckDB CTE chain ending in `cb` = the MinHash band-collision
+    * candidate pairs — shared by the q133 and q151 oracles. Rendered
+    * WITHOUT the leading `WITH` so callers can splice it after their own
+    * CTEs.
+    */
+  private lazy val duckBandPairCtes: String =
+    s"""mh AS (
+       |  SELECT doc_id, $duckMhCols
+       |  FROM (SELECT doc_id, $dShingles AS sh FROM documents)),
+       |wb AS (SELECT doc_id, $duckBandCols FROM mh),
+       |lng AS (
+       |  SELECT doc_id, 0 AS band, band0 AS bucket FROM wb UNION ALL
+       |  SELECT doc_id, 1, band1 FROM wb UNION ALL
+       |  SELECT doc_id, 2, band2 FROM wb UNION ALL
+       |  SELECT doc_id, 3, band3 FROM wb),
+       |cb AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM lng a JOIN lng b
+       |    ON a.band = b.band AND a.bucket = b.bucket
+       |      AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** DuckDB CTE chain ending in `cs` = the SimHash64 pigeonhole-block
+    * candidate pairs — shared by the q133 and q151 oracles.
+    */
+  private lazy val duckSimhashPairCtes: String =
+    s"""tok AS (
+       |  SELECT doc_id, md5(unnest($dToks)) AS h FROM documents),
+       |bits AS (
+       |  SELECT doc_id, b,
+       |    strpos('0123456789abcdef', substring(h, b // 4 + 1, 1)) - 1 AS d
+       |  FROM tok, (SELECT unnest(generate_series(0, 63)) AS b)),
+       |votes AS (
+       |  SELECT doc_id, b,
+       |    sum(CASE WHEN (d >> (3 - b % 4)) & 1 = 1 THEN 1 ELSE -1 END)
+       |      AS vote
+       |  FROM bits GROUP BY doc_id, b),
+       |blocks AS (
+       |  SELECT doc_id, b // 16 AS blk,
+       |    cast(sum(CASE WHEN vote > 0
+       |      THEN cast(pow(2, b % 16) as bigint) ELSE 0 END) as bigint)
+       |      AS block
+       |  FROM votes GROUP BY doc_id, b // 16),
+       |cs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM blocks a JOIN blocks b
+       |    ON a.blk = b.blk AND a.block = b.block
+       |      AND a.doc_id < b.doc_id)""".stripMargin
+
   private val duckMhCols = (0 until nHashes).map { i =>
     val (j, off) = (i / 2, 1 + 16 * (i % 2))
     s"list_min(list_transform(sh, x -> substring(md5(x || '#$j'), $off, 16))) AS mh$i"
@@ -1175,42 +1270,8 @@ object Dedup {
          |  HAVING cast(count(*) as double) / (a.n + b.n - count(*))
          |    >= $NearDupThreshold),
          |tc AS (SELECT cast(count(*) as bigint) AS n_true FROM truth),
-         |mh AS (
-         |  SELECT doc_id, $duckMhCols
-         |  FROM (SELECT doc_id, $dShingles AS sh FROM documents)),
-         |wb AS (SELECT doc_id, $duckBandCols FROM mh),
-         |lng AS (
-         |  SELECT doc_id, 0 AS band, band0 AS bucket FROM wb UNION ALL
-         |  SELECT doc_id, 1, band1 FROM wb UNION ALL
-         |  SELECT doc_id, 2, band2 FROM wb UNION ALL
-         |  SELECT doc_id, 3, band3 FROM wb),
-         |cb AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM lng a JOIN lng b
-         |    ON a.band = b.band AND a.bucket = b.bucket
-         |      AND a.doc_id < b.doc_id),
-         |tok AS (
-         |  SELECT doc_id, md5(unnest($dToks)) AS h FROM documents),
-         |bits AS (
-         |  SELECT doc_id, b,
-         |    strpos('0123456789abcdef', substring(h, b // 4 + 1, 1)) - 1 AS d
-         |  FROM tok, (SELECT unnest(generate_series(0, 63)) AS b)),
-         |votes AS (
-         |  SELECT doc_id, b,
-         |    sum(CASE WHEN (d >> (3 - b % 4)) & 1 = 1 THEN 1 ELSE -1 END)
-         |      AS vote
-         |  FROM bits GROUP BY doc_id, b),
-         |blocks AS (
-         |  SELECT doc_id, b // 16 AS blk,
-         |    cast(sum(CASE WHEN vote > 0
-         |      THEN cast(pow(2, b % 16) as bigint) ELSE 0 END) as bigint)
-         |      AS block
-         |  FROM votes GROUP BY doc_id, b // 16),
-         |cs AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM blocks a JOIN blocks b
-         |    ON a.blk = b.blk AND a.block = b.block
-         |      AND a.doc_id < b.doc_id),
+         |$duckBandPairCtes,
+         |$duckSimhashPairCtes,
          |dd AS (
          |  SELECT doc_id, lang,
          |    array_to_string(list_slice(list_sort(list_distinct($dToks)),
@@ -1234,6 +1295,38 @@ object Dedup {
          |${summary("sorted_neighborhood", "cn")}
          |ORDER BY blocker""".stripMargin
     },
+
+    "q151_blocker_kappa" ->
+      s"""WITH $duckBandPairCtes,
+         |$duckSimhashPairCtes,
+         |cells AS (
+         |  SELECT
+         |    cast(sum(CASE WHEN f = 3 THEN 1 ELSE 0 END) as bigint) AS both_yes,
+         |    cast(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) as bigint) AS bands_only,
+         |    cast(sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) as bigint) AS sim_only
+         |  FROM (
+         |    SELECT id_a, id_b, sum(f) AS f FROM (
+         |      SELECT id_a, id_b, 1 AS f FROM cb
+         |      UNION ALL
+         |      SELECT id_a, id_b, 2 AS f FROM cs)
+         |    GROUP BY 1, 2)),
+         |n AS (SELECT cast(count(*) as bigint) AS n_docs FROM documents),
+         |k AS (
+         |  SELECT n_docs * (n_docs - 1) // 2 AS n_pairs,
+         |    both_yes, bands_only, sim_only,
+         |    n_docs * (n_docs - 1) // 2
+         |      - both_yes - bands_only - sim_only AS both_no
+         |  FROM cells, n)
+         |SELECT cast(n_pairs as bigint) AS n_pairs, both_yes, bands_only,
+         |  sim_only, cast(both_no as bigint) AS both_no,
+         |  cast(n_pairs * (both_yes + both_no)
+         |      - ((both_yes + bands_only) * (both_yes + sim_only)
+         |        + (both_no + sim_only) * (both_no + bands_only)) as double)
+         |    / cast(n_pairs * n_pairs
+         |      - ((both_yes + bands_only) * (both_yes + sim_only)
+         |        + (both_no + sim_only) * (both_no + bands_only)) as double)
+         |    AS kappa
+         |FROM k""".stripMargin,
 
     "q131_weighted_jaccard" ->
       s"""WITH allsh AS (

@@ -81,8 +81,66 @@ object Series {
         .select(col("probe_id"), (col("pos") + 1).cast("int").as("rk"),
           col("col.id").as("user_id"), col("col.score").as("r"))
         .orderBy("rk")
+    },
+
+    // EWMA smoothing of per-type daily volumes — the anomaly-baseline
+    // primitive (monitoring, trend extraction) in a hash-exact form:
+    // the geometric weights (1−α)^k are pre-rendered as INTEGER
+    // micro-weights w_k = round(10⁶·0.7^k) clipped to a 14-day horizon,
+    // so the smoothed numerator Σ w_k·x_{t−k} and its denominator are
+    // exact bigints and the only float is one final divide. Instead of
+    // a running recurrence (inherently sequential) the bounded horizon
+    // turns EWMA into a 14-wide trailing weighted sum: a self-join of
+    // the DENSE per-type day grid with fan-out ≤ 14 — embarrassingly
+    // parallel and identical in any engine. Scale shape: the corpus
+    // touches ONE shuffle (the daily compaction, output = #types ×
+    // #days); the grid join runs on day-count-sized data, same argument
+    // as q96's range frame.
+    "q150_ewma" -> { (s, dir) =>
+      val ev = Synth.events(s, dir)
+        .select(col("event_type"),
+          expr("cast(datediff(cast(ts as date), date'1970-01-01') as bigint)")
+            .as("abs_day"))
+      val base = ev.agg(min(col("abs_day")).as("d0"))
+      val daily = ev.crossJoin(broadcast(base))
+        .withColumn("day", col("abs_day") - col("d0"))
+        .filter(col("day") < nDays)
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      val grid = daily.select("event_type").distinct()
+        .select(col("event_type"), explode(expr(s"sequence(0L, ${nDays - 1}L)")).as("day"))
+      val dense = grid.join(daily, Seq("event_type", "day"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+      val wArr = EwmaWeights.mkString("array(", "L, ", "L)")
+      val dArr = EwmaDens.mkString("array(", "L, ", "L)")
+      dense.as("c")
+        .join(dense.as("p"),
+          col("c.event_type") === col("p.event_type") &&
+            col("p.day").between(col("c.day") - (EwmaHorizon - 1), col("c.day")))
+        .select(col("c.event_type").as("event_type"), col("c.day").as("day"),
+          col("c.n").as("n"),
+          (expr(s"element_at($wArr, cast(c.day - p.day as int) + 1)") *
+            col("p.n")).as("term"))
+        .groupBy("event_type", "day", "n")
+        .agg(sum(col("term")).as("ewma_num"))
+        .withColumn("ewma_den",
+          expr(s"element_at($dArr, cast(least(day, ${EwmaHorizon - 1}) as int) + 1)"))
+        .withColumn("ewma",
+          col("ewma_num").cast("double") / col("ewma_den").cast("double"))
+        .select("event_type", "day", "n", "ewma_num", "ewma_den", "ewma")
+        .orderBy("event_type", "day")
     }
   )
+
+  /** 14-day clipped EWMA geometric weights at α = 0.3, in integer
+    * millionths — the same literals render into both engines, so the
+    * weighted sums are exact. */
+  private val EwmaHorizon = 14
+  private[operators] val EwmaWeights: Seq[Long] =
+    (0 until EwmaHorizon).map(k => math.round(1e6 * math.pow(0.7, k)))
+  /** Denominator for day t = Σ_{k ≤ min(t, 13)} w_k (partial horizon at
+    * the series head). */
+  private[operators] val EwmaDens: Seq[Long] =
+    EwmaWeights.scanLeft(0L)(_ + _).tail
 
   def oracle: Map[String, String] = Map(
     "q130_series_similarity" ->
@@ -136,6 +194,45 @@ object Series {
          |      / (sqrt(cast(varx as double)) * sqrt(cast(vary as double)))
          |      DESC, user_id) as int) AS rk
          |  FROM scored WHERE varx > 0 AND vary > 0)
-         |WHERE rk <= $topK ORDER BY rk""".stripMargin
+         |WHERE rk <= $topK ORDER BY rk""".stripMargin,
+
+    "q150_ewma" -> {
+      val w = EwmaWeights.mkString("[", ", ", "]")
+      val d = EwmaDens.mkString("[", ", ", "]")
+      s"""WITH ev AS (
+         |  SELECT event_type,
+         |    cast(date_diff('day', DATE '1970-01-01', cast(ts as date))
+         |      as bigint) AS abs_day
+         |  FROM events),
+         |base AS (SELECT min(abs_day) AS d0 FROM ev),
+         |daily AS (
+         |  SELECT event_type, abs_day - (SELECT d0 FROM base) AS day,
+         |    count(*) AS n
+         |  FROM ev WHERE abs_day - (SELECT d0 FROM base) < $nDays
+         |  GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT t.event_type, g.d AS day
+         |  FROM (SELECT DISTINCT event_type FROM daily) t,
+         |    range(0, $nDays) g(d)),
+         |dense AS (
+         |  SELECT g.event_type, g.day, cast(coalesce(daily.n, 0) as bigint) AS n
+         |  FROM grid g LEFT JOIN daily
+         |    ON daily.event_type = g.event_type AND daily.day = g.day),
+         |sm AS (
+         |  SELECT c.event_type, c.day, c.n,
+         |    cast(sum(($w)[cast(c.day - p.day as int) + 1] * p.n)
+         |      as bigint) AS ewma_num
+         |  FROM dense c JOIN dense p
+         |    ON p.event_type = c.event_type
+         |    AND p.day BETWEEN c.day - ${EwmaHorizon - 1} AND c.day
+         |  GROUP BY 1, 2, 3)
+         |SELECT event_type, day, n, ewma_num,
+         |  cast(($d)[cast(least(day, ${EwmaHorizon - 1}) as int) + 1]
+         |    as bigint) AS ewma_den,
+         |  cast(ewma_num as double)
+         |    / cast(($d)[cast(least(day, ${EwmaHorizon - 1}) as int) + 1]
+         |      as double) AS ewma
+         |FROM sm ORDER BY event_type, day""".stripMargin
+    }
   )
 }

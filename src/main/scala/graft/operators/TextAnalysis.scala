@@ -902,6 +902,47 @@ object TextAnalysis {
         .groupBy((floor(col("n_chars") / 100) * 100).as("bucket"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("bucket")
+    },
+
+    // Within-document repetition signals — the Gopher-rule quality
+    // filters (Rae et al. 2021 §A1.1) that catch machine-generated /
+    // boilerplate-looped text EXACT dedup can't see (the repetition is
+    // inside one doc): fraction of duplicate 2-grams and 3-grams, and
+    // the character share of the single most frequent 2-gram. The dup
+    // fractions are map-only (array_distinct against the full n-gram
+    // list); the top-gram pass is one explode + (doc, gram) count +
+    // per-doc argmax — the q108 shuffle shape, keyed by doc so no key
+    // outgrows a task. All ratios are integer MILLIONTHS (a · 10⁶ div b)
+    // so every value hash-matches cross-engine.
+    "q148_repetition_signals" -> { (s, dir) =>
+      def grams(n: Int) =
+        s"if(size(t) < $n, array(), transform(sequence(1, size(t) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(t, i, $n))))"
+      val base = Synth.documents(s, dir)
+        .select(col("doc_id"), expr(toks).as("t"))
+        .withColumn("n_tokens", expr("size(t)"))
+        .withColumn("n_chars", expr("length(array_join(t, ' '))"))
+        .withColumn("g2", expr(grams(2)))
+        .withColumn("g3", expr(grams(3)))
+        .withColumn("dup_bigram_ppm", expr(
+          "if(size(g2) = 0, 0L, cast(size(g2) - size(array_distinct(g2)) as bigint) * 1000000 div size(g2))"))
+        .withColumn("dup_trigram_ppm", expr(
+          "if(size(g3) = 0, 0L, cast(size(g3) - size(array_distinct(g3)) as bigint) * 1000000 div size(g3))"))
+      val top = base.select(col("doc_id"), explode(col("g2")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(max(struct(col("cnt"), col("g"))).as("tg"))
+        .select(col("doc_id"), col("tg.cnt").as("top_cnt"),
+          col("tg.g").as("top_g"))
+      base.select("doc_id", "n_tokens", "n_chars",
+          "dup_bigram_ppm", "dup_trigram_ppm")
+        .join(top, Seq("doc_id"), "left")
+        .withColumn("top_bigram_chars_ppm", coalesce(
+          expr("cast(top_cnt as bigint) * length(top_g) * 1000000 div n_chars"),
+          lit(0L)))
+        .select("doc_id", "n_tokens", "dup_bigram_ppm", "dup_trigram_ppm",
+          "top_bigram_chars_ppm")
+        .orderBy("doc_id")
     }
   )
 
@@ -1524,6 +1565,41 @@ object TextAnalysis {
     "q27_length_hist" ->
       """SELECT cast(floor(n_chars / 100) * 100 as bigint) AS bucket,
         | count(*) AS n_docs
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q148_repetition_signals" ->
+      s"""WITH t AS (SELECT doc_id, $dToks AS t FROM documents),
+         |base AS (
+         |  SELECT doc_id, cast(len(t) as int) AS n_tokens,
+         |    length(array_to_string(t, ' ')) AS n_chars,
+         |    CASE WHEN len(t) < 2 THEN []::varchar[] ELSE
+         |      list_transform(generate_series(1, len(t) - 1),
+         |        i -> t[i] || ' ' || t[i + 1]) END AS g2,
+         |    CASE WHEN len(t) < 3 THEN []::varchar[] ELSE
+         |      list_transform(generate_series(1, len(t) - 2),
+         |        i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) END AS g3
+         |  FROM t),
+         |sig AS (
+         |  SELECT doc_id, n_tokens, n_chars,
+         |    CASE WHEN len(g2) = 0 THEN 0 ELSE
+         |      cast(len(g2) - len(list_distinct(g2)) as bigint) * 1000000 // len(g2)
+         |    END AS dup_bigram_ppm,
+         |    CASE WHEN len(g3) = 0 THEN 0 ELSE
+         |      cast(len(g3) - len(list_distinct(g3)) as bigint) * 1000000 // len(g3)
+         |    END AS dup_trigram_ppm,
+         |    g2
+         |  FROM base),
+         |top AS (
+         |  SELECT doc_id, max(struct_pack(cnt := cnt, g := g)) AS tg
+         |  FROM (SELECT doc_id, g, count(*) AS cnt
+         |        FROM (SELECT doc_id, unnest(g2) AS g FROM base) GROUP BY 1, 2)
+         |  GROUP BY doc_id)
+         |SELECT s.doc_id AS doc_id, n_tokens,
+         |  cast(dup_bigram_ppm as bigint) AS dup_bigram_ppm,
+         |  cast(dup_trigram_ppm as bigint) AS dup_trigram_ppm,
+         |  cast(coalesce(
+         |    cast(tg.cnt as bigint) * length(tg.g) * 1000000 // n_chars,
+         |    0) as bigint) AS top_bigram_chars_ppm
+         |FROM sig s LEFT JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin
   )
 }

@@ -87,6 +87,38 @@ object ZOrder {
           interleave(x, y, Bits).as("zval"))
         .withColumn("zbucket", expr("cast(zval div 1024 as int)"))
         .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // Zone-map skipping report — the statistics half of the z-order
+    // story: per z-bucket (the unit q69's writer turns into a file),
+    // min/max of BOTH raw dimensions (the parquet footer stats), the
+    // planner's scan/skip verdict for a 2-D box predicate
+    // (10 ≤ qty ≤ 20 ∧ price-bucket ≤ 5), and the count of rows that
+    // actually match. Soundness is visible in the output: every bucket
+    // with n_match > 0 must have scanned = true (zone maps may
+    // over-scan, never under-scan) — and the z-layout makes the
+    // over-scan small because each bucket's box is tight in both dims.
+    // Scale shape: the zone-map build is ONE map-side-combinable agg
+    // over the layout key; the verdict is a row-local predicate over
+    // #buckets rows — exactly what a table format's planning pass does.
+    "q149_zonemap_prune" -> { (s, dir) =>
+      val x = floor(col("l_quantity")).cast("int").bitwiseAND(lit(255))
+      val y = least(floor(col("l_extendedprice") / 1000).cast("int"), lit(255))
+      Synth.lineitem(s, dir)
+        .select(x.as("zx"), y.as("zy"), interleave(x, y, Bits).as("zval"))
+        .withColumn("zbucket", expr("cast(zval div 1024 as int)"))
+        .groupBy("zbucket")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          min(col("zx")).as("min_x"), max(col("zx")).as("max_x"),
+          min(col("zy")).as("min_y"), max(col("zy")).as("max_y"),
+          sum(when(col("zx").between(10, 20) && col("zy") <= 5, 1L)
+            .otherwise(0L)).as("n_match"))
+        .withColumn("scanned",
+          col("min_x") <= 20 && col("max_x") >= 10 && col("min_y") <= 5)
+        .select("zbucket", "n_rows", "min_x", "max_x", "min_y", "max_y",
+          "scanned", "n_match")
+        .orderBy("zbucket")
     }
   )
 
@@ -99,7 +131,23 @@ object ZOrder {
            |  $x AS zx, cast($y as int) AS zy,
            |  cast(${duckInterleave(x, y, Bits)} as int) AS zval,
            |  cast((${duckInterleave(x, y, Bits)}) // 1024 as int) AS zbucket
-           |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+           |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+      "q149_zonemap_prune" ->
+        s"""WITH z AS (
+           |  SELECT $x AS zx, cast($y as int) AS zy,
+           |    cast((${duckInterleave(x, y, Bits)}) // 1024 as int) AS zbucket
+           |  FROM lineitem),
+           |zm AS (
+           |  SELECT zbucket, count(*) AS n_rows,
+           |    min(zx) AS min_x, max(zx) AS max_x,
+           |    min(zy) AS min_y, max(zy) AS max_y,
+           |    cast(sum(CASE WHEN zx BETWEEN 10 AND 20 AND zy <= 5
+           |      THEN 1 ELSE 0 END) as bigint) AS n_match
+           |  FROM z GROUP BY 1)
+           |SELECT zbucket, n_rows, min_x, max_x, min_y, max_y,
+           |  (min_x <= 20 AND max_x >= 10 AND min_y <= 5) AS scanned, n_match
+           |FROM zm ORDER BY zbucket""".stripMargin
     )
   }
 }

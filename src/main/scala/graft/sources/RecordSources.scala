@@ -31,6 +31,31 @@ object RecordSources {
 
   /** The connector option map — split from [[build]] so the mapping is
     * unit-testable without a connector on the classpath.
+    *
+    * ==Option-name conformance (production swap is config-only)==
+    *
+    * The published AWS Structured Streaming connector
+    * (awslabs/spark-sql-kinesis-connector, format `aws-kinesis`) prefixes
+    * every option with `kinesis.`; the offline `graft-kinesis` double
+    * accepts BOTH spellings (KinesisFileTable.opt), so swapping formats
+    * needs no code change. Mapping, graft → connector:
+    *
+    *  | graft option              | aws-kinesis connector option       |
+    *  |---------------------------|------------------------------------|
+    *  | streamName                | kinesis.streamName                 |
+    *  | region                    | kinesis.region                     |
+    *  | initialPosition           | kinesis.startingPosition           |
+    *  | initialTimestamp          | kinesis.startingPosition (JSON ts) |
+    *  | maxFetchRecordsPerShard   | kinesis.maxFetchRecordsPerShard    |
+    *  | minFetchPeriodMillis      | kinesis.minFetchPeriod (duration)  |
+    *
+    * Position VALUES (LATEST / TRIM_HORIZON / AT_TIMESTAMP) are spelled
+    * identically in both. The KCL lease/DynamoDB knobs the reference
+    * tunes (config.aws.reference.hocon:39-57 leaseDuration,
+    * maxLeasesToStealAtOneTimeFactor, checkpointThrottledBackoffPeriod)
+    * have no DSv2 equivalent — the micro-batch offset log replaces the
+    * lease table entirely, which is the architectural point of the
+    * Spark-first re-expression.
     */
   def kinesisOptions(k: Kinesis): Map[String, String] =
     Map(

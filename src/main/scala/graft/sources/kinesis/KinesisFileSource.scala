@@ -94,11 +94,28 @@ object KinesisFileSource {
 
 class KinesisFileTable(options: CaseInsensitiveStringMap)
     extends Table with SupportsRead {
-  private val streamName: String = {
-    val s = options.get("streamName")
-    require(s != null && s.nonEmpty, "Missing required option: streamName")
-    s
-  }
+
+  /** Option lookup that accepts BOTH this engine's bare spelling and the
+    * published AWS `spark-sql-kinesis-connector` spelling (`kinesis.`-
+    * prefixed, case-insensitive) — see the conformance table on
+    * [[graft.sources.RecordSources.kinesisOptions]]. A production swap to
+    * the real connector is then config-only in either direction.
+    */
+  private def opt(bare: String, connector: String): Option[String] =
+    Option(options.get(bare)).orElse(Option(options.get(connector)))
+      .filter(_.nonEmpty)
+
+  private val streamName: String =
+    opt("streamName", "kinesis.streamName").getOrElse(
+      throw new IllegalArgumentException(
+        "Missing required option: streamName (or kinesis.streamName)"))
+
+  private val initialPosition: String =
+    opt("initialPosition", "kinesis.startingPosition").getOrElse("LATEST")
+
+  private val maxFetchRecordsPerShard: Int =
+    opt("maxFetchRecordsPerShard", "kinesis.maxFetchRecordsPerShard")
+      .map(_.toInt).getOrElse(Int.MaxValue)
 
   override def name(): String = s"graft-kinesis:$streamName"
   override def schema(): StructType = KinesisFileSource.Schema
@@ -111,9 +128,7 @@ class KinesisFileTable(options: CaseInsensitiveStringMap)
         override def readSchema(): StructType = KinesisFileSource.Schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new KinesisFileMicroBatchStream(
-            streamName,
-            options.getOrDefault("initialPosition", "LATEST"),
-            options.getInt("maxFetchRecordsPerShard", Int.MaxValue))
+            streamName, initialPosition, maxFetchRecordsPerShard)
       }
     }
 }

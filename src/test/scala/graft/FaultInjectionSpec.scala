@@ -1,0 +1,116 @@
+package graft
+
+import java.io.ByteArrayInputStream
+import java.nio.file.Files
+import java.time.Instant
+import java.util.zip.GZIPInputStream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config._
+import graft.sinks.{FaultyLocalFileSystem, HadoopBlobStore}
+import graft.streaming.LoaderPipeline
+
+/** Write-path fault injection through a real Hadoop FileSystem: a task
+  * dies mid-object-PUT (partial bytes land at the target key, then the
+  * task fails), Spark retries the task, and under idempotent naming the
+  * retry must converge to exactly the expected object set — no duplicate
+  * lines, no missing lines, no surviving partial garbage. This is the
+  * claim the loader makes about object-store semantics (PUT-overwrite +
+  * deterministic names ⇒ at-least-once execution, exactly-once content)
+  * tested beyond file:// — the `s3x://` scheme goes through the same
+  * `fs.<scheme>.impl` registration a production S3 connector uses.
+  */
+class FaultInjectionSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  // local[4, 2]: allow ONE task retry — the fault must fail the attempt,
+  // not the job.
+  private lazy val spark = SparkSession.builder()
+    .master("local[4, 2]")
+    .appName("fault-injection-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val fixedNow = Instant.parse("1970-01-01T00:00:00Z")
+
+  private def gunzip(b: Array[Byte]): String =
+    new String(new GZIPInputStream(new ByteArrayInputStream(b)).readAllBytes())
+
+  private def tsv(ts: String, id: String): String =
+    s"app\tweb\t\t$ts\t\tpage_view\t$id"
+
+  private def rawDf(payloads: Seq[String]): DataFrame = {
+    import spark.implicits._
+    payloads.map(_.getBytes("UTF-8")).toDF("value")
+  }
+
+  private val fsConf = Map(
+    "fs.s3x.impl" -> classOf[FaultyLocalFileSystem].getName)
+
+  test("a mid-PUT task death + retry yields no duplicate/missing lines under idempotent naming") {
+    val dir = Files.createTempDirectory("s3x_fault").toString
+    val cfg = LoaderConfig(Purpose.Enriched,
+      Output(s"s3x://$dir/good", idempotentNames = true),
+      BadOutput(s"s3x://$dir/bad"))
+    val lines = (1 to 50).map(i => tsv(f"1970-01-01 00:00:$i%02.0f.000", s"id-$i"))
+
+    val store = new HadoopBlobStore(fsConf)
+    val metrics = new LoaderPipeline.Metrics
+    FaultyLocalFileSystem.armFaults(1)
+    LoaderPipeline.runBatch(rawDf(lines), cfg, store, metrics, () => fixedNow,
+      batchId = Some(42L))
+
+    // the fault genuinely fired (so a task DID die and retry)
+    assert(FaultyLocalFileSystem.faultsFired.get() == 1,
+      "expected the injected fault to hit the write path")
+
+    // every input line present exactly once across the good objects
+    val goodFiles = new java.io.File(s"$dir/good").listFiles().toSeq
+      .filter(_.getName.endsWith(".gz"))
+    assert(goodFiles.nonEmpty)
+    val written = goodFiles
+      .flatMap(f => gunzip(Files.readAllBytes(f.toPath)).linesIterator)
+    assert(written.sorted == lines.sorted,
+      s"expected ${lines.size} unique lines, got ${written.size} " +
+        s"(${written.distinct.size} distinct)")
+    // no partial garbage object survived the retry
+    assert(!written.exists(_.contains("partial-garbage")))
+    assert(metrics.count.get() == lines.size)
+  }
+
+  test("the same batch replayed end-to-end after a fault overwrites, never duplicates") {
+    // Simulates the streaming at-least-once path: the WHOLE batch re-runs
+    // (checkpoint not yet committed when the first run's job failed).
+    val dir = Files.createTempDirectory("s3x_replay").toString
+    val cfg = LoaderConfig(Purpose.Enriched,
+      Output(s"s3x://$dir/good", idempotentNames = true),
+      BadOutput(s"s3x://$dir/bad"))
+    val lines = (1 to 20).map(i => tsv(f"1970-01-01 00:00:$i%02.0f.000", s"id-$i"))
+    val store = new HadoopBlobStore(fsConf)
+
+    // first delivery fails the JOB: more faults than the retry budget
+    FaultyLocalFileSystem.armFaults(10)
+    intercept[Exception] {
+      LoaderPipeline.runBatch(rawDf(lines), cfg, store,
+        new LoaderPipeline.Metrics, () => fixedNow, batchId = Some(7L))
+    }
+    FaultyLocalFileSystem.armFaults(0)
+
+    // redelivery of the SAME batch id (at-least-once) must converge
+    val metrics = new LoaderPipeline.Metrics
+    LoaderPipeline.runBatch(rawDf(lines), cfg, store, metrics, () => fixedNow,
+      batchId = Some(7L))
+    val written = new java.io.File(s"$dir/good").listFiles().toSeq
+      .filter(_.getName.endsWith(".gz"))
+      .flatMap(f => gunzip(Files.readAllBytes(f.toPath)).linesIterator)
+    assert(written.sorted == lines.sorted,
+      s"expected ${lines.size} unique lines, got ${written.size}")
+    assert(metrics.count.get() == lines.size)
+  }
+}

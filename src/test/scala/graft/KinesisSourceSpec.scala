@@ -212,4 +212,28 @@ class KinesisSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(String.valueOf(e.getMessage).contains("streamName"))
   }
+
+  test("S1: the published connector's option spelling (kinesis.*) decodes identically") {
+    // the awslabs spark-sql-kinesis-connector spelling — see the
+    // conformance table on RecordSources.kinesisOptions; a production
+    // swap must be config-only, so the double accepts both spellings
+    val streamDir = newDir("kinesis-conn-spelling")
+    writeShard(streamDir, "shard-0000", (0 until 5).map(tsv))
+    val df = spark.readStream.format("graft-kinesis")
+      .option("kinesis.streamName", streamDir.toString)
+      .option("kinesis.region", "local")
+      .option("kinesis.startingPosition", "TRIM_HORIZON")
+      .option("kinesis.maxFetchRecordsPerShard", "2")
+      .load()
+    val q = df.writeStream.format("memory").queryName("conn_spelling").start()
+    try {
+      q.processAllAvailable()
+      val batches = spark.table("conn_spelling").count()
+      assert(batches == 5, s"expected all 5 records via kinesis.* options, got $batches")
+      // admission control honored the prefixed maxFetchRecordsPerShard:
+      // 5 records at ≤2/shard/trigger means ≥3 micro-batches committed
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        q.recentProgress.map(_.numInputRows).mkString(","))
+    } finally q.stop()
+  }
 }
