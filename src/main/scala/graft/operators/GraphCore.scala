@@ -62,6 +62,33 @@ object GraphCore {
         .filter(col("pa") < col("pb"))
         .select("pa", "pb").distinct()
       peel(edges, K, Rounds).orderBy("node")
+    },
+
+    // Butterfly (bipartite 4-cycle) census over the order–part graph —
+    // THE cohesion statistic for bipartite data (Sanei-Mehri et al.
+    // 2018), where triangles don't exist by construction: a butterfly is
+    // two orders sharing two parts. Never enumerated 4 ways: wedges
+    // Σ_p C(df_p, 2) come from one degree pass; butterflies
+    // Σ_{order pairs} C(shared, 2) from the part-keyed wedge join +
+    // per-pair count — cost is Σ_p C(df_p, 2), the same inverted-index
+    // bound as q31, with the hub-cap guard applying at web scale. All
+    // counts exact bigints; the per-wedge rate is the one final divide.
+    "q152_butterflies" -> { (s, dir) =>
+      val op = Synth.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val wedges = op.groupBy("pk").agg(count(lit(1)).as("df"))
+        .agg(sum(expr("df * (df - 1) div 2")).as("n_wedges"))
+      val bf = op.toDF("oa", "pk")
+        .join(op.toDF("ob", "pk").hint("shuffle_hash"), "pk")
+        .filter(col("oa") < col("ob"))
+        .groupBy("oa", "ob").agg(count(lit(1)).as("shared"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(expr("shared * (shared - 1) div 2")).as("n_butterflies"))
+      bf.crossJoin(broadcast(wedges))
+        .withColumn("butterflies_per_wedge",
+          col("n_butterflies").cast("double") / col("n_wedges").cast("double"))
+        .select("n_wedges", "n_pairs", "n_butterflies", "butterflies_per_wedge")
     }
   )
 
@@ -93,7 +120,26 @@ object GraphCore {
            |SELECT node, cast(count(*) as bigint) AS deg FROM (
            |  SELECT pa AS node FROM e$Rounds
            |  UNION ALL SELECT pb FROM e$Rounds)
-           |GROUP BY node ORDER BY node""".stripMargin
+           |GROUP BY node ORDER BY node""".stripMargin,
+
+      "q152_butterflies" ->
+        """WITH op AS (
+          |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          |w AS (
+          |  SELECT cast(sum(df * (df - 1) // 2) as bigint) AS n_wedges
+          |  FROM (SELECT pk, count(*) AS df FROM op GROUP BY pk)),
+          |sh AS (
+          |  SELECT a.ok AS oa, b.ok AS ob, count(*) AS shared
+          |  FROM op a JOIN op b ON a.pk = b.pk AND a.ok < b.ok
+          |  GROUP BY 1, 2),
+          |bf AS (
+          |  SELECT cast(count(*) as bigint) AS n_pairs,
+          |    cast(sum(shared * (shared - 1) // 2) as bigint) AS n_butterflies
+          |  FROM sh)
+          |SELECT n_wedges, n_pairs, n_butterflies,
+          |  cast(n_butterflies as double) / cast(n_wedges as double)
+          |    AS butterflies_per_wedge
+          |FROM bf, w""".stripMargin
     )
   }
 }

@@ -66,7 +66,51 @@ object PageRank {
     ranks
   }
 
+  /** Personalized PageRank: restart mass concentrates on a seed set
+    * instead of spreading uniformly — the "what is reachable from HERE"
+    * relevance score behind recommendation and related-item mining.
+    * Identical integer numerics to [[runWeighted]]; the only changes are
+    * the per-vertex restart term (Scale·15/100/|S| on seeds, 0
+    * elsewhere) and the seed-concentrated init (Scale/|S|). The seed
+    * flag is joined once and checkpointed with the vertices, so each
+    * iteration costs exactly what a global-PageRank iteration costs.
+    */
+  def runPersonalized(
+      vertices: DataFrame, edges: DataFrame, seeds: DataFrame,
+      iters: Int): DataFrame = {
+    val wedges = edges.groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val seeded = vertices
+      .join(seeds.select(col("id"), lit(1).as("is_seed")), Seq("id"), "left")
+      .localCheckpoint()
+    val nSeeds = seeded.filter(col("is_seed") === 1).count()
+    require(nSeeds > 0, "empty seed set")
+    val baseSeed = Scale * 15 / 100 / nSeeds
+    val deg = wedges.groupBy("src").agg(sum(col("cnt")).as("deg"))
+    var ranks = seeded
+      .withColumn("rank_fp",
+        when(col("is_seed") === 1, lit(Scale / nSeeds)).otherwise(lit(0L)))
+      .select("id", "rank_fp")
+    for (_ <- 1 to iters) {
+      val contrib = wedges
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(deg, "src")
+        .withColumn("c", expr("(rank_fp div deg) * cnt"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("c")).as("in_sum"))
+      ranks = seeded
+        .join(contrib, Seq("id"), "left")
+        .withColumn("rank_fp",
+          when(col("is_seed") === 1, lit(baseSeed)).otherwise(lit(0L)) +
+            expr("coalesce(in_sum, 0L) * 85 div 100"))
+        .select("id", "rank_fp")
+        .localCheckpoint()
+    }
+    ranks
+  }
+
   private val nIters = 3
+  private val PprSeed = "purchase"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Rank event types by their position in user journeys: consecutive
@@ -101,6 +145,23 @@ object PageRank {
         .groupBy("t1", "t2", "t3").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
         .limit(20)
+    },
+
+    // Personalized PageRank from the 'purchase' vertex over the same
+    // journey-transition graph as q67 — "which event types does the
+    // random purchase-anchored surfer concentrate on": the relevance
+    // primitive behind seed-set expansion and related-item mining,
+    // with q67's bit-exact integer numerics.
+    "q154_personalized_pagerank" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val ev = Synth.events(s, dir)
+      val edges = ev
+        .select(col("event_type").as("src"),
+          lead(col("event_type"), 1).over(w).as("dst"))
+        .filter(col("dst").isNotNull)
+      val vertices = ev.select(col("event_type").as("id")).distinct()
+      val seeds = vertices.filter(col("id") === PprSeed)
+      runPersonalized(vertices, edges, seeds, nIters).orderBy("id")
     }
   )
 
@@ -148,7 +209,41 @@ object PageRank {
           |SELECT t1, t2, t3, count(*) AS n
           |FROM tri WHERE t2 IS NOT NULL AND t3 IS NOT NULL
           |GROUP BY 1, 2, 3
-          |ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin
+          |ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin,
+
+      "q154_personalized_pagerank" -> {
+        // |S| = 1: restart term Scale·15/100 on the seed, 0 elsewhere
+        val baseSeed = Scale * 15 / 100
+        def b(v: String) =
+          s"CASE WHEN $v = '$PprSeed' THEN $baseSeed ELSE 0 END"
+        val pprIters = (1 to nIters).map { i =>
+          s"""r$i AS (
+             |  SELECT v.id,
+             |    ${b("v.id")} + coalesce(c.in_sum, 0) * 85 // 100 AS rank_fp
+             |  FROM verts v LEFT JOIN (
+             |    SELECT e.dst AS id,
+             |      cast(sum(r.rank_fp // d.deg) as bigint) AS in_sum
+             |    FROM edges e
+             |      JOIN r${i - 1} r ON r.id = e.src
+             |      JOIN deg d ON d.src = e.src
+             |    GROUP BY e.dst) c ON c.id = v.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH trans AS (
+           |  SELECT event_type AS src,
+           |    lead(event_type) OVER (PARTITION BY user_id
+           |      ORDER BY ts, event_id) AS dst
+           |  FROM events),
+           |edges AS (SELECT src, dst FROM trans WHERE dst IS NOT NULL),
+           |verts AS (SELECT DISTINCT event_type AS id FROM events),
+           |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+           |r0 AS (
+           |  SELECT id,
+           |    CASE WHEN id = '$PprSeed' THEN $Scale ELSE 0 END AS rank_fp
+           |  FROM verts),
+           |$pprIters
+           |SELECT id, cast(rank_fp as bigint) AS rank_fp
+           |FROM r$nIters ORDER BY id""".stripMargin
+      }
     )
   }
 }

@@ -799,6 +799,54 @@ object Relational {
         .orderBy("event_type")
     },
 
+    // Skew advisor — the planning pass that decides WHEN q82's salting
+    // (and SkewJoin's buckets) is needed, instead of guessing: per join
+    // key, its row count, corpus share (ppm), skew factor vs a perfectly
+    // even 32-partition spread (100 = even), and the salt bucket count
+    // that restores even spread — b = ⌈cnt·P/total⌉, the smallest b with
+    // cnt/b ≤ total/P. All integer arithmetic; the output drives
+    // SkewJoin.buckets config. At 100 TB the same report runs over q102's
+    // CMS heavy-hitter sketch instead of exact counts — identical
+    // downstream formula, this is the exact tier.
+    "q153_skew_advisor" -> { (s, dir) =>
+      val P = 32
+      val keyed = Synth.events(s, dir)
+        .groupBy(col("event_type").as("key")).agg(count(lit(1)).as("cnt"))
+      val tot = keyed.agg(sum(col("cnt")).as("total"))
+      keyed.crossJoin(broadcast(tot))
+        .withColumn("share_ppm", expr("cnt * 1000000 div total"))
+        .withColumn("skew_factor_pct", expr(s"cnt * $P * 100 div total"))
+        .withColumn("rec_salt",
+          expr(s"cast((cnt * $P + total - 1) div total as int)"))
+        .withColumn("needs_salt", col("rec_salt") > 1)
+        .select("key", "cnt", "share_ppm", "skew_factor_pct", "rec_salt",
+          "needs_salt")
+        .orderBy(col("cnt").desc, col("key"))
+    },
+
+    // Leave-one-out target encoding — the categorical→numeric feature
+    // transform that avoids leaking each row's own label: every row gets
+    // the mean target of ITS OWN group computed WITHOUT it,
+    // (Σ_group − y_i) / (n_group − 1). One group aggregation broadcast
+    // back over the fact table (group cardinality = #categories, always
+    // broadcastable) — the corpus pass stays map-side, no window, no
+    // self-join. Sums run in decimal(18,2) (exact for 2-decimal
+    // targets), the subtraction is exact decimal, and the one divide is
+    // fixed-order IEEE — hash-stable. Singleton groups are excluded by
+    // the integer predicate (LOO undefined at n = 1).
+    "q156_loo_target_encoding" -> { (s, dir) =>
+      val ev = Synth.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val stats = ev.groupBy("event_type")
+        .agg(sum(dec(col("value"))).as("s"), count(lit(1)).as("cnt"))
+      ev.join(broadcast(stats), "event_type")
+        .filter(col("cnt") > 1)
+        .withColumn("loo_enc", expr(
+          "cast(s - cast(value as decimal(18,2)) as double) / cast(cnt - 1 as double)"))
+        .select("event_id", "event_type", "value", "loo_enc")
+        .orderBy("event_id")
+    },
+
     // Ordered funnel (view → click → purchase per user): the sequence-
     // pattern shape of product analytics. ONE aggregation: per user,
     // collect the event sequence, sort it in event time (struct sort —
@@ -1245,6 +1293,29 @@ object Relational {
       """SELECT event_type, count(*) AS n,
         | cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q156_loo_target_encoding" ->
+      """WITH stats AS (
+        |  SELECT event_type, sum(cast(value as decimal(18,2))) AS s,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1)
+        |SELECT event_id, e.event_type AS event_type, value,
+        |  cast(s - cast(value as decimal(18,2)) as double)
+        |    / cast(cnt - 1 as double) AS loo_enc
+        |FROM events e JOIN stats USING (event_type)
+        |WHERE cnt > 1 ORDER BY event_id""".stripMargin,
+
+    "q153_skew_advisor" ->
+      """WITH keyed AS (
+        |  SELECT event_type AS key, count(*) AS cnt FROM events GROUP BY 1),
+        |tot AS (SELECT sum(cnt) AS total FROM keyed)
+        |SELECT key, cnt,
+        |  cast(cnt * 1000000 // total as bigint) AS share_ppm,
+        |  cast(cnt * 32 * 100 // total as bigint) AS skew_factor_pct,
+        |  cast((cnt * 32 + total - 1) // total as int) AS rec_salt,
+        |  (cnt * 32 + total - 1) // total > 1 AS needs_salt
+        |FROM keyed, tot
+        |ORDER BY cnt DESC, key""".stripMargin,
 
     // relational unrolling of the HOF walk: seq = per-user event-time
     // rank; stage k's anchor = min seq of the k-th event type after the

@@ -915,15 +915,25 @@ object TextAnalysis {
     // outgrows a task. All ratios are integer MILLIONTHS (a · 10⁶ div b)
     // so every value hash-matches cross-engine.
     "q148_repetition_signals" -> { (s, dir) =>
-      def grams(n: Int) =
-        s"if(size(t) < $n, array(), transform(sequence(1, size(t) - ${n - 1}), " +
-          s"i -> concat_ws(' ', slice(t, i, $n))))"
+      // zip_with over two/three shifted slices, NOT transform(sequence)
+      // + per-gram slice: the composed slice-per-shingle form costs
+      // ~1 ms/doc in the lambda interpreter (the measurement that
+      // justified the native TokenShingles) — zipping pays two slice
+      // copies per DOC and one linear pass (13.7 s → map-speed at sf0.1).
+      def g2Expr =
+        "if(size(t) < 2, array(), zip_with(slice(t, 1, size(t) - 1), " +
+          "slice(t, 2, size(t) - 1), (a, b) -> concat(a, ' ', b)))"
+      def g3Expr =
+        "if(size(t) < 3, array(), zip_with(zip_with(" +
+          "slice(t, 1, size(t) - 2), slice(t, 2, size(t) - 2), " +
+          "(a, b) -> concat(a, ' ', b)), slice(t, 3, size(t) - 2), " +
+          "(ab, c) -> concat(ab, ' ', c)))"
       val base = Synth.documents(s, dir)
         .select(col("doc_id"), expr(toks).as("t"))
         .withColumn("n_tokens", expr("size(t)"))
         .withColumn("n_chars", expr("length(array_join(t, ' '))"))
-        .withColumn("g2", expr(grams(2)))
-        .withColumn("g3", expr(grams(3)))
+        .withColumn("g2", expr(g2Expr))
+        .withColumn("g3", expr(g3Expr))
         .withColumn("dup_bigram_ppm", expr(
           "if(size(g2) = 0, 0L, cast(size(g2) - size(array_distinct(g2)) as bigint) * 1000000 div size(g2))"))
         .withColumn("dup_trigram_ppm", expr(
@@ -943,6 +953,34 @@ object TextAnalysis {
         .select("doc_id", "n_tokens", "dup_bigram_ppm", "dup_trigram_ppm",
           "top_bigram_chars_ppm")
         .orderBy("doc_id")
+    },
+
+    // Grouped OLS fit — the "fit a model per group" primitive (per-source
+    // chars-per-token line here; the shape generalizes to any per-segment
+    // regression): ONE aggregation pass collects the five sufficient
+    // statistics (n, Σx, Σy, Σxy, Σx²) as exact bigints of integer
+    // token/char counts, so the normal-equation numerator/denominator
+    // are exact and the slope/intercept are two fixed-order IEEE
+    // divides — hash-stable under any partitioning, no per-group solver,
+    // no driver round-trip. Zero-variance groups are excluded by the
+    // exact integer predicate (denominator > 0), where the float slope
+    // is undefined.
+    "q155_grouped_ols" -> { (s, dir) =>
+      Synth.documents(s, dir)
+        .select(col("source"),
+          expr(s"cast(size($toks) as bigint)").as("x"),
+          col("n_chars").cast("long").as("y"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .filter(expr("n * sxx - sx * sx > 0"))
+        .withColumn("slope", expr(
+          "cast(n * sxy - sx * sy as double) / cast(n * sxx - sx * sx as double)"))
+        .withColumn("intercept", expr(
+          "(cast(sy as double) - slope * cast(sx as double)) / cast(n as double)"))
+        .select("source", "n", "slope", "intercept")
+        .orderBy("source")
     }
   )
 
@@ -1600,6 +1638,26 @@ object TextAnalysis {
          |  cast(coalesce(
          |    cast(tg.cnt as bigint) * length(tg.g) * 1000000 // n_chars,
          |    0) as bigint) AS top_bigram_chars_ppm
-         |FROM sig s LEFT JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin
+         |FROM sig s LEFT JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q155_grouped_ols" ->
+      s"""WITH st AS (
+         |  SELECT source, count(*) AS n,
+         |    cast(sum(x) as bigint) AS sx, cast(sum(y) as bigint) AS sy,
+         |    cast(sum(x * y) as bigint) AS sxy,
+         |    cast(sum(x * x) as bigint) AS sxx
+         |  FROM (SELECT source, cast(len($dToks) as bigint) AS x,
+         |          cast(n_chars as bigint) AS y
+         |        FROM documents)
+         |  GROUP BY source)
+         |SELECT source, n,
+         |  cast(n * sxy - sx * sy as double)
+         |    / cast(n * sxx - sx * sx as double) AS slope,
+         |  (cast(sy as double)
+         |    - (cast(n * sxy - sx * sy as double)
+         |       / cast(n * sxx - sx * sx as double)) * cast(sx as double))
+         |    / cast(n as double) AS intercept
+         |FROM st WHERE n * sxx - sx * sx > 0
+         |ORDER BY source""".stripMargin
   )
 }
