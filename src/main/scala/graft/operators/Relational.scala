@@ -847,6 +847,49 @@ object Relational {
         .orderBy("event_id")
     },
 
+    // RFM segmentation — the classic recency/frequency/monetary user
+    // quartile grid: per user the three metrics aggregate in one shuffle
+    // (recency vs the corpus max day, integer days; monetary in exact
+    // decimal), the nine quartile thresholds are ONE 1-row broadcast of
+    // interpolated percentiles (bit-identical cross-engine, the q84
+    // argument), and binning + the segment rollup are map-side. Output =
+    // the ≤64-cell segment grid with user counts and revenue — the
+    // marketing-segmentation shape, but also exactly how a curation run
+    // buckets sources by (freshness, volume, quality).
+    "q157_rfm_segments" -> { (s, dir) =>
+      val ev = Synth.events(s, dir)
+      val dmax = ev.agg(max(to_date(col("ts"))).as("dmax"))
+      val rfm = ev.groupBy("user_id").agg(
+        max(to_date(col("ts"))).as("last_d"),
+        count(lit(1)).as("f"),
+        sum(dec(col("value"))).as("m"))
+        .crossJoin(broadcast(dmax))
+        .withColumn("r", datediff(col("dmax"), col("last_d")).cast("long"))
+      val th = rfm.agg(
+        expr("percentile(r, 0.25)").as("r1"),
+        expr("percentile(r, 0.5)").as("r2"),
+        expr("percentile(r, 0.75)").as("r3"),
+        expr("percentile(f, 0.25)").as("f1"),
+        expr("percentile(f, 0.5)").as("f2"),
+        expr("percentile(f, 0.75)").as("f3"),
+        expr("percentile(cast(m as double), 0.25)").as("m1"),
+        expr("percentile(cast(m as double), 0.5)").as("m2"),
+        expr("percentile(cast(m as double), 0.75)").as("m3"))
+      def bin(c: String, lo: String, mid: String, hi: String, asc: Boolean) = {
+        val (b1, b2, b3, b4) = if (asc) (1, 2, 3, 4) else (4, 3, 2, 1)
+        when(col(c) <= col(lo), b1).when(col(c) <= col(mid), b2)
+          .when(col(c) <= col(hi), b3).otherwise(b4)
+      }
+      rfm.crossJoin(broadcast(th))
+        .withColumn("r_bin", bin("r", "r1", "r2", "r3", asc = false))
+        .withColumn("f_bin", bin("f", "f1", "f2", "f3", asc = true))
+        .withColumn("m_bin", bin("m", "m1", "m2", "m3", asc = true))
+        .groupBy("r_bin", "f_bin", "m_bin")
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("m")).cast("double").as("revenue"))
+        .orderBy("r_bin", "f_bin", "m_bin")
+    },
+
     // Ordered funnel (view → click → purchase per user): the sequence-
     // pattern shape of product analytics. ONE aggregation: per user,
     // collect the event sequence, sort it in event time (struct sort —
@@ -1293,6 +1336,42 @@ object Relational {
       """SELECT event_type, count(*) AS n,
         | cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q157_rfm_segments" ->
+      """WITH ev AS (
+        |  SELECT user_id, cast(ts as date) AS d,
+        |    cast(value as decimal(18,2)) AS v
+        |  FROM events),
+        |dmax AS (SELECT max(d) AS dmax FROM ev),
+        |rfm AS (
+        |  SELECT user_id,
+        |    cast(date_diff('day', max(d), (SELECT dmax FROM dmax))
+        |      as bigint) AS r,
+        |    count(*) AS f, sum(v) AS m
+        |  FROM ev GROUP BY user_id),
+        |th AS (
+        |  SELECT quantile_cont(r, 0.25) AS r1, quantile_cont(r, 0.5) AS r2,
+        |    quantile_cont(r, 0.75) AS r3,
+        |    quantile_cont(f, 0.25) AS f1, quantile_cont(f, 0.5) AS f2,
+        |    quantile_cont(f, 0.75) AS f3,
+        |    quantile_cont(cast(m as double), 0.25) AS m1,
+        |    quantile_cont(cast(m as double), 0.5) AS m2,
+        |    quantile_cont(cast(m as double), 0.75) AS m3
+        |  FROM rfm),
+        |binned AS (
+        |  SELECT
+        |    CASE WHEN r <= r1 THEN 4 WHEN r <= r2 THEN 3
+        |         WHEN r <= r3 THEN 2 ELSE 1 END AS r_bin,
+        |    CASE WHEN f <= f1 THEN 1 WHEN f <= f2 THEN 2
+        |         WHEN f <= f3 THEN 3 ELSE 4 END AS f_bin,
+        |    CASE WHEN cast(m as double) <= m1 THEN 1
+        |         WHEN cast(m as double) <= m2 THEN 2
+        |         WHEN cast(m as double) <= m3 THEN 3 ELSE 4 END AS m_bin,
+        |    m
+        |  FROM rfm, th)
+        |SELECT r_bin, f_bin, m_bin, count(*) AS n_users,
+        |  cast(sum(m) as double) AS revenue
+        |FROM binned GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "q156_loo_target_encoding" ->
       """WITH stats AS (

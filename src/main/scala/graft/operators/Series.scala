@@ -135,11 +135,11 @@ object Series {
     * millionths — the same literals render into both engines, so the
     * weighted sums are exact. */
   private val EwmaHorizon = 14
-  private[operators] val EwmaWeights: Seq[Long] =
+  private[graft] val EwmaWeights: Seq[Long] =
     (0 until EwmaHorizon).map(k => math.round(1e6 * math.pow(0.7, k)))
   /** Denominator for day t = Σ_{k ≤ min(t, 13)} w_k (partial horizon at
     * the series head). */
-  private[operators] val EwmaDens: Seq[Long] =
+  private[graft] val EwmaDens: Seq[Long] =
     EwmaWeights.scanLeft(0L)(_ + _).tail
 
   def oracle: Map[String, String] = Map(

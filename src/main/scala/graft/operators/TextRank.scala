@@ -113,6 +113,44 @@ object TextRank {
       levels.orderBy("level", "id")
     },
 
+    // Multi-source BFS reachability census — the neighborhood-function
+    // N(h) estimator (the HyperANF/effective-diameter primitive) run
+    // EXACTLY over 62 seeds: each vertex carries a 62-bit seed mask in
+    // one bigint, a BFS round is one |edges|-bounded join + a per-vertex
+    // bit_or (so 62 traversals cost ONE traversal's shuffles), and
+    // N(h) = Σ_v popcount(mask_v) counts (seed, vertex) pairs within h
+    // hops. 62 bits, not 64: bit 63 is the sign and bit 62 would make
+    // shift semantics engine-dependent; production runs ⌈S/62⌉ mask
+    // words. Seeds are the 62 lexicographically smallest vertices — the
+    // only unpartitioned window runs over those 62 LIMITed rows (the
+    // PrefixSum offsets argument). Integer masks ⇒ hash-exact.
+    "q158_multisource_bfs" -> { (s, dir) =>
+      val (verts, wedges) = wordGraph(s, dir)
+      val e = wedges.select("src", "dst").localCheckpoint()
+      val seeds = verts.orderBy("id").limit(62)
+        .withColumn("bit",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy("id")) - 1)
+      var masks = verts
+        .join(seeds.select(col("id"), col("bit")), Seq("id"), "left")
+        .withColumn("mask", coalesce(expr("shiftleft(1L, bit)"), lit(0L)))
+        .select("id", "mask").localCheckpoint()
+      def census(h: Int, m: DataFrame) =
+        m.agg(lit(h).as("h"),
+          sum(expr("bit_count(mask)")).cast("long").as("reached_pairs"))
+      var rounds = Vector(census(0, masks))
+      for (k <- 1 to bfsRounds) {
+        val nbr = e.join(masks.withColumnRenamed("id", "src"), "src")
+          .groupBy(col("dst").as("id"))
+          .agg(expr("bit_or(mask)").as("nm"))
+        masks = masks.join(nbr, Seq("id"), "left")
+          .withColumn("mask", expr("mask | coalesce(nm, 0L)"))
+          .select("id", "mask").localCheckpoint()
+        rounds :+= census(k, masks)
+      }
+      rounds.reduce(_ unionAll _).orderBy("h")
+    },
+
     // Link prediction by common neighbors — related-term discovery over
     // the same word graph: word pairs that share many neighbors but are
     // NOT directly connected (the co-occurrence graph's missing edges
@@ -184,6 +222,32 @@ object TextRank {
            |a0 AS (SELECT id, level FROM l0),
            |$roundCtes
            |SELECT id, level FROM a$bfsRounds ORDER BY level, id""".stripMargin
+      },
+
+      "q158_multisource_bfs" -> {
+        val roundCtes = (1 to bfsRounds).map { k =>
+          s"""m$k AS MATERIALIZED (
+             |  SELECT m.id, m.mask | coalesce(n.nm, 0) AS mask
+             |  FROM m${k - 1} m LEFT JOIN (
+             |    SELECT e.dst AS id, bit_or(mm.mask) AS nm
+             |    FROM wedges e JOIN m${k - 1} mm ON mm.id = e.src
+             |    GROUP BY e.dst) n ON n.id = m.id)""".stripMargin
+        }.mkString(",\n")
+        val censuses = (0 to bfsRounds).map { h =>
+          s"SELECT $h AS h, cast(sum(bit_count(mask)) as bigint) " +
+            s"AS reached_pairs FROM m$h"
+        }.mkString("\nUNION ALL\n")
+        s"""WITH $duckGraphCtes,
+           |seeds AS (
+           |  SELECT id, row_number() OVER (ORDER BY id) - 1 AS bit
+           |  FROM (SELECT id FROM verts ORDER BY id LIMIT 62)),
+           |m0 AS MATERIALIZED (
+           |  SELECT v.id,
+           |    coalesce(1::BIGINT << s.bit, 0)::BIGINT AS mask
+           |  FROM verts v LEFT JOIN seeds s ON s.id = v.id),
+           |$roundCtes
+           |$censuses
+           |ORDER BY h""".stripMargin
       },
 
       "q132_link_prediction" ->

@@ -332,6 +332,62 @@ object EventTimeAggregates {
         })
   }
 
+  final case class EwmaState(
+      firstDay: Long, maxDay: Long, bins: Seq[DayBin], droppedLate: Long)
+  final case class EwmaPoint(event_type: String, day: Long, n: Long,
+      ewma_num: Long, ewma_den: Long, ewma: Double)
+
+  /** Streaming twin of the batch q150 EWMA: per type, the trailing
+    * 14-day integer-weighted smoothed volume, emitted as each day's
+    * count arrives. State is the last 13 day bins + the series head day
+    * (for the partial-horizon denominator) — O(#types × 13), stream-
+    * volume-independent, the burst-detector sizing argument. Same
+    * contract too: input is the DENSE per-day count stream a finalized
+    * windowed aggregation emits, days non-decreasing per type; a late
+    * re-emit is dropped and counted, never recomputed against pruned
+    * bins. Weights are [[graft.operators.Series.EwmaWeights]] — the
+    * identical integer micro-weights — so on the same dense input the
+    * streaming points equal q150's rows exactly, doubles included.
+    */
+  def streamingEwma(daily: Dataset[DailyCount]): Dataset[EwmaPoint] = {
+    import daily.sparkSession.implicits._
+    val w = graft.operators.Series.EwmaWeights
+    val dens = graft.operators.Series.EwmaDens
+    daily
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (et: String, rows: Iterator[DailyCount], state: GroupState[EwmaState]) => {
+          val st = state.getOption
+            .getOrElse(EwmaState(Long.MinValue, Long.MinValue, Seq.empty, 0L))
+          var first = st.firstDay
+          var maxDay = st.maxDay
+          var bins = st.bins
+          var dropped = st.droppedLate
+          val out = rows.toSeq.sortBy(_.day_num).flatMap { r =>
+            if (maxDay != Long.MinValue && r.day_num <= maxDay) {
+              dropped += 1
+              None
+            } else {
+              if (first == Long.MinValue) first = r.day_num
+              val num = w(0) * r.n + bins.iterator
+                .filter(b => r.day_num - b.day_num < w.length)
+                .map(b => w((r.day_num - b.day_num).toInt) * b.n).sum
+              val den = dens(
+                math.min(r.day_num - first, (w.length - 1).toLong).toInt)
+              // next day t' ≥ day+1 needs offsets t'−b ≤ 13 ⇒ b ≥ day−12
+              bins = (bins :+ DayBin(r.day_num, r.n))
+                .filter(_.day_num >= r.day_num - (w.length - 2))
+              maxDay = r.day_num
+              Some(EwmaPoint(et, r.day_num, r.n, num, den,
+                num.toDouble / den.toDouble))
+            }
+          }
+          state.update(EwmaState(first, maxDay, bins, dropped))
+          out.iterator
+        })
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

@@ -461,4 +461,41 @@ class EventTimeSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(rows((2L, 20L)) == 1)
     } finally q.stop()
   }
+
+  test("streaming EWMA equals batch q150 point-for-point across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the batch truth: q150's dense (type, day, n, num, den, ewma) rows
+    val batch = SparkEntry.queries("q150_ewma")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    assert(batch.nonEmpty)
+    // feed the SAME dense daily counts as a stream, split mid-series so
+    // the trailing-window state must cross the micro-batch boundary
+    val daily = batch.toSeq.map { case ((t, d), (n, _, _, _)) => (t, d, n) }
+      .sortBy { case (t, d, _) => (t, d) }
+    val (b1, b2) = daily.partition(_._2 < 15)
+    val mem = MemoryStream[(String, Long, Long)]
+    val out = EventTimeAggregates.streamingEwma(
+      mem.toDS().map { case (t, d, n) => DailyCount(t, d, n) })
+    val q = out.writeStream.format("memory").queryName("sewma")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val got = spark.sql(
+        "select event_type, day, n, ewma_num, ewma_den, ewma from sewma")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      assert(got.length == batch.size, s"${got.length} vs ${batch.size}")
+      got.foreach { case (k, v) =>
+        assert(batch(k) == v, s"$k: stream $v vs batch ${batch(k)}")
+      }
+    } finally q.stop()
+  }
 }
