@@ -89,6 +89,43 @@ object GraphCore {
         .withColumn("butterflies_per_wedge",
           col("n_butterflies").cast("double") / col("n_wedges").cast("double"))
         .select("n_wedges", "n_pairs", "n_butterflies", "butterflies_per_wedge")
+    },
+
+    // Association rules over the order–part baskets — the market-basket
+    // statistic (support / confidence / lift) that turns q152's pair
+    // counts into directional "bought X ⇒ buys Y" rules: pair support
+    // from the same order-keyed wedge join (min-support floor applied
+    // BEFORE anything fans out — the a-priori prune), each surviving
+    // pair emits both directions, singleton supports and the order
+    // count join in (item side broadcastable — it's vocabulary-sized).
+    // All counts exact bigints; confidence and lift are fixed-order
+    // divides of exact integer products, so even the top-20-by-lift cut
+    // is deterministic (lift DESC, x, y is a total order).
+    "q160_association_rules" -> { (s, dir) =>
+      val minSupp = 3
+      val op = Synth.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val n = op.agg(countDistinct(col("ok")).as("n_orders"))
+      val supp = op.groupBy("pk").agg(count(lit(1)).as("s"))
+      val pairSupp = op.toDF("ok", "a")
+        .join(op.toDF("ok", "b").hint("shuffle_hash"), "ok")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("s_ab"))
+        .filter(col("s_ab") >= minSupp)
+      pairSupp.select(col("a").as("x"), col("b").as("y"), col("s_ab"))
+        .unionAll(pairSupp.select(col("b").as("x"), col("a").as("y"),
+          col("s_ab")))
+        .join(supp.toDF("x", "s_x"), "x")
+        .join(supp.toDF("y", "s_y"), "y")
+        .crossJoin(broadcast(n))
+        .withColumn("confidence",
+          expr("cast(s_ab as double) / cast(s_x as double)"))
+        .withColumn("lift",
+          expr("cast(n_orders * s_ab as double) / cast(s_x * s_y as double)"))
+        .select("x", "y", "s_ab", "s_x", "s_y", "confidence", "lift")
+        .orderBy(col("lift").desc, col("x"), col("y"))
+        .limit(20)
     }
   )
 
@@ -139,7 +176,28 @@ object GraphCore {
           |SELECT n_wedges, n_pairs, n_butterflies,
           |  cast(n_butterflies as double) / cast(n_wedges as double)
           |    AS butterflies_per_wedge
-          |FROM bf, w""".stripMargin
+          |FROM bf, w""".stripMargin,
+
+      "q160_association_rules" ->
+        """WITH op AS (
+          |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          |n AS (SELECT count(DISTINCT ok) AS n_orders FROM op),
+          |supp AS (SELECT pk, count(*) AS s FROM op GROUP BY pk),
+          |ps AS (
+          |  SELECT a.pk AS a, b.pk AS b, count(*) AS s_ab
+          |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+          |  GROUP BY 1, 2 HAVING count(*) >= 3),
+          |rules AS (
+          |  SELECT a AS x, b AS y, s_ab FROM ps
+          |  UNION ALL SELECT b, a, s_ab FROM ps)
+          |SELECT x, y, s_ab, sx.s AS s_x, sy.s AS s_y,
+          |  cast(s_ab as double) / cast(sx.s as double) AS confidence,
+          |  cast((SELECT n_orders FROM n) * s_ab as double)
+          |    / cast(sx.s * sy.s as double) AS lift
+          |FROM rules
+          |  JOIN supp sx ON sx.pk = rules.x
+          |  JOIN supp sy ON sy.pk = rules.y
+          |ORDER BY lift DESC, x, y LIMIT 20""".stripMargin
     )
   }
 }

@@ -847,6 +847,46 @@ object Relational {
         .orderBy("event_id")
     },
 
+    // CDC MERGE (upsert-apply) — the WHEN MATCHED UPDATE / WHEN MATCHED
+    // DELETE / WHEN NOT MATCHED INSERT statement every table format
+    // implements, as one plan: the change feed (derived deterministically
+    // from the corpus so the oracle replays it: doc_id ≡ 0 mod 10 →
+    // update lang, ≡ 0 mod 97 → delete, ≡ 0 mod 101 → insert a shifted
+    // copy) is first compacted to ONE winning op per key (max over an
+    // explicit op-precedence struct — delete beats update, the
+    // engine-portable conflict rule), then applied with a single
+    // full-outer join on the key. Scale shape: changes are typically
+    // ≪ base, so the join's change side is small and the base side
+    // shuffles once on the merge key — exactly what MERGE INTO plans;
+    // no per-op passes over the base.
+    "q159_cdc_merge" -> { (s, dir) =>
+      val base = Synth.documents(s, dir).select("doc_id", "source", "lang")
+      val upd = base.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), lit(2).as("prio"), lit("U").as("op"),
+          col("source").as("c_source"), lit("xx").as("c_lang"))
+      val del = base.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"), lit(3).as("prio"), lit("D").as("op"),
+          col("source").as("c_source"), col("lang").as("c_lang"))
+      val ins = base.filter(col("doc_id") % 101 === 0)
+        .select((col("doc_id") + 1000000000L).as("doc_id"),
+          lit(1).as("prio"), lit("I").as("op"),
+          col("source").as("c_source"), lit("new").as("c_lang"))
+      val changes = upd.unionAll(del).unionAll(ins)
+        .groupBy("doc_id")
+        .agg(max(struct(col("prio"), col("op"), col("c_source"),
+          col("c_lang"))).as("c"))
+        .select(col("doc_id"), col("c.op").as("op"),
+          col("c.c_source").as("c_source"), col("c.c_lang").as("c_lang"))
+      base.join(changes, Seq("doc_id"), "full_outer")
+        .filter(coalesce(col("op"), lit("=")) =!= "D")
+        .select(col("doc_id"),
+          coalesce(col("c_source"), col("source")).as("source"),
+          when(col("op").isin("U", "I"), col("c_lang"))
+            .otherwise(col("lang")).as("lang"),
+          coalesce(col("op"), lit("=")).as("last_op"))
+        .orderBy("doc_id")
+    },
+
     // RFM segmentation — the classic recency/frequency/monetary user
     // quartile grid: per user the three metrics aggregate in one shuffle
     // (recency vs the corpus max day, integer days; monetary in exact
@@ -1336,6 +1376,32 @@ object Relational {
       """SELECT event_type, count(*) AS n,
         | cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q159_cdc_merge" ->
+      """WITH base AS (SELECT doc_id, source, lang FROM documents),
+        |feed AS (
+        |  SELECT doc_id, 2 AS prio, 'U' AS op, source AS c_source,
+        |    'xx' AS c_lang
+        |  FROM base WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 3, 'D', source, lang
+        |  FROM base WHERE doc_id % 97 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, 1, 'I', source, 'new'
+        |  FROM base WHERE doc_id % 101 = 0),
+        |changes AS (
+        |  SELECT doc_id,
+        |    max(struct_pack(prio := prio, op := op, c_source := c_source,
+        |      c_lang := c_lang)) AS c
+        |  FROM feed GROUP BY doc_id)
+        |SELECT coalesce(b.doc_id, ch.doc_id) AS doc_id,
+        |  coalesce(ch.c.c_source, b.source) AS source,
+        |  CASE WHEN ch.c.op IN ('U', 'I') THEN ch.c.c_lang
+        |       ELSE b.lang END AS lang,
+        |  coalesce(ch.c.op, '=') AS last_op
+        |FROM base b FULL OUTER JOIN changes ch ON ch.doc_id = b.doc_id
+        |WHERE coalesce(ch.c.op, '=') <> 'D'
+        |ORDER BY doc_id""".stripMargin,
 
     "q157_rfm_segments" ->
       """WITH ev AS (

@@ -242,6 +242,27 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q152/q158/q160: graph candidate generation is hash joins, never a pair space") {
+    for (q <- Seq("q152_butterflies", "q158_multisource_bfs",
+        "q160_association_rules")) {
+      val s = plan(q).toString
+      assert(!s.contains("CartesianProduct"), s"$q:\n$s")
+      // the only nested-loop joins allowed are 1-row stat broadcasts
+      // (q152's wedge total, q160's order count)
+      val bnlj = plan(q).collect { case j: BroadcastNestedLoopJoinExec => j }
+      assert(bnlj.forall(_.condition.isEmpty), s"$q conditioned NL join:\n$s")
+    }
+  }
+
+  test("q156: the group-stats side broadcasts — the fact table never sort-merge joins") {
+    val p = plan("q156_loo_target_encoding")
+    val bhj = p.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"expected the stats join to broadcast:\n$p")
+    val smj = p.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+    assert(smj.isEmpty, s"fact side must not shuffle for the stats join:\n$p")
+  }
+
   test("q31b: every window is partitioned (no global sort in the prefix ranking)") {
     val s = plan("q31b_prefix_jaccard").toString
     assert(!s.contains("SinglePartition, Window") &&
