@@ -51,6 +51,38 @@ object Curation {
   private val BloomK = 3
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Curriculum interleave — the deterministic TRAINING ORDER a data
+    // loader consumes: quality-descending within each source (quality =
+    // n_chars here; any per-doc score plugs in), sources round-robin
+    // interleaved rank-major so early training sees every source's best
+    // docs first. The global position is computed WITHOUT a global sort
+    // (the q100 argument, in closed form): pos(r, s) = Σ_{s'} min(r−1,
+    // |s'|) docs of earlier ranks + #(s' < s with |s'| ≥ r) same-rank
+    // peers + 1 — one per-source window, a #sources-row broadcast
+    // cross (fan-out bounded by the source count, never corpus²), one
+    // aggregation. The oracle IS the single-partition row_number over
+    // (r, source), so the hash match proves the distributed closed form
+    // equals the global sort exactly.
+    "q162_curriculum_interleave" -> { (s, dir) =>
+      val d = Synth.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy("source")
+            .orderBy(col("n_chars").desc, col("doc_id"))).cast("long"))
+      val szs = d.groupBy("source").agg(count(lit(1)).as("sz"))
+        .toDF("s2", "sz")
+      d.crossJoin(broadcast(szs))
+        .groupBy("doc_id", "source", "r")
+        .agg(
+          sum(least(col("r") - 1, col("sz"))).as("before_full"),
+          sum(when(col("sz") >= col("r") && col("s2") < col("source"), 1L)
+            .otherwise(0L)).as("peers_before"))
+        .withColumn("global_pos",
+          col("before_full") + col("peers_before") + 1)
+        .select("global_pos", "doc_id", "source", "r")
+        .orderBy("global_pos")
+    },
+
     // Temperature resampling: per-language keep thresholds from the
     // language histogram (tiny, broadcast), then one map-only pass keeps
     // doc iff u32(doc) < floor(sqrt(c_min/c_lang) * 2^32). The rarest
@@ -293,6 +325,17 @@ object Curation {
   private val BlockedDomains = Seq("src3-corpus.org", "src7-corpus.org")
 
   def oracle: Map[String, String] = Map(
+    "q162_curriculum_interleave" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    cast(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) as bigint) AS r
+        |  FROM documents)
+        |SELECT cast(row_number() OVER (ORDER BY r, source) as bigint)
+        |    AS global_pos,
+        |  doc_id, source, r
+        |FROM d ORDER BY global_pos""".stripMargin,
+
     "q128_url_domains" ->
       s"""WITH d AS (
          |  SELECT $urlDuck AS url FROM documents),

@@ -620,6 +620,23 @@ object Dedup {
         .orderBy("source")
     },
 
+    // Duplication-aware loss weighting — the SOFT alternative to
+    // dropping near-dups (used when duplicates carry signal you don't
+    // want to zero out): every member of a near-dup cluster trains at
+    // weight 1/cluster_size, so each distinct content unit contributes
+    // exactly one document's worth of gradient. Probe-cheap by
+    // construction: the materialized cluster map (the q61/q125/q140
+    // table) supplies doc→cluster; one count per cluster + a join-back
+    // is the whole query. Weights in integer MILLIONTHS — hash-exact.
+    "q161_dup_aware_weights" -> { (s, dir) =>
+      val cm = minhashClusterMap(s, dir)
+      val sz = cm.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      cm.join(sz, "cluster_id")
+        .withColumn("weight_ppm", expr("1000000 div cluster_size"))
+        .select("doc_id", "cluster_id", "cluster_size", "weight_ppm")
+        .orderBy("doc_id")
+    },
+
     // Blocking-family RECALL comparison — the measurement that picks a
     // dedup architecture: all three candidate generators this engine
     // ships (MinHash band buckets q32b, SimHash64 pigeonhole blocks
@@ -1220,6 +1237,22 @@ object Dedup {
          |  d.doc_id = least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS is_canonical
          |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
          |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    "q161_dup_aware_weights" ->
+      s"""$duckQ61Reach,
+         |clusters AS (
+         |  SELECT d.doc_id,
+         |    least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id
+         |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+         |  GROUP BY d.doc_id),
+         |sz AS (
+         |  SELECT cluster_id, count(*) AS cluster_size
+         |  FROM clusters GROUP BY 1)
+         |SELECT c.doc_id AS doc_id, c.cluster_id AS cluster_id,
+         |  cast(cluster_size as bigint) AS cluster_size,
+         |  cast(1000000 // cluster_size as bigint) AS weight_ppm
+         |FROM clusters c JOIN sz USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "q140_dup_rate_by_source" ->
       s"""$duckQ61Reach,

@@ -847,9 +847,13 @@ object Relational {
         .orderBy("event_id")
     },
 
-    // CDC MERGE (upsert-apply) — the WHEN MATCHED UPDATE / WHEN MATCHED
-    // DELETE / WHEN NOT MATCHED INSERT statement every table format
-    // implements, as one plan: the change feed (derived deterministically
+    // Three-branch MERGE — the full MERGE INTO statement: WHEN MATCHED
+    // UPDATE / WHEN MATCHED DELETE / WHEN NOT MATCHED INSERT. q109
+    // covers the changelog half (latest-wins compaction of a keyed CDC
+    // stream, upsert/delete apply); this covers the two pieces q109's
+    // feed can't produce — INSERTS of keys absent from the base, and
+    // EXPLICIT OP-PRECEDENCE conflict resolution when one key carries
+    // several ops in the same feed. The feed (derived deterministically
     // from the corpus so the oracle replays it: doc_id ≡ 0 mod 10 →
     // update lang, ≡ 0 mod 97 → delete, ≡ 0 mod 101 → insert a shifted
     // copy) is first compacted to ONE winning op per key (max over an
@@ -859,7 +863,7 @@ object Relational {
     // ≪ base, so the join's change side is small and the base side
     // shuffles once on the merge key — exactly what MERGE INTO plans;
     // no per-op passes over the base.
-    "q159_cdc_merge" -> { (s, dir) =>
+    "q159_merge_three_branch" -> { (s, dir) =>
       val base = Synth.documents(s, dir).select("doc_id", "source", "lang")
       val upd = base.filter(col("doc_id") % 10 === 0)
         .select(col("doc_id"), lit(2).as("prio"), lit("U").as("op"),
@@ -1377,7 +1381,7 @@ object Relational {
         | cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
-    "q159_cdc_merge" ->
+    "q159_merge_three_branch" ->
       """WITH base AS (SELECT doc_id, source, lang FROM documents),
         |feed AS (
         |  SELECT doc_id, 2 AS prio, 'U' AS op, source AS c_source,
