@@ -847,6 +847,41 @@ object Relational {
         .orderBy("event_id")
     },
 
+    // Data-contract check — the expectation suite a pipeline runs before
+    // promoting a batch (null/uniqueness/range/domain/freshness rules),
+    // evaluated in ONE scan: every rule is a conditional count inside a
+    // single aggregation (multi-distinct handled by Spark's Expand), the
+    // 1-row result fans out to one row per rule map-side. No per-rule
+    // passes — at 100 TB the contract costs exactly one table read.
+    // Thresholds are chosen to produce real violations on this corpus so
+    // the report's counting is actually exercised, not vacuously zero.
+    "q163_contract_check" -> { (s, dir) =>
+      val a = Synth.events(s, dir).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("event_id").isNull, 1L).otherwise(0L)).as("v_null"),
+        (count(lit(1)) - countDistinct(col("event_id"))).as("v_dup"),
+        sum(when(col("value") < 0 || col("value") > 200, 1L)
+          .otherwise(0L)).as("v_range"),
+        sum(when(!col("event_type").isin("view", "click", "purchase",
+          "signup"), 1L).otherwise(0L)).as("v_domain"),
+        sum(when(col("ts") >= lit("2024-01-22").cast("timestamp"), 1L)
+          .otherwise(0L)).as("v_fresh"))
+      a.select(col("n"), explode(expr(
+          "array(" +
+            "named_struct('rule', 'event_id_not_null', 'v', v_null), " +
+            "named_struct('rule', 'event_id_unique', 'v', v_dup), " +
+            "named_struct('rule', 'value_in_0_200', 'v', v_range), " +
+            "named_struct('rule', 'event_type_allowed', 'v', v_domain), " +
+            "named_struct('rule', 'ts_before_2024_01_22', 'v', v_fresh))"))
+          .as("r"))
+        .select(col("r.rule").as("rule"), col("n").as("n_checked"),
+          col("r.v").as("n_violations"))
+        .withColumn("pass", col("n_violations") === 0)
+        .withColumn("violation_ppm",
+          expr("n_violations * 1000000 div n_checked"))
+        .orderBy("rule")
+    },
+
     // Three-branch MERGE — the full MERGE INTO statement: WHEN MATCHED
     // UPDATE / WHEN MATCHED DELETE / WHEN NOT MATCHED INSERT. q109
     // covers the changelog half (latest-wins compaction of a keyed CDC
@@ -1380,6 +1415,31 @@ object Relational {
       """SELECT event_type, count(*) AS n,
         | cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q163_contract_check" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n,
+        |    cast(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+        |      as bigint) AS v_null,
+        |    cast(count(*) - count(DISTINCT event_id) as bigint) AS v_dup,
+        |    cast(sum(CASE WHEN value < 0 OR value > 200 THEN 1 ELSE 0 END)
+        |      as bigint) AS v_range,
+        |    cast(sum(CASE WHEN event_type NOT IN
+        |        ('view', 'click', 'purchase', 'signup')
+        |      THEN 1 ELSE 0 END) as bigint) AS v_domain,
+        |    cast(sum(CASE WHEN ts >= TIMESTAMP '2024-01-22 00:00:00'
+        |      THEN 1 ELSE 0 END) as bigint) AS v_fresh
+        |  FROM events),
+        |rules AS (
+        |  SELECT 'event_id_not_null' AS rule, n, v_null AS v FROM a
+        |  UNION ALL SELECT 'event_id_unique', n, v_dup FROM a
+        |  UNION ALL SELECT 'value_in_0_200', n, v_range FROM a
+        |  UNION ALL SELECT 'event_type_allowed', n, v_domain FROM a
+        |  UNION ALL SELECT 'ts_before_2024_01_22', n, v_fresh FROM a)
+        |SELECT rule, n AS n_checked, v AS n_violations,
+        |  v = 0 AS pass,
+        |  cast(v * 1000000 // n as bigint) AS violation_ppm
+        |FROM rules ORDER BY rule""".stripMargin,
 
     "q159_merge_three_branch" ->
       """WITH base AS (SELECT doc_id, source, lang FROM documents),

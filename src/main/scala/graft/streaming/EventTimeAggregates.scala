@@ -332,6 +332,47 @@ object EventTimeAggregates {
         })
   }
 
+  final case class MgState(counters: Map[String, Long], n: Long, batch: Long)
+  final case class MgSummary(
+      bucket: Int, batch: Long, n: Long, items: Map[String, Long])
+
+  /** Streaming heavy hitters by Misra–Gries summaries — the
+    * deterministic-memory alternative to the CMS grid
+    * ([[streamingCms]]): CMS answers point queries about ANY item,
+    * MG maintains the top candidates themselves. Items hash to
+    * `buckets` independent summaries (an item lives in exactly ONE
+    * bucket, so each bucket is a faithful MG over its own substream);
+    * each keeps k counters with the classic decrement-all step. State
+    * is O(buckets × k) — stream-volume-independent — and the summary
+    * guarantee survives any arrival order: counts never overestimate,
+    * undercount by at most n_bucket/(k+1), and every item more frequent
+    * than n_bucket/(k+1) is present. Emission is one row per bucket per
+    * batch (Update mode) carrying the batch ordinal, so a reader takes
+    * each bucket's latest row.
+    */
+  def streamingHeavyHitters(
+      items: Dataset[String], k: Int, buckets: Int = 8): Dataset[MgSummary] = {
+    import items.sparkSession.implicits._
+    items
+      .map(s => (math.floorMod(s.hashCode, buckets), s))
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(
+        (bucket: Int, rows: Iterator[(Int, String)], state: GroupState[MgState]) => {
+          val st = state.getOption.getOrElse(MgState(Map.empty, 0L, 0L))
+          var c = st.counters
+          var n = st.n
+          rows.foreach { case (_, item) =>
+            n += 1
+            if (c.contains(item)) c = c.updated(item, c(item) + 1)
+            else if (c.size < k) c = c.updated(item, 1L)
+            else c = c.map { case (i, v) => i -> (v - 1) }.filter(_._2 > 0)
+          }
+          val nb = st.batch + 1
+          state.update(MgState(c, n, nb))
+          MgSummary(bucket, nb, n, c)
+        })
+  }
+
   final case class EwmaState(
       firstDay: Long, maxDay: Long, bins: Seq[DayBin], droppedLate: Long)
   final case class EwmaPoint(event_type: String, day: Long, n: Long,

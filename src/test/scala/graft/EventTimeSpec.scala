@@ -498,4 +498,53 @@ class EventTimeSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     } finally q.stop()
   }
+
+  test("streaming Misra-Gries heavy hitters honor the n/(k+1) guarantees across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val K = 10
+    // skewed stream: two genuine heavy hitters + a long distinct tail,
+    // split across micro-batches so the summaries must survive state
+    val heavy = Seq.fill(400)("hh_a") ++ Seq.fill(250)("hh_b")
+    val tail = (1 to 800).map(i => s"t_$i")
+    val all = scala.util.Random.javaRandomToRandom(
+      new java.util.Random(42)).shuffle(heavy ++ tail)
+    val (b1, b2) = all.splitAt(all.size / 2)
+    val exact = all.groupBy(identity).map { case (s, xs) => s -> xs.size.toLong }
+
+    val mem = MemoryStream[String]
+    val out = EventTimeAggregates.streamingHeavyHitters(mem.toDS(), K, buckets = 4)
+    val q = out.writeStream.format("memory").queryName("mg")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val rows = spark.sql("select bucket, batch, n, items from mg").collect()
+      // latest row per bucket
+      val latest = rows.groupBy(_.getInt(0)).values
+        .map(_.maxBy(_.getLong(1))).toSeq
+      assert(latest.nonEmpty)
+      var sawHeavy = 0
+      for (r <- latest) {
+        val bucket = r.getInt(0)
+        val n = r.getLong(2)
+        val est = r.getMap[String, Long](3).toMap
+        val bound = n / (K + 1) + 1
+        // exact truth restricted to this bucket's substream
+        val truth = exact.filter { case (s, _) =>
+          math.floorMod(s.hashCode, 4) == bucket }
+        assert(truth.values.sum == n, s"bucket $bucket stream length")
+        est.foreach { case (item, e) =>
+          val t = truth(item)
+          assert(e <= t, s"$item overestimated: $e > $t") // MG never overcounts
+          assert(t - e <= bound, s"$item undercount ${t - e} > $bound")
+        }
+        truth.filter(_._2 > bound).keys.foreach { hh =>
+          assert(est.contains(hh), s"frequent item $hh missing from bucket $bucket")
+          sawHeavy += 1
+        }
+      }
+      assert(sawHeavy >= 2, "the planted heavy hitters must be found")
+    } finally q.stop()
+  }
 }
