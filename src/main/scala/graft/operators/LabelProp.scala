@@ -56,6 +56,51 @@ object LabelProp {
         .agg(count(lit(1)).as("n_members"))
         .orderBy(col("n_members").desc, col("community"))
         .limit(topN)
+    },
+
+    // Newman modularity of the q121 communities — the quality metric
+    // that says whether the label-prop partition is real structure or
+    // noise (the q46-recall / q126-calibration pattern: the engine
+    // measures its own operators). Over the symmetric weighted graph,
+    // Q = Σ_c (w_in_c/W − (s_deg_c/W)²) with W = Σ cnt (each undirected
+    // edge counted twice). Every numerator is an exact bigint
+    // (w_in_c·W − s_deg_c²), so the per-community contributions AND the
+    // global Q are single fixed-order divides — hash-exact. Cost: the
+    // LPA rounds plus two |edges|-bounded label joins and three
+    // community-sized aggregates.
+    "q164_modularity" -> { (s, dir) =>
+      val (verts, wedges) = TextRank.wordGraph(s, dir)
+      val w = wedges.localCheckpoint()
+      val init = verts.withColumn("lbl", col("id"))
+      val labels = (1 to rounds).foldLeft(init)((l, _) => step(w, l))
+      val wTot = w.agg(sum(col("cnt")).as("wtot"))
+      val inW = w
+        .join(labels.toDF("src", "l_src"), "src")
+        .join(labels.toDF("dst", "l_dst"), "dst")
+        .filter(col("l_src") === col("l_dst"))
+        .groupBy(col("l_src").as("community"))
+        .agg(sum(col("cnt")).as("w_in"))
+      val degW = w.join(labels.toDF("src", "community"), "src")
+        .groupBy("community").agg(sum(col("cnt")).as("s_deg"))
+      val per = labels.groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("n_members"))
+        .join(degW, "community")
+        .join(inW, Seq("community"), "left")
+        .withColumn("w_in", coalesce(col("w_in"), lit(0L)))
+        .crossJoin(broadcast(wTot))
+        .withColumn("num",
+          col("w_in") * col("wtot") - col("s_deg") * col("s_deg"))
+        .localCheckpoint() // read twice: global Q sum + the top-20 cut
+      val overall = per.agg(sum(col("num")).as("qnum"))
+      per.crossJoin(broadcast(overall))
+        .withColumn("contribution",
+          expr("cast(num as double) / cast(wtot * wtot as double)"))
+        .withColumn("modularity",
+          expr("cast(qnum as double) / cast(wtot * wtot as double)"))
+        .select("community", "n_members", "w_in", "s_deg", "contribution",
+          "modularity")
+        .orderBy(col("n_members").desc, col("community"))
+        .limit(20)
     }
   )
 
@@ -79,7 +124,41 @@ object LabelProp {
            |$roundCtes
            |SELECT lbl AS community, cast(count(*) as bigint) AS n_members
            |FROM l$rounds GROUP BY lbl
-           |ORDER BY n_members DESC, community LIMIT $topN""".stripMargin
+           |ORDER BY n_members DESC, community LIMIT $topN""".stripMargin,
+
+      "q164_modularity" ->
+        s"""WITH ${TextRank.duckGraphCtes},
+           |l0 AS (SELECT id, id AS lbl FROM verts),
+           |$roundCtes,
+           |lab AS (SELECT id, lbl FROM l$rounds),
+           |wtot AS (SELECT cast(sum(cnt) as bigint) AS wtot FROM wedges),
+           |inw AS (
+           |  SELECT ls.lbl AS community, cast(sum(e.cnt) as bigint) AS w_in
+           |  FROM wedges e
+           |    JOIN lab ls ON ls.id = e.src
+           |    JOIN lab ld ON ld.id = e.dst
+           |  WHERE ls.lbl = ld.lbl GROUP BY 1),
+           |degw AS (
+           |  SELECT l.lbl AS community, cast(sum(e.cnt) as bigint) AS s_deg
+           |  FROM wedges e JOIN lab l ON l.id = e.src GROUP BY 1),
+           |per AS (
+           |  SELECT s.community, cast(s.n_members as bigint) AS n_members,
+           |    coalesce(i.w_in, 0) AS w_in, d.s_deg,
+           |    cast(coalesce(i.w_in, 0) * (SELECT wtot FROM wtot)
+           |      - d.s_deg * d.s_deg as bigint) AS num
+           |  FROM (SELECT lbl AS community, count(*) AS n_members
+           |        FROM lab GROUP BY 1) s
+           |    JOIN degw d USING (community)
+           |    LEFT JOIN inw i USING (community)),
+           |qn AS (SELECT cast(sum(num) as bigint) AS qnum FROM per)
+           |SELECT community, n_members, cast(w_in as bigint) AS w_in, s_deg,
+           |  cast(num as double)
+           |    / cast((SELECT wtot FROM wtot) * (SELECT wtot FROM wtot)
+           |      as double) AS contribution,
+           |  cast((SELECT qnum FROM qn) as double)
+           |    / cast((SELECT wtot FROM wtot) * (SELECT wtot FROM wtot)
+           |      as double) AS modularity
+           |FROM per ORDER BY n_members DESC, community LIMIT 20""".stripMargin
     )
   }
 }
