@@ -1010,6 +1010,41 @@ object Relational {
         .orderBy("cohort_day", "day_offset")
     },
 
+    // Conversion-lag distribution — the time-to-convert metric next to
+    // q79's funnel counts and q80's retention matrix: per converting
+    // user, the lag from first 'view' to the first 'purchase' AFTER it,
+    // aggregated to per-cohort-day count + p50/p90 lag. Lags are exact
+    // epoch-microsecond integers (one min-aggregation per user — a
+    // single user-keyed shuffle), the percentiles are the
+    // cross-engine-exact interpolated form over those integers, and
+    // cohort days are integer day arithmetic — hash-exact throughout.
+    "q165_conversion_lag" -> { (s, dir) =>
+      val ev = Synth.events(s, dir)
+      val firsts = ev
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "view",
+            expr("unix_micros(ts)"))).as("first_view_us"),
+          min(to_date(col("ts"))).as("first_day"))
+      val conv = ev.select(col("user_id"), col("event_type"),
+          expr("unix_micros(ts)").as("us"))
+        .join(firsts, "user_id")
+        .filter(col("event_type") === "purchase" &&
+          col("first_view_us").isNotNull &&
+          col("us") >= col("first_view_us"))
+        .groupBy("user_id")
+        .agg(first(col("first_day")).as("first_day"),
+          (min(col("us")) - first(col("first_view_us"))).as("lag_us"))
+      conv
+        .withColumn("cohort_day",
+          expr("cast(datediff(first_day, date'2024-01-01') as bigint)"))
+        .groupBy("cohort_day")
+        .agg(count(lit(1)).as("n_converted"),
+          expr("percentile(lag_us, 0.5)").as("p50_lag_us"),
+          expr("percentile(lag_us, 0.9)").as("p90_lag_us"))
+        .orderBy("cohort_day")
+    },
+
     // RANGE-framed sliding window — the VALUE-based frame q72's ROWS
     // frames don't cover: each event sees the count/sum of its user's
     // events in the trailing 10 minutes of EVENT TIME. Range frames are
@@ -1415,6 +1450,29 @@ object Relational {
       """SELECT event_type, count(*) AS n,
         | cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q165_conversion_lag" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+        |      AS first_view_us,
+        |    min(cast(ts as date)) AS first_day
+        |  FROM events GROUP BY user_id),
+        |conv AS (
+        |  SELECT e.user_id, any_value(f.first_day) AS first_day,
+        |    min(epoch_us(e.ts)) - any_value(f.first_view_us) AS lag_us
+        |  FROM events e JOIN f USING (user_id)
+        |  WHERE e.event_type = 'purchase'
+        |    AND f.first_view_us IS NOT NULL
+        |    AND epoch_us(e.ts) >= f.first_view_us
+        |  GROUP BY e.user_id)
+        |SELECT
+        |  cast(date_diff('day', DATE '2024-01-01', first_day)
+        |    as bigint) AS cohort_day,
+        |  count(*) AS n_converted,
+        |  quantile_cont(lag_us, 0.5) AS p50_lag_us,
+        |  quantile_cont(lag_us, 0.9) AS p90_lag_us
+        |FROM conv GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q163_contract_check" ->
       """WITH a AS (
