@@ -273,6 +273,38 @@ object Similarity {
         .orderBy("query_id")
     },
 
+    // Matryoshka truncation recall — the dimension-ablation measurement
+    // behind MRL-style embeddings (Kusupati et al. 2022): rank by the
+    // dot product of just the FIRST 16 of 64 dimensions and report
+    // recall@k against the exact full-dimension ranking (the q46/q107
+    // measurement shape). The number that decides whether a 4× cheaper
+    // prefix-truncated index tier is usable: truncation is a zero-cost
+    // slice (no projection matrix at all — cheaper than q107's JL
+    // signs), and at 100 TB the 16-dim prefix scan is 4× smaller in
+    // bytes, shuffle, and cache.
+    "q167_matryoshka_recall" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val e = Synth.embeddings(s, dir)
+      val tr = e.withColumn("trunc", expr("slice(embedding, 1, 16)"))
+      val q = broadcast(tr.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("trunc").as("q_tr")))
+      val approx = q.crossJoin(tr)
+        .withColumn("tdot", expr(Dedup.dot("q_tr", "trunc")))
+        .groupBy("query_id")
+        .agg(expr(s"graft_topk(tdot, vec_id, $topK)").as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), col("col.id").as("vec_id"))
+        .withColumn("hit", lit(1))
+      val exact = rankTopK(e, None).select("query_id", "vec_id")
+      exact.join(approx, Seq("query_id", "vec_id"), "left")
+        .groupBy("query_id")
+        .agg(count(col("hit")).as("n_hit"))
+        .withColumn("recall",
+          col("n_hit").cast("double") / lit(topK.toDouble))
+        .select("query_id", "n_hit", "recall")
+        .orderBy("query_id")
+    },
+
     // Binary quantization + Hamming shortlist + exact rerank — the
     // 1-bit-per-dimension compression tier below q116's int8: each
     // embedding collapses to its 64 sign bits packed into two BIGINTs
@@ -518,6 +550,33 @@ object Similarity {
          |   row_number() OVER (PARTITION BY q.vec_id
          |     ORDER BY ${dotDuck("q.proj", "e.proj")} DESC, e.vec_id) AS rk
          |  FROM pr q CROSS JOIN pr e
+         |  WHERE q.vec_id < $nQueries)
+         | WHERE rk <= $topK)
+         |SELECT ex.query_id AS query_id,
+         |  cast(count(ap.vec_id) as bigint) AS n_hit,
+         |  cast(count(ap.vec_id) as double) / $topK AS recall
+         |FROM ex LEFT JOIN ap
+         |  ON ap.query_id = ex.query_id AND ap.vec_id = ex.vec_id
+         |GROUP BY ex.query_id ORDER BY query_id""".stripMargin,
+
+    "q167_matryoshka_recall" ->
+      s"""WITH tr AS (
+         | SELECT vec_id, embedding, list_slice(embedding, 1, 16) AS trunc
+         | FROM embeddings),
+         |ex AS (
+         | SELECT query_id, vec_id FROM (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |     ORDER BY ${dotDuck("q.embedding", "e.embedding")} DESC, e.vec_id) AS rk
+         |  FROM embeddings q CROSS JOIN embeddings e
+         |  WHERE q.vec_id < $nQueries)
+         | WHERE rk <= $topK),
+         |ap AS (
+         | SELECT query_id, vec_id FROM (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |     ORDER BY ${dotDuck("q.trunc", "e.trunc")} DESC, e.vec_id) AS rk
+         |  FROM tr q CROSS JOIN tr e
          |  WHERE q.vec_id < $nQueries)
          | WHERE rk <= $topK)
          |SELECT ex.query_id AS query_id,

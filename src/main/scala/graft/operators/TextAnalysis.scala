@@ -222,6 +222,35 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // Language-ID CONFUSION MATRIX — q22's predictions scored against the
+    // corpus's declared labels (the engine measures its own operator —
+    // the q46/q126/q164 pattern): one cell per (declared, predicted)
+    // pair with count and per-declared-language recall. Exposes exactly
+    // where the stopword voter fails (short docs → 'und', es/de
+    // confusion) BEFORE anyone trusts q64's language histogram or q22's
+    // routing. Map-only scoring + one #langs²-bounded aggregation;
+    // recall is integer MILLIONTHS.
+    "q166_langid_confusion" -> { (s, dir) =>
+      val pred = Synth.documents(s, dir)
+        .select(
+          col("lang").as("declared"),
+          expr(s"size(filter($toks, t -> t in $EnSet))").as("v_en"),
+          expr(s"size(filter($toks, t -> t in $EsSet))").as("v_es"),
+          expr(s"size(filter($toks, t -> t in $DeSet))").as("v_de"))
+        .withColumn("predicted",
+          when(col("v_en") + col("v_es") + col("v_de") === 0, "und")
+            .when(col("v_en") >= col("v_es") && col("v_en") >= col("v_de"), "en")
+            .when(col("v_es") >= col("v_de"), "es")
+            .otherwise("de"))
+      val cells = pred.groupBy("declared", "predicted")
+        .agg(count(lit(1)).as("n"))
+      val totals = pred.groupBy("declared").agg(count(lit(1)).as("n_declared"))
+      cells.join(totals, "declared")
+        .withColumn("recall_ppm", expr("n * 1000000 div n_declared"))
+        .select("declared", "predicted", "n", "n_declared", "recall_ppm")
+        .orderBy("declared", "predicted")
+    },
+
     // Fingerprinting: exact content hash + order-insensitive bag-of-words
     // fingerprint (sorted distinct tokens → md5). md5 is the one hash both
     // engines define identically, so it is the primitive for all
@@ -1210,6 +1239,29 @@ object TextAnalysis {
          |  cast(len(list_filter($dToks, t -> t in $DeSet)) as int) AS v_de
          | FROM documents)
          |ORDER BY doc_id""".stripMargin,
+
+    "q166_langid_confusion" ->
+      s"""WITH pred AS (
+         |  SELECT lang AS declared,
+         |    CASE WHEN v_en + v_es + v_de = 0 THEN 'und'
+         |         WHEN v_en >= v_es AND v_en >= v_de THEN 'en'
+         |         WHEN v_es >= v_de THEN 'es'
+         |         ELSE 'de' END AS predicted
+         |  FROM (
+         |    SELECT lang,
+         |      len(list_filter($dToks, t -> t in $EnSet)) AS v_en,
+         |      len(list_filter($dToks, t -> t in $EsSet)) AS v_es,
+         |      len(list_filter($dToks, t -> t in $DeSet)) AS v_de
+         |    FROM documents)),
+         |cells AS (
+         |  SELECT declared, predicted, count(*) AS n
+         |  FROM pred GROUP BY 1, 2),
+         |totals AS (
+         |  SELECT declared, count(*) AS n_declared FROM pred GROUP BY 1)
+         |SELECT declared, predicted, n, n_declared,
+         |  cast(n * 1000000 // n_declared as bigint) AS recall_ppm
+         |FROM cells JOIN totals USING (declared)
+         |ORDER BY declared, predicted""".stripMargin,
 
     "q23_fingerprint" ->
       s"""SELECT doc_id,
