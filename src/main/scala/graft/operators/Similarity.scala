@@ -273,6 +273,40 @@ object Similarity {
         .orderBy("query_id")
     },
 
+    // Class-centroid cohesion — per-label centroid vs the global
+    // centroid, the embedding-space health report (collapsed classes
+    // score ≈ 1 everywhere; separated classes spread): components are
+    // quantized to integer 1/1024ths (floor of an exact double product —
+    // engine-identical), and because cos(centroid_a, centroid_b) =
+    // cos(sum_a, sum_b) (the 1/n factors cancel), the whole measurement
+    // reduces to exact bigint sums — Σ s_i·g_i, Σ s_i², Σ g_i² — with
+    // two sqrt/one divide at the very end. Plan: one (label, dim)
+    // shuffle of quantized components, dim-keyed rollup to the global
+    // vector, label-sized final aggregates. The quantization scale is
+    // part of the operator contract (it bounds Σ s_i² under bigint for
+    // corpora to ~10⁹ vectors/label).
+    "q168_centroid_cohesion" -> { (s, dir) =>
+      val comp = Synth.embeddings(s, dir)
+        .select(col("label"), posexplode(expr(
+          "transform(embedding, x -> cast(floor(cast(x as double) * 1024) as bigint))"))
+          .as(Seq("dim", "q")))
+      val perLabel = comp.groupBy("label", "dim").agg(sum(col("q")).as("sl"))
+      val global = perLabel.groupBy("dim").agg(sum(col("sl")).as("g"))
+      val stats = perLabel.join(global, "dim")
+        .groupBy("label")
+        .agg(sum(expr("sl * g")).as("dot_sg"), sum(expr("sl * sl")).as("n2_s"))
+      val gn = global.agg(sum(expr("g * g")).as("n2_g"))
+      val counts = Synth.embeddings(s, dir)
+        .groupBy("label").agg(count(lit(1)).as("n_vecs"))
+      stats.join(counts, "label")
+        .crossJoin(broadcast(gn))
+        .withColumn("cos_to_global", expr(
+          "cast(dot_sg as double) / " +
+            "(sqrt(cast(n2_s as double)) * sqrt(cast(n2_g as double)))"))
+        .select("label", "n_vecs", "cos_to_global")
+        .orderBy("label")
+    },
+
     // Matryoshka truncation recall — the dimension-ablation measurement
     // behind MRL-style embeddings (Kusupati et al. 2022): rank by the
     // dot product of just the FIRST 16 of 64 dimensions and report
@@ -558,6 +592,30 @@ object Similarity {
          |FROM ex LEFT JOIN ap
          |  ON ap.query_id = ex.query_id AND ap.vec_id = ex.vec_id
          |GROUP BY ex.query_id ORDER BY query_id""".stripMargin,
+
+    "q168_centroid_cohesion" ->
+      """WITH comp AS (
+        |  SELECT label, i AS dim,
+        |    cast(floor(cast(embedding[i] as double) * 1024) as bigint) AS q
+        |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)),
+        |per_label AS (
+        |  SELECT label, dim, cast(sum(q) as bigint) AS sl
+        |  FROM comp GROUP BY 1, 2),
+        |gsum AS (
+        |  SELECT dim, cast(sum(sl) as bigint) AS g
+        |  FROM per_label GROUP BY 1),
+        |stats AS (
+        |  SELECT label, cast(sum(sl * g) as bigint) AS dot_sg,
+        |    cast(sum(sl * sl) as bigint) AS n2_s
+        |  FROM per_label JOIN gsum USING (dim) GROUP BY label),
+        |gn AS (SELECT cast(sum(g * g) as bigint) AS n2_g FROM gsum),
+        |counts AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1)
+        |SELECT s.label AS label, n_vecs,
+        |  cast(dot_sg as double)
+        |    / (sqrt(cast(n2_s as double)) * sqrt(cast((SELECT n2_g FROM gn)
+        |      as double))) AS cos_to_global
+        |FROM stats s JOIN counts USING (label)
+        |ORDER BY label""".stripMargin,
 
     "q167_matryoshka_recall" ->
       s"""WITH tr AS (

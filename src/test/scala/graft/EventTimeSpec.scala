@@ -499,6 +499,41 @@ class EventTimeSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming EWMA state survives a checkpoint restart (bins + series head)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-ewma").toString
+    val outDir = java.nio.file.Files.createTempDirectory("ewma-out").toString
+    val out = EventTimeAggregates.streamingEwma(
+      mem.toDS().map { case (t, d, n) => DailyCount(t, d, n) })
+    def start() = out.writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+
+    val q1 = start()
+    mem.addData(("x", 0L, 100L), ("x", 1L, 50L))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // restart: day 2's numerator must weight the RESTORED day-0/1 bins
+    // (a reset state would see an empty history and a day-2 head)
+    val q2 = start()
+    try {
+      mem.addData(("x", 2L, 80L))
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(outDir)
+        .select("day", "ewma_num", "ewma_den").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val w = graft.operators.Series.EwmaWeights
+      val d = graft.operators.Series.EwmaDens
+      assert(rows(0L) == ((w(0) * 100, d(0))))
+      assert(rows(1L) == ((w(0) * 50 + w(1) * 100, d(1))))
+      assert(rows(2L) == ((w(0) * 80 + w(1) * 50 + w(2) * 100, d(2))),
+        s"restored bins must feed day 2, got ${rows(2L)}")
+    } finally q2.stop()
+  }
+
   test("streaming Misra-Gries heavy hitters honor the n/(k+1) guarantees across batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
