@@ -50,6 +50,28 @@ object Curation {
   private val BloomBits = 4096
   private val BloomK = 3
 
+  /** Closed-form global position of the rank-major round-robin interleave
+    * WITHOUT a global sort: for a row with per-source rank `r` in source
+    * `s`, pos = Σ_{s'} min(r−1, |s'|) + #(s' < s with |s'| ≥ r) + 1 — the
+    * row_number under (r, source) ordering, computed from a #sources-row
+    * broadcast cross (fan-out bounded by the source count). Input: one
+    * row per doc with a rank `r` UNIQUE within its `source`. Equality
+    * with the single-partition row_number is oracle-proven (q162) and
+    * property-tested on random inputs (PropertySpec).
+    */
+  private[graft] def interleavePositions(d: DataFrame): DataFrame = {
+    val szs = d.groupBy("source").agg(count(lit(1)).as("sz"))
+      .toDF("s2", "sz")
+    d.crossJoin(broadcast(szs))
+      .groupBy("doc_id", "source", "r")
+      .agg(
+        sum(least(col("r") - 1, col("sz"))).as("before_full"),
+        sum(when(col("sz") >= col("r") && col("s2") < col("source"), 1L)
+          .otherwise(0L)).as("peers_before"))
+      .withColumn("global_pos",
+        col("before_full") + col("peers_before") + 1)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Curriculum interleave — the deterministic TRAINING ORDER a data
     // loader consumes: quality-descending within each source (quality =
@@ -69,16 +91,7 @@ object Curation {
         .withColumn("r", row_number().over(
           Window.partitionBy("source")
             .orderBy(col("n_chars").desc, col("doc_id"))).cast("long"))
-      val szs = d.groupBy("source").agg(count(lit(1)).as("sz"))
-        .toDF("s2", "sz")
-      d.crossJoin(broadcast(szs))
-        .groupBy("doc_id", "source", "r")
-        .agg(
-          sum(least(col("r") - 1, col("sz"))).as("before_full"),
-          sum(when(col("sz") >= col("r") && col("s2") < col("source"), 1L)
-            .otherwise(0L)).as("peers_before"))
-        .withColumn("global_pos",
-          col("before_full") + col("peers_before") + 1)
+      interleavePositions(d)
         .select("global_pos", "doc_id", "source", "r")
         .orderBy("global_pos")
     },

@@ -79,6 +79,36 @@ object TextRank {
        | SELECT b, a, c_ab FROM co),
        |verts AS (SELECT DISTINCT src AS id FROM wedges)""".stripMargin
 
+  /** The q158 mask-BFS engine: per-vertex ≤62-bit seed masks OR-folded
+    * along directed edges for `rounds` rounds; returns (h, reached_pairs)
+    * with reached_pairs(h) = Σ_v popcount(mask_v after h rounds) = the
+    * number of (seed, vertex) pairs within h hops. `seeds` = (id, bit)
+    * with bit ∈ [0, 62). Equivalence with per-seed BFS is oracle-proven
+    * (q158) and property-tested on random graphs (PropertySpec).
+    */
+  private[graft] def multiSourceBfsCensus(
+      verts: DataFrame, e: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    var masks = verts
+      .join(seeds, Seq("id"), "left")
+      .withColumn("mask", coalesce(expr("shiftleft(1L, bit)"), lit(0L)))
+      .select("id", "mask").localCheckpoint()
+    def census(h: Int, m: DataFrame) =
+      m.agg(lit(h).as("h"),
+        sum(expr("bit_count(mask)")).cast("long").as("reached_pairs"))
+    var out = Vector(census(0, masks))
+    for (k <- 1 to rounds) {
+      val nbr = e.join(masks.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(expr("bit_or(mask)").as("nm"))
+      masks = masks.join(nbr, Seq("id"), "left")
+        .withColumn("mask", expr("mask | coalesce(nm, 0L)"))
+        .select("id", "mask").localCheckpoint()
+      out :+= census(k, masks)
+    }
+    out.reduce(_ unionAll _)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q119_textrank" -> { (s, dir) =>
       val (verts, wedges) = wordGraph(s, dir)
@@ -131,24 +161,8 @@ object TextRank {
         .withColumn("bit",
           row_number().over(org.apache.spark.sql.expressions.Window
             .orderBy("id")) - 1)
-      var masks = verts
-        .join(seeds.select(col("id"), col("bit")), Seq("id"), "left")
-        .withColumn("mask", coalesce(expr("shiftleft(1L, bit)"), lit(0L)))
-        .select("id", "mask").localCheckpoint()
-      def census(h: Int, m: DataFrame) =
-        m.agg(lit(h).as("h"),
-          sum(expr("bit_count(mask)")).cast("long").as("reached_pairs"))
-      var rounds = Vector(census(0, masks))
-      for (k <- 1 to bfsRounds) {
-        val nbr = e.join(masks.withColumnRenamed("id", "src"), "src")
-          .groupBy(col("dst").as("id"))
-          .agg(expr("bit_or(mask)").as("nm"))
-        masks = masks.join(nbr, Seq("id"), "left")
-          .withColumn("mask", expr("mask | coalesce(nm, 0L)"))
-          .select("id", "mask").localCheckpoint()
-        rounds :+= census(k, masks)
-      }
-      rounds.reduce(_ unionAll _).orderBy("h")
+      multiSourceBfsCensus(verts, e, seeds.select("id", "bit"), bfsRounds)
+        .orderBy("h")
     },
 
     // Link prediction by common neighbors — related-term discovery over

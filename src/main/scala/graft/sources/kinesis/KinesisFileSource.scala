@@ -31,8 +31,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    standard offset log (at-least-once replay contract T7).
   *  - `initialPosition` TRIM_HORIZON starts every shard at 0; LATEST
   *    starts at the line count observed when the query starts;
-  *    AT_TIMESTAMP falls back to TRIM_HORIZON (files carry no arrival
-  *    time — documented deviation of the double).
+  *    AT_TIMESTAMP (+ `initialTimestamp`, ISO-8601) keys off each shard
+  *    FILE's mtime — the arrival granularity the file backing has: a
+  *    shard touched at/after the timestamp replays from its horizon,
+  *    an older one reads only future appends.
   *  - `maxFetchRecordsPerShard` bounds each micro-batch via the
   *    admission-control API ([[SupportsAdmissionControl]]) — the same
   *    mechanism the Kafka source uses for maxOffsetsPerTrigger.
@@ -113,6 +115,9 @@ class KinesisFileTable(options: CaseInsensitiveStringMap)
   private val initialPosition: String =
     opt("initialPosition", "kinesis.startingPosition").getOrElse("LATEST")
 
+  private val initialTimestamp: Option[String] =
+    opt("initialTimestamp", "kinesis.startingPosition.timestamp")
+
   private val maxFetchRecordsPerShard: Int =
     opt("maxFetchRecordsPerShard", "kinesis.maxFetchRecordsPerShard")
       .map(_.toInt).getOrElse(Int.MaxValue)
@@ -128,7 +133,8 @@ class KinesisFileTable(options: CaseInsensitiveStringMap)
         override def readSchema(): StructType = KinesisFileSource.Schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new KinesisFileMicroBatchStream(
-            streamName, initialPosition, maxFetchRecordsPerShard)
+            streamName, initialPosition, maxFetchRecordsPerShard,
+            initialTimestamp)
       }
     }
 }
@@ -136,16 +142,34 @@ class KinesisFileTable(options: CaseInsensitiveStringMap)
 class KinesisFileMicroBatchStream(
     streamName: String,
     initialPosition: String,
-    maxRecordsPerShard: Int)
+    maxRecordsPerShard: Int,
+    initialTimestamp: Option[String] = None)
     extends MicroBatchStream with SupportsAdmissionControl {
   import KinesisFileSource._
 
   private val dir = Paths.get(streamName)
 
   override def initialOffset(): Offset = initialPosition match {
-    // AT_TIMESTAMP: files carry no arrival time — read from the horizon
     case "LATEST" => ShardOffsets(shardEnds(dir))
-    case _        => ShardOffsets(shardEnds(dir).map { case (s, _) => s -> 0L })
+    // AT_TIMESTAMP: the double's arrival time is the shard file's mtime
+    // (one arrival stamp per shard — the granularity the file backing
+    // has): a shard whose records arrived at/after the timestamp replays
+    // from its horizon; one whose records predate it starts at its
+    // current end (only future appends are read) — per-shard, exactly
+    // how the real position filters by approximateArrivalTimestamp.
+    // A missing/unparseable timestamp falls back to the horizon.
+    case "AT_TIMESTAMP" =>
+      val cutMs = initialTimestamp.flatMap(t =>
+        scala.util.Try(java.time.Instant.parse(t).toEpochMilli).toOption)
+      cutMs match {
+        case None => ShardOffsets(shardEnds(dir).map { case (s, _) => s -> 0L })
+        case Some(cut) =>
+          ShardOffsets(shardEnds(dir).map { case (s, end) =>
+            val mtime = Files.getLastModifiedTime(dir.resolve(s)).toMillis
+            s -> (if (mtime >= cut) 0L else end)
+          })
+      }
+    case _ => ShardOffsets(shardEnds(dir).map { case (s, _) => s -> 0L })
   }
 
   override def deserializeOffset(json: String): Offset = parseOffsets(json)

@@ -213,6 +213,34 @@ class KinesisSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(String.valueOf(e.getMessage).contains("streamName"))
   }
 
+  test("S1: AT_TIMESTAMP keys off shard arrival time — old shards tail, fresh shards replay") {
+    val streamDir = newDir("kinesis-at-ts")
+    writeShard(streamDir, "shard-old", (0 until 4).map(tsv))
+    writeShard(streamDir, "shard-new", (4 until 7).map(tsv))
+    // backdate the old shard's arrival; the cut falls between the two
+    java.nio.file.Files.setLastModifiedTime(streamDir.resolve("shard-old"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli))
+    val df = spark.readStream.format("graft-kinesis")
+      .option("streamName", streamDir.toString)
+      .option("initialPosition", "AT_TIMESTAMP")
+      .option("initialTimestamp", "2024-06-01T00:00:00Z")
+      .load()
+    val q = df.writeStream.format("memory").queryName("at_ts").start()
+    try {
+      q.processAllAvailable()
+      // fresh shard replays its 3 backlog records; the backdated shard
+      // starts at its end (nothing until a future append)
+      assert(spark.table("at_ts").count() == 3)
+      writeShard(streamDir, "shard-old", Seq(tsv(9)))
+      q.processAllAvailable()
+      val byShard = spark.table("at_ts").groupBy("shardId").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byShard == Map("shard-new" -> 3L, "shard-old" -> 1L),
+        s"got $byShard")
+    } finally q.stop()
+  }
+
   test("S1: the published connector's option spelling (kinesis.*) decodes identically") {
     // the awslabs spark-sql-kinesis-connector spelling — see the
     // conformance table on RecordSources.kinesisOptions; a production

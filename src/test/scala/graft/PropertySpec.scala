@@ -296,4 +296,64 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       else assert(filled <= L, s"final sequence may be partial, never over-full")
     }
   }
+
+  test("q162 closed-form interleave position ≡ global row_number on random inputs") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val gen = Gen.nonEmptyListOf(for {
+      src <- Gen.oneOf("s1", "s2", "s3", "s4")
+      quality <- Gen.chooseNum(0L, 50L) // duplicates force rank tiebreaks
+    } yield (src, quality))
+    samples(gen, 8).foreach { case (seed, rows) =>
+      val d = rows.zipWithIndex
+        .map { case ((src, ql), i) => (i.toLong, src, ql) }
+        .toDF("doc_id", "source", "quality")
+        .withColumn("r", row_number().over(
+          Window.partitionBy("source")
+            .orderBy(col("quality").desc, col("doc_id"))).cast("long"))
+      val closed = graft.operators.Curation.interleavePositions(d)
+        .select("doc_id", "global_pos").collect()
+        .map(x => x.getLong(0) -> x.getLong(1)).toMap
+      val global = d
+        .withColumn("pos", row_number().over(
+          Window.orderBy(col("r"), col("source"))).cast("long"))
+        .select("doc_id", "pos").collect()
+        .map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(closed == global, s"seed=$seed")
+    }
+  }
+
+  test("q158 mask BFS census ≡ per-seed scalar BFS on random directed graphs") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(3, 14)
+      edges <- Gen.listOf(for {
+        a <- Gen.chooseNum(0L, (n - 1).toLong)
+        b <- Gen.chooseNum(0L, (n - 1).toLong)
+      } yield (a, b))
+      rounds <- Gen.chooseNum(1, 3)
+      nSeeds <- Gen.chooseNum(1, n)
+    } yield (n, edges.distinct, rounds, nSeeds)
+    samples(gen, 8).foreach { case (seed, (n, edges, rounds, nSeeds)) =>
+      val verts = (0L until n.toLong).toDF("id")
+      val e = edges.toDF("src", "dst")
+      val seeds = (0L until nSeeds.toLong).zipWithIndex
+        .map { case (id, b) => (id, b) }.toDF("id", "bit")
+      val got = graft.operators.TextRank
+        .multiSourceBfsCensus(verts, e, seeds, rounds)
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // scalar truth: forward-reachability frontier per seed
+      val adj = edges.groupBy(_._1).map { case (s0, es) => s0 -> es.map(_._2).toSet }
+      var reached: Map[Long, Set[Long]] =
+        (0L until nSeeds.toLong).map(s0 => s0 -> Set(s0)).toMap
+      val expected = scala.collection.mutable.Map(0 -> reached.values.map(_.size).sum.toLong)
+      for (h <- 1 to rounds) {
+        reached = reached.map { case (s0, vs) =>
+          s0 -> (vs ++ vs.flatMap(v => adj.getOrElse(v, Set.empty)))
+        }
+        expected(h) = reached.values.map(_.size).sum.toLong
+      }
+      assert(got == expected.toMap, s"seed=$seed n=$n rounds=$rounds")
+    }
+  }
 }
