@@ -1010,6 +1010,30 @@ object Relational {
         .orderBy("cohort_day", "day_offset")
     },
 
+    // Order-to-ship latency by priority — the operational-SLA rollup
+    // over the TPC-H fact pair: every lineitem's (ship − order) day lag,
+    // summarized per priority class. One fact-fact shuffle join on the
+    // order key (at 100 TB both tables bucket on orderkey and the join
+    // goes shuffle-free — the BucketedJoinSpec layout); lags are exact
+    // integer days and the percentiles the cross-engine-exact
+    // interpolated form.
+    "q169_ship_latency" -> { (s, dir) =>
+      val o = Synth.orders(s, dir).select(col("o_orderkey"),
+        col("o_orderpriority"), to_date(col("o_orderdate")).as("od"))
+      val l = Synth.lineitem(s, dir).select(
+        col("l_orderkey").as("o_orderkey"),
+        to_date(col("l_shipdate")).as("sd"))
+      l.join(o, "o_orderkey")
+        .withColumn("lag_days", datediff(col("sd"), col("od")).cast("long"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          min(col("lag_days")).as("min_days"),
+          expr("percentile(lag_days, 0.5)").as("p50_days"),
+          expr("percentile(lag_days, 0.9)").as("p90_days"),
+          max(col("lag_days")).as("max_days"))
+        .orderBy("o_orderpriority")
+    },
+
     // Conversion-lag distribution — the time-to-convert metric next to
     // q79's funnel counts and q80's retention matrix: per converting
     // user, the lag from first 'view' to the first 'purchase' AFTER it,
@@ -1450,6 +1474,19 @@ object Relational {
       """SELECT event_type, count(*) AS n,
         | cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q169_ship_latency" ->
+      """WITH j AS (
+        |  SELECT o.o_orderpriority,
+        |    cast(date_diff('day', cast(o.o_orderdate as date),
+        |      cast(l.l_shipdate as date)) as bigint) AS lag_days
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
+        |SELECT o_orderpriority, count(*) AS n_lines,
+        |  min(lag_days) AS min_days,
+        |  quantile_cont(lag_days, 0.5) AS p50_days,
+        |  quantile_cont(lag_days, 0.9) AS p90_days,
+        |  max(lag_days) AS max_days
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q165_conversion_lag" ->
       """WITH f AS (
