@@ -637,6 +637,26 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // Duplicate-cluster size distribution — the power-law sanity check a
+    // dedup run publishes (a corpus whose cluster sizes DON'T decay
+    // roughly geometrically usually has a broken blocker or a boilerplate
+    // epidemic): one row per cluster size with the number of clusters,
+    // docs covered, and corpus share in integer millionths. Probes the
+    // materialized cluster map (two cluster-bounded aggregations, no
+    // pipeline re-run).
+    "q170_cluster_size_dist" -> { (s, dir) =>
+      val cm = minhashClusterMap(s, dir)
+      val sizes = cm.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+      val n = cm.agg(count(lit(1)).as("n_docs"))
+      sizes.groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+        .withColumn("n_docs_covered", col("sz") * col("n_clusters"))
+        .crossJoin(broadcast(n))
+        .withColumn("share_ppm",
+          expr("n_docs_covered * 1000000 div n_docs"))
+        .select("sz", "n_clusters", "n_docs_covered", "share_ppm")
+        .orderBy("sz")
+    },
+
     // Blocking-family RECALL comparison — the measurement that picks a
     // dedup architecture: all three candidate generators this engine
     // ships (MinHash band buckets q32b, SimHash64 pigeonhole blocks
@@ -1237,6 +1257,23 @@ object Dedup {
          |  d.doc_id = least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS is_canonical
          |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
          |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    "q170_cluster_size_dist" ->
+      s"""$duckQ61Reach,
+         |clusters AS (
+         |  SELECT d.doc_id,
+         |    least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id
+         |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+         |  GROUP BY d.doc_id),
+         |sizes AS (
+         |  SELECT cluster_id, cast(count(*) as bigint) AS sz
+         |  FROM clusters GROUP BY 1),
+         |n AS (SELECT cast(count(*) as bigint) AS n_docs FROM clusters)
+         |SELECT sz, cast(count(*) as bigint) AS n_clusters,
+         |  cast(sz * count(*) as bigint) AS n_docs_covered,
+         |  cast(sz * count(*) * 1000000 // (SELECT n_docs FROM n)
+         |    as bigint) AS share_ppm
+         |FROM sizes GROUP BY sz ORDER BY sz""".stripMargin,
 
     "q161_dup_aware_weights" ->
       s"""$duckQ61Reach,
