@@ -96,6 +96,39 @@ object Curation {
         .orderBy("global_pos")
     },
 
+    // Neyman allocation — the survey-sampling design for an evaluation
+    // budget: stratum h gets n_h ∝ N_h·σ_h of the K-doc eval sample
+    // (big AND internally-variable sources deserve more eval docs than
+    // big-but-uniform ones — proportional allocation overpays the
+    // latter). Variance comes from exact integer sufficient statistics
+    // (N·Σx² − (Σx)² over token counts); σ = one IEEE sqrt (exactly
+    // specified, engine-portable), the allocation share one fixed-order
+    // multiply/divide, floor to integers — hash-exact. One aggregation
+    // over the corpus + a #sources-row rollup.
+    "q171_neyman_allocation" -> { (s, dir) =>
+      val K = 1000L
+      val st = Synth.documents(s, dir)
+        .select(col("source"),
+          expr(s"cast(size(${TextAnalysis.toks}) as bigint)").as("x"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+        // var_num = n²·σ², so N_h·σ_h = √var_num exactly
+        .withColumn("var_num", expr("n * sxx - sx * sx"))
+        .withColumn("weight", expr("sqrt(cast(var_num as double))"))
+      // the one double SUM folds in sorted source order (collect + sorted
+      // aggregate) — a plain sum(double) over shuffled rows would be
+      // order-dependent and break the cross-engine hash
+      val tot = st.agg(expr(
+        "aggregate(array_sort(collect_list(struct(source, weight))), " +
+          "cast(0.0 as double), (a, x) -> a + x.weight)").as("wtot"))
+      st.crossJoin(broadcast(tot))
+        .withColumn("alloc",
+          expr(s"cast(floor($K * weight / wtot) as bigint)"))
+        .select("source", "n", "var_num", "alloc")
+        .orderBy("source")
+    },
+
     // Temperature resampling: per-language keep thresholds from the
     // language histogram (tiny, broadcast), then one map-only pass keeps
     // doc iff u32(doc) < floor(sqrt(c_min/c_lang) * 2^32). The rarest
@@ -338,6 +371,27 @@ object Curation {
   private val BlockedDomains = Seq("src3-corpus.org", "src7-corpus.org")
 
   def oracle: Map[String, String] = Map(
+    "q171_neyman_allocation" ->
+      s"""WITH st AS (
+         |  SELECT source, count(*) AS n,
+         |    cast(sum(x) as bigint) AS sx, cast(sum(x * x) as bigint) AS sxx
+         |  FROM (SELECT source, cast(len(${TextAnalysis.dToks}) as bigint) AS x
+         |        FROM documents)
+         |  GROUP BY source),
+         |w AS (
+         |  SELECT source, n, cast(n * sxx - sx * sx as bigint) AS var_num,
+         |    sqrt(cast(n * sxx - sx * sx as double)) AS weight
+         |  FROM st),
+         |tot AS (
+         |  SELECT list_reduce(list_transform(
+         |    list_sort(list(struct_pack(source := source, weight := weight))),
+         |    x -> x.weight), (a, b) -> a + b) AS wtot
+         |  FROM w)
+         |SELECT source, n, var_num,
+         |  cast(floor(1000 * weight / (SELECT wtot FROM tot)) as bigint)
+         |    AS alloc
+         |FROM w ORDER BY source""".stripMargin,
+
     "q162_curriculum_interleave" ->
       """WITH d AS (
         |  SELECT doc_id, source,
