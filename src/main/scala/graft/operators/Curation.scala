@@ -129,6 +129,42 @@ object Curation {
         .orderBy("source")
     },
 
+    // The eval draw that EXECUTES q171's design: min(alloc_h, N_h) docs
+    // per stratum (a stratum smaller than its allocation is taken whole;
+    // the textbook finite-population step would redistribute the excess
+    // — kept single-pass here), chosen in deterministic salted-md5 order
+    // (the q29/q64 "reproducible randomness" — stable across runs,
+    // partitionings, and engines). The allocation table is #sources rows
+    // (broadcast); the draw is one per-source window rank + a filter.
+    // Composition is the point: design (q171) and draw (q172) are two
+    // halves of one pipeline and the oracle checks them end-to-end.
+    "q172_stratified_eval_draw" -> { (s, dir) =>
+      val K = 1000L
+      val st = Synth.documents(s, dir)
+        .select(col("source"),
+          expr(s"cast(size(${TextAnalysis.toks}) as bigint)").as("x"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+        .withColumn("weight", expr("sqrt(cast(n * sxx - sx * sx as double))"))
+      val tot = st.agg(expr(
+        "aggregate(array_sort(collect_list(struct(source, weight))), " +
+          "cast(0.0 as double), (a, x) -> a + x.weight)").as("wtot"))
+      val alloc = st.crossJoin(broadcast(tot))
+        .withColumn("alloc",
+          expr(s"cast(floor($K * weight / wtot) as bigint)"))
+        .select("source", "alloc")
+      val ranked = Synth.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          md5(col("doc_id").cast("string")).as("h"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("source").orderBy("h", "doc_id")).cast("long"))
+      ranked.join(broadcast(alloc), "source")
+        .filter(col("rk") <= col("alloc"))
+        .select("source", "doc_id", "rk", "alloc")
+        .orderBy("source", "rk")
+    },
+
     // Temperature resampling: per-language keep thresholds from the
     // language histogram (tiny, broadcast), then one map-only pass keeps
     // doc iff u32(doc) < floor(sqrt(c_min/c_lang) * 2^32). The rarest
@@ -391,6 +427,36 @@ object Curation {
          |  cast(floor(1000 * weight / (SELECT wtot FROM tot)) as bigint)
          |    AS alloc
          |FROM w ORDER BY source""".stripMargin,
+
+    "q172_stratified_eval_draw" ->
+      s"""WITH st AS (
+         |  SELECT source, count(*) AS n,
+         |    cast(sum(x) as bigint) AS sx, cast(sum(x * x) as bigint) AS sxx
+         |  FROM (SELECT source, cast(len(${TextAnalysis.dToks}) as bigint) AS x
+         |        FROM documents)
+         |  GROUP BY source),
+         |w AS (
+         |  SELECT source, sqrt(cast(n * sxx - sx * sx as double)) AS weight
+         |  FROM st),
+         |tot AS (
+         |  SELECT list_reduce(list_transform(
+         |    list_sort(list(struct_pack(source := source, weight := weight))),
+         |    x -> x.weight), (a, b) -> a + b) AS wtot
+         |  FROM w),
+         |alloc AS (
+         |  SELECT source,
+         |    cast(floor(1000 * weight / (SELECT wtot FROM tot)) as bigint)
+         |      AS alloc
+         |  FROM w),
+         |ranked AS (
+         |  SELECT doc_id, source,
+         |    cast(row_number() OVER (PARTITION BY source
+         |      ORDER BY md5(cast(doc_id as varchar)), doc_id) as bigint) AS rk
+         |  FROM documents)
+         |SELECT r.source AS source, doc_id, rk, alloc
+         |FROM ranked r JOIN alloc USING (source)
+         |WHERE rk <= alloc
+         |ORDER BY source, rk""".stripMargin,
 
     "q162_curriculum_interleave" ->
       """WITH d AS (
