@@ -254,6 +254,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q163: the whole contract suite costs exactly one events scan") {
+    val scans = plan("q163_contract_check").collect {
+      case f: FileSourceScanExec => f }
+    assert(scans.size == 1,
+      s"expected 1 scan for all 5 rules, got ${scans.size}")
+  }
+
   test("q156: the group-stats side broadcasts — the fact table never sort-merge joins") {
     val p = plan("q156_loo_target_encoding")
     val bhj = p.collect { case j: BroadcastHashJoinExec => j }
