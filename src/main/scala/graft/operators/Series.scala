@@ -97,19 +97,7 @@ object Series {
     // #days); the grid join runs on day-count-sized data, same argument
     // as q96's range frame.
     "q150_ewma" -> { (s, dir) =>
-      val ev = Synth.events(s, dir)
-        .select(col("event_type"),
-          expr("cast(datediff(cast(ts as date), date'1970-01-01') as bigint)")
-            .as("abs_day"))
-      val base = ev.agg(min(col("abs_day")).as("d0"))
-      val daily = ev.crossJoin(broadcast(base))
-        .withColumn("day", col("abs_day") - col("d0"))
-        .filter(col("day") < nDays)
-        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
-      val grid = daily.select("event_type").distinct()
-        .select(col("event_type"), explode(expr(s"sequence(0L, ${nDays - 1}L)")).as("day"))
-      val dense = grid.join(daily, Seq("event_type", "day"), "left")
-        .withColumn("n", coalesce(col("n"), lit(0L)))
+      val dense = denseDaily(s, dir)
       val wArr = EwmaWeights.mkString("array(", "L, ", "L)")
       val dArr = EwmaDens.mkString("array(", "L, ", "L)")
       dense.as("c")
@@ -128,8 +116,55 @@ object Series {
           col("ewma_num").cast("double") / col("ewma_den").cast("double"))
         .select("event_type", "day", "n", "ewma_num", "ewma_den", "ewma")
         .orderBy("event_type", "day")
+    },
+
+    // CUSUM changepoint detection — the quality-control chart next to
+    // q127's burst detector (bursts catch spikes; CUSUM accumulates
+    // SMALL sustained shifts a spike test never fires on). The textbook
+    // recursion s_t = max(0, s_{t−1} + dev_t − slack) is NOT computed
+    // recursively: with prefix_t = Σ(dev − slack), the identity
+    // s_t = prefix_t − min(0, min_{j≤t} prefix_j) turns it into two
+    // per-type running windows — fully parallel, no sequential state.
+    // Deviations are scaled integers (n_t·D − Σn = D·(n_t − mean), no
+    // division), slack = Σn div 10 (10% of a mean day, same units),
+    // alarm at cusum > Σn (one full scaled mean-day of accumulated
+    // excess) — every value exact bigint, hash-exact.
+    "q173_cusum" -> { (s, dir) =>
+      val dense = denseDaily(s, dir)
+      val totals = dense.groupBy("event_type")
+        .agg(sum(col("n")).as("tot"), count(lit(1)).as("dcnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("day")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      dense.join(broadcast(totals), "event_type")
+        .withColumn("step", expr("n * dcnt - tot - tot div 10"))
+        .withColumn("prefix", sum(col("step")).over(w))
+        .withColumn("cusum",
+          col("prefix") - least(lit(0L), min(col("prefix")).over(w)))
+        .withColumn("is_alarm", col("cusum") > col("tot"))
+        .select("event_type", "day", "n", "cusum", "is_alarm")
+        .orderBy("event_type", "day")
     }
   )
+
+  /** q173's dense per-type day grid — q150's construction, shared. */
+  private def denseDaily(s: SparkSession, dir: String): DataFrame = {
+    val ev = Synth.events(s, dir)
+      .select(col("event_type"),
+        expr("cast(datediff(cast(ts as date), date'1970-01-01') as bigint)")
+          .as("abs_day"))
+    val base = ev.agg(min(col("abs_day")).as("d0"))
+    val daily = ev.crossJoin(broadcast(base))
+      .withColumn("day", col("abs_day") - col("d0"))
+      .filter(col("day") < nDays)
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+    val grid = daily.select("event_type").distinct()
+      .select(col("event_type"),
+        explode(expr(s"sequence(0L, ${nDays - 1}L)")).as("day"))
+    grid.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+  }
 
   /** 14-day clipped EWMA geometric weights at α = 0.3, in integer
     * millionths — the same literals render into both engines, so the
@@ -233,6 +268,48 @@ object Series {
          |    / cast(($d)[cast(least(day, ${EwmaHorizon - 1}) as int) + 1]
          |      as double) AS ewma
          |FROM sm ORDER BY event_type, day""".stripMargin
-    }
+    },
+
+    "q173_cusum" ->
+      s"""WITH ev AS (
+         |  SELECT event_type,
+         |    cast(date_diff('day', DATE '1970-01-01', cast(ts as date))
+         |      as bigint) AS abs_day
+         |  FROM events),
+         |base AS (SELECT min(abs_day) AS d0 FROM ev),
+         |daily AS (
+         |  SELECT event_type, abs_day - (SELECT d0 FROM base) AS day,
+         |    count(*) AS n
+         |  FROM ev WHERE abs_day - (SELECT d0 FROM base) < $nDays
+         |  GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT t.event_type, g.d AS day
+         |  FROM (SELECT DISTINCT event_type FROM daily) t,
+         |    range(0, $nDays) g(d)),
+         |dense AS (
+         |  SELECT g.event_type, g.day, cast(coalesce(daily.n, 0) as bigint) AS n
+         |  FROM grid g LEFT JOIN daily
+         |    ON daily.event_type = g.event_type AND daily.day = g.day),
+         |totals AS (
+         |  SELECT event_type, cast(sum(n) as bigint) AS tot,
+         |    cast(count(*) as bigint) AS dcnt
+         |  FROM dense GROUP BY 1),
+         |pref AS (
+         |  SELECT d.event_type, d.day, d.n, t.tot,
+         |    cast(sum(d.n * t.dcnt - t.tot - t.tot // 10) OVER (
+         |      PARTITION BY d.event_type ORDER BY d.day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      as bigint) AS prefix
+         |  FROM dense d JOIN totals t USING (event_type))
+         |SELECT event_type, day, n,
+         |  cast(prefix - least(0, min(prefix) OVER (
+         |    PARTITION BY event_type ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |    as bigint) AS cusum,
+         |  prefix - least(0, min(prefix) OVER (
+         |    PARTITION BY event_type ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) > tot
+         |    AS is_alarm
+         |FROM pref ORDER BY event_type, day""".stripMargin
   )
 }
