@@ -72,6 +72,35 @@ object Curation {
         col("before_full") + col("peers_before") + 1)
   }
 
+  /** q172's draw body, shared with the q174 leakage audit: Neyman
+    * allocation over token-count variability + deterministic salted-md5
+    * per-stratum draw. Returns (source, doc_id, rk, alloc).
+    */
+  private def stratifiedEvalDraw(s: SparkSession, dir: String): DataFrame = {
+    val K = 1000L
+    val st = Synth.documents(s, dir)
+      .select(col("source"),
+        expr(s"cast(size(${TextAnalysis.toks}) as bigint)").as("x"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("weight", expr("sqrt(cast(n * sxx - sx * sx as double))"))
+    val tot = st.agg(expr(
+      "aggregate(array_sort(collect_list(struct(source, weight))), " +
+        "cast(0.0 as double), (a, x) -> a + x.weight)").as("wtot"))
+    val alloc = st.crossJoin(broadcast(tot))
+      .withColumn("alloc",
+        expr(s"cast(floor($K * weight / wtot) as bigint)"))
+      .select("source", "alloc")
+    val ranked = Synth.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy("h", "doc_id")).cast("long"))
+    ranked.join(broadcast(alloc), "source")
+      .filter(col("rk") <= col("alloc"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Curriculum interleave — the deterministic TRAINING ORDER a data
     // loader consumes: quality-descending within each source (quality =
@@ -139,30 +168,38 @@ object Curation {
     // Composition is the point: design (q171) and draw (q172) are two
     // halves of one pipeline and the oracle checks them end-to-end.
     "q172_stratified_eval_draw" -> { (s, dir) =>
-      val K = 1000L
-      val st = Synth.documents(s, dir)
-        .select(col("source"),
-          expr(s"cast(size(${TextAnalysis.toks}) as bigint)").as("x"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-          sum(col("x") * col("x")).as("sxx"))
-        .withColumn("weight", expr("sqrt(cast(n * sxx - sx * sx as double))"))
-      val tot = st.agg(expr(
-        "aggregate(array_sort(collect_list(struct(source, weight))), " +
-          "cast(0.0 as double), (a, x) -> a + x.weight)").as("wtot"))
-      val alloc = st.crossJoin(broadcast(tot))
-        .withColumn("alloc",
-          expr(s"cast(floor($K * weight / wtot) as bigint)"))
-        .select("source", "alloc")
-      val ranked = Synth.documents(s, dir)
-        .select(col("doc_id"), col("source"),
-          md5(col("doc_id").cast("string")).as("h"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("source").orderBy("h", "doc_id")).cast("long"))
-      ranked.join(broadcast(alloc), "source")
-        .filter(col("rk") <= col("alloc"))
+      stratifiedEvalDraw(s, dir)
         .select("source", "doc_id", "rk", "alloc")
         .orderBy("source", "rk")
+    },
+
+    // Eval-leakage audit — the integrity check that closes the pipeline
+    // loop: q172's eval draw is only honest if no eval doc shares a
+    // NEAR-DUP cluster with a non-eval (training) doc — a paraphrase of
+    // an eval doc in the training set inflates every benchmark number.
+    // Composes three existing pieces (Neyman design → stratified draw →
+    // the materialized q61 cluster map) into one report: per source, the
+    // eval count, how many eval docs sit in boundary-crossing clusters,
+    // and the leak rate in millionths. Probe-cheap: the cluster map is
+    // read in place, the audit is two cluster-bounded aggregations.
+    "q174_eval_leakage" -> { (s, dir) =>
+      val eval0 = stratifiedEvalDraw(s, dir).select("doc_id", "source")
+      val cm = Dedup.clusterMap(s, dir)
+      val flagged = cm.join(eval0.select(col("doc_id"), lit(1).as("is_eval")),
+        Seq("doc_id"), "left")
+      val clusterMix = flagged.groupBy("cluster_id").agg(
+        count(lit(1)).as("n_total"),
+        sum(coalesce(col("is_eval"), lit(0))).as("n_eval_in"))
+      val leakyEval = flagged.filter(col("is_eval") === 1)
+        .join(clusterMix, "cluster_id")
+        .withColumn("is_leaky",
+          col("n_total") > col("n_eval_in")) // cluster crosses the split
+      eval0.join(leakyEval.select("doc_id", "is_leaky"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_eval"),
+          sum(when(col("is_leaky"), 1L).otherwise(0L)).as("n_leaky"))
+        .withColumn("leak_ppm", expr("n_leaky * 1000000 div n_eval"))
+        .orderBy("source")
     },
 
     // Temperature resampling: per-language keep thresholds from the
@@ -427,6 +464,58 @@ object Curation {
          |  cast(floor(1000 * weight / (SELECT wtot FROM tot)) as bigint)
          |    AS alloc
          |FROM w ORDER BY source""".stripMargin,
+
+    "q174_eval_leakage" ->
+      s"""${Dedup.duckQ61Reach},
+         |clusters AS (
+         |  SELECT d.doc_id,
+         |    least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id
+         |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+         |  GROUP BY d.doc_id),
+         |st AS (
+         |  SELECT source, count(*) AS n,
+         |    cast(sum(x) as bigint) AS sx, cast(sum(x * x) as bigint) AS sxx
+         |  FROM (SELECT source, cast(len(${TextAnalysis.dToks}) as bigint) AS x
+         |        FROM documents)
+         |  GROUP BY source),
+         |w AS (
+         |  SELECT source, sqrt(cast(n * sxx - sx * sx as double)) AS weight
+         |  FROM st),
+         |tot AS (
+         |  SELECT list_reduce(list_transform(
+         |    list_sort(list(struct_pack(source := source, weight := weight))),
+         |    x -> x.weight), (a, b) -> a + b) AS wtot
+         |  FROM w),
+         |alloc AS (
+         |  SELECT source,
+         |    cast(floor(1000 * weight / (SELECT wtot FROM tot)) as bigint)
+         |      AS alloc
+         |  FROM w),
+         |ranked AS (
+         |  SELECT doc_id, source,
+         |    cast(row_number() OVER (PARTITION BY source
+         |      ORDER BY md5(cast(doc_id as varchar)), doc_id) as bigint) AS rk
+         |  FROM documents),
+         |ev AS (
+         |  SELECT r.doc_id, r.source
+         |  FROM ranked r JOIN alloc USING (source) WHERE rk <= alloc),
+         |flagged AS (
+         |  SELECT c.doc_id, c.cluster_id,
+         |    CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_eval
+         |  FROM clusters c LEFT JOIN ev e ON e.doc_id = c.doc_id),
+         |mix AS (
+         |  SELECT cluster_id, count(*) AS n_total,
+         |    cast(sum(is_eval) as bigint) AS n_eval_in
+         |  FROM flagged GROUP BY 1)
+         |SELECT e.source AS source, count(*) AS n_eval,
+         |  cast(sum(CASE WHEN m.n_total > m.n_eval_in THEN 1 ELSE 0 END)
+         |    as bigint) AS n_leaky,
+         |  cast(sum(CASE WHEN m.n_total > m.n_eval_in THEN 1 ELSE 0 END)
+         |    * 1000000 // count(*) as bigint) AS leak_ppm
+         |FROM ev e
+         |  JOIN flagged f ON f.doc_id = e.doc_id
+         |  JOIN mix m ON m.cluster_id = f.cluster_id
+         |GROUP BY e.source ORDER BY source""".stripMargin,
 
     "q172_stratified_eval_draw" ->
       s"""WITH st AS (

@@ -107,7 +107,7 @@ object Dedup {
     * with q125. WITH RECURSIVE; callers append their own final SELECT
     * (and further CTEs after a comma).
     */
-  private lazy val duckQ61Reach: String =
+  private[operators] lazy val duckQ61Reach: String =
     s"""WITH RECURSIVE mh AS (
        |  SELECT doc_id, $duckMhCols
        |  FROM (SELECT doc_id, $dShingles AS sh FROM documents)),
@@ -155,6 +155,12 @@ object Dedup {
     * same layout argument as [[DedupIndex.write]]); later callers read
     * it in place with zero exchange on the index side.
     */
+  /** Package accessor for cross-operator consumers (q174's eval-leakage
+    * audit in [[Curation]]) — same materialized table, zero extra cost.
+    */
+  private[operators] def clusterMap(s: SparkSession, dir: String): DataFrame =
+    minhashClusterMap(s, dir)
+
   private val clusterMapLock = new Object
   private def minhashClusterMap(s: SparkSession, dir: String): DataFrame = {
     val table = "graft_cluster_map_" +
