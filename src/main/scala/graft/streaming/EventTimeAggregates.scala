@@ -332,6 +332,53 @@ object EventTimeAggregates {
         })
   }
 
+  final case class CusumState(
+      maxDay: Long, prefix: Long, minPrefix: Long, droppedLate: Long)
+  final case class CusumPoint(
+      event_type: String, day: Long, n: Long, cusum: Long, is_alarm: Boolean)
+
+  /** Streaming twin of the batch q173 CUSUM chart. Where the batch form
+    * derives its reference mean from the full window, a stream cannot
+    * see the future — so the per-type scaled parameters (tot, dcnt) are
+    * INPUTS (from a trailing calibration window or the batch job), and
+    * the recursion runs in its natural sequential home: keyed state
+    * holding (prefix, min prefix) — two longs per type. On the same
+    * dense input with the batch-derived parameters, the points equal
+    * q173's rows exactly (EventTimeSpec). Same contract as the other
+    * daily twins: days non-decreasing per type, late re-emits dropped
+    * and counted.
+    */
+  def streamingCusum(
+      daily: Dataset[DailyCount],
+      params: Map[String, (Long, Long)]): Dataset[CusumPoint] = {
+    import daily.sparkSession.implicits._
+    daily
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (et: String, rows: Iterator[DailyCount], state: GroupState[CusumState]) => {
+          val st = state.getOption
+            .getOrElse(CusumState(Long.MinValue, 0L, Long.MaxValue, 0L))
+          var maxDay = st.maxDay
+          var prefix = st.prefix
+          var minPrefix = st.minPrefix
+          var dropped = st.droppedLate
+          val (tot, dcnt) = params.getOrElse(et, (0L, 1L))
+          val out = rows.toSeq.sortBy(_.day_num).flatMap { r =>
+            if (r.day_num <= maxDay) { dropped += 1; None }
+            else {
+              prefix += r.n * dcnt - tot - tot / 10
+              minPrefix = math.min(minPrefix, prefix)
+              maxDay = r.day_num
+              val cusum = prefix - math.min(0L, minPrefix)
+              Some(CusumPoint(et, r.day_num, r.n, cusum, cusum > tot))
+            }
+          }
+          state.update(CusumState(maxDay, prefix, minPrefix, dropped))
+          out.iterator
+        })
+  }
+
   final case class MgState(counters: Map[String, Long], n: Long, batch: Long)
   final case class MgSummary(
       bucket: Int, batch: Long, n: Long, items: Map[String, Long])

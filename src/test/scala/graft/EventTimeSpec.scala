@@ -534,6 +534,43 @@ class EventTimeSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q2.stop()
   }
 
+  test("streaming CUSUM equals batch q173 point-for-point with batch-derived parameters") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val batch = SparkEntry.queries("q173_cusum")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toMap
+    assert(batch.nonEmpty)
+    // the calibration the batch derives from its window: per type
+    // (tot = Σn, dcnt = #days)
+    val params = batch.toSeq.groupBy(_._1._1).map { case (t, rows) =>
+      t -> (rows.map(_._2._1).sum, rows.size.toLong)
+    }
+    val daily = batch.toSeq.map { case ((t, d), (n, _, _)) => (t, d, n) }
+      .sortBy { case (t, d, _) => (t, d) }
+    val (b1, b2) = daily.partition(_._2 < 15)
+    val mem = MemoryStream[(String, Long, Long)]
+    val out = EventTimeAggregates.streamingCusum(
+      mem.toDS().map { case (t, d, n) => DailyCount(t, d, n) }, params)
+    val q = out.writeStream.format("memory").queryName("scusum")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val got = spark.sql(
+        "select event_type, day, n, cusum, is_alarm from scusum")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      assert(got.length == batch.size)
+      got.foreach { case (k, v) =>
+        assert(batch(k) == v, s"$k: stream $v vs batch ${batch(k)}")
+      }
+    } finally q.stop()
+  }
+
   test("streaming Misra-Gries heavy hitters honor the n/(k+1) guarantees across batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
