@@ -46,6 +46,12 @@ object RecordSources {
     *  | region                    | kinesis.region                     |
     *  | initialPosition           | kinesis.startingPosition           |
     *  | initialTimestamp          | kinesis.startingPosition (JSON ts) |
+    *
+    * The JSON form is DECODED, not just documented: a `kinesis.
+    * startingPosition` whose value is a JSON object (the connector's
+    * AT_TIMESTAMP rendering, e.g. `{"at_timestamp": "2024-01-01T00:00:00Z"}`)
+    * yields position AT_TIMESTAMP with that timestamp
+    * (KinesisFileTable.jsonTimestamp) — never a silent horizon fallback.
     *  | maxFetchRecordsPerShard   | kinesis.maxFetchRecordsPerShard    |
     *  | minFetchPeriodMillis      | kinesis.minFetchPeriod (duration)  |
     *

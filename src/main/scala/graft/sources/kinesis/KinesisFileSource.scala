@@ -112,11 +112,31 @@ class KinesisFileTable(options: CaseInsensitiveStringMap)
       throw new IllegalArgumentException(
         "Missing required option: streamName (or kinesis.streamName)"))
 
+  private val rawStartingPosition: Option[String] =
+    opt("initialPosition", "kinesis.startingPosition")
+
+  /** The published connector embeds the AT_TIMESTAMP value as a JSON
+    * object INSIDE `kinesis.startingPosition` (see the conformance table
+    * on [[graft.sources.RecordSources.kinesisOptions]]); a config-only
+    * swap must not silently fall back to the horizon, so a `{...}` value
+    * is decoded here: the position becomes AT_TIMESTAMP and the
+    * timestamp field (`at_timestamp`/`atTimestamp`, ISO-8601 instant —
+    * the double's timestamp rendering) is extracted.
+    */
+  private def jsonTimestamp(v: String): Option[String] =
+    if (!v.trim.startsWith("{")) None
+    else """"(?:at_timestamp|atTimestamp)"\s*:\s*"([^"]+)"""".r
+      .findFirstMatchIn(v).map(_.group(1))
+
+  private val jsonTs: Option[String] = rawStartingPosition.flatMap(jsonTimestamp)
+
   private val initialPosition: String =
-    opt("initialPosition", "kinesis.startingPosition").getOrElse("LATEST")
+    if (jsonTs.isDefined) "AT_TIMESTAMP"
+    else rawStartingPosition.getOrElse("LATEST")
 
   private val initialTimestamp: Option[String] =
     opt("initialTimestamp", "kinesis.startingPosition.timestamp")
+      .orElse(jsonTs)
 
   private val maxFetchRecordsPerShard: Int =
     opt("maxFetchRecordsPerShard", "kinesis.maxFetchRecordsPerShard")

@@ -352,7 +352,15 @@ object EventTimeAggregates {
       daily: Dataset[DailyCount],
       params: Map[String, (Long, Long)]): Dataset[CusumPoint] = {
     import daily.sparkSession.implicits._
+    require(params.nonEmpty, "streamingCusum needs calibration parameters")
+    // An UNCALIBRATED type must never reach the recursion: defaulting its
+    // (tot, dcnt) to (0, 1) would make step = n and the alarm threshold 0
+    // — every first nonzero day alarms, silently. Types absent from the
+    // params map are dropped at the door (the dead-letter route: the
+    // caller sees them missing from the output and re-calibrates), so
+    // only keys with real batch-derived parameters carry state at all.
     daily
+      .filter(r => params.contains(r.event_type))
       .groupByKey(_.event_type)
       .flatMapGroupsWithState(
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(
@@ -363,7 +371,7 @@ object EventTimeAggregates {
           var prefix = st.prefix
           var minPrefix = st.minPrefix
           var dropped = st.droppedLate
-          val (tot, dcnt) = params.getOrElse(et, (0L, 1L))
+          val (tot, dcnt) = params(et) // membership enforced upstream
           val out = rows.toSeq.sortBy(_.day_num).flatMap { r =>
             if (r.day_num <= maxDay) { dropped += 1; None }
             else {

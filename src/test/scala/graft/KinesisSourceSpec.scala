@@ -264,4 +264,30 @@ class KinesisSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
         q.recentProgress.map(_.numInputRows).mkString(","))
     } finally q.stop()
   }
+
+  test("S1: JSON-valued kinesis.startingPosition decodes as AT_TIMESTAMP (r6 advice)") {
+    // the published connector renders AT_TIMESTAMP as a JSON object VALUE
+    // of kinesis.startingPosition — a config-only swap must decode it,
+    // not silently fall back to the horizon (which would re-read the
+    // backdated shard's full backlog)
+    val streamDir = newDir("kinesis-json-pos")
+    writeShard(streamDir, "shard-old", (0 until 4).map(tsv))
+    writeShard(streamDir, "shard-new", (4 until 7).map(tsv))
+    java.nio.file.Files.setLastModifiedTime(streamDir.resolve("shard-old"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli))
+    val df = spark.readStream.format("graft-kinesis")
+      .option("kinesis.streamName", streamDir.toString)
+      .option("kinesis.startingPosition",
+        """{"at_timestamp": "2024-06-01T00:00:00Z"}""")
+      .load()
+    val q = df.writeStream.format("memory").queryName("json_pos").start()
+    try {
+      q.processAllAvailable()
+      // identical semantics to the bare AT_TIMESTAMP case: the fresh
+      // shard replays its 3 records, the backdated shard tails
+      assert(spark.table("json_pos").count() == 3,
+        s"horizon fallback would have read all 7, got ${spark.table("json_pos").count()}")
+    } finally q.stop()
+  }
 }
