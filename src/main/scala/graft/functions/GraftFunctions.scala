@@ -55,6 +55,11 @@ object GraftFunctions {
     (FunctionIdentifier("graft_intersect_size"),
       new ExpressionInfo(classOf[IntersectSize].getName, "graft_intersect_size"),
       (children: Seq[Expression]) => IntersectSize(children(0), children(1))),
+    (FunctionIdentifier("graft_sorted_intersect_size"),
+      new ExpressionInfo(classOf[SortedIntersectSize].getName,
+        "graft_sorted_intersect_size"),
+      (children: Seq[Expression]) =>
+        SortedIntersectSize(children(0), children(1))),
     (FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKByScore].getName, "graft_topk"),
       // the analyzer wraps AggregateFunctions in AggregateExpression

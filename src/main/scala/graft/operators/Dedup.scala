@@ -286,11 +286,17 @@ object Dedup {
   private[graft] def prefixJaccardPairs(sh: DataFrame, p: Int = 1,
       q: Int = 2, minJaccard: Double = 0.5): DataFrame = {
     require(0 < p && p < q, "threshold p/q must lie in (0, 1)")
-    // tok feeds the df aggregate AND the rank pass below — checkpoint so
-    // the scan+shingle explode runs once, not once per consumer
-    val tok = sh.select(col("doc_id"), expr("size(sh)").as("n"),
-      explode(col("sh")).as("shingle"))
+    graft.functions.GraftFunctions.register(sh.sparkSession)
+    // checkpoint the (doc_id, sh) frame itself, SORTED once per document:
+    // it feeds the token explode below AND both verify sides at the end
+    // — without this the scan+shingling runs three times, and the sorted
+    // layout is what lets the verify use the allocation-free merge
+    // intersect (sorting is corpus-linear, one ~50-element sort per doc;
+    // the verify is candidate-quadratic, the side to keep cheap)
+    val shCp = sh.select(col("doc_id"), sort_array(col("sh")).as("sh"))
       .localCheckpoint()
+    val tok = shCp.select(col("doc_id"), expr("size(sh)").as("n"),
+      explode(col("sh")).as("shingle"))
     // df via groupBy + join-back, NOT a shingle-partitioned window (the
     // r6 punch item): the window form exchanges AND SORTS the whole
     // token stream on `shingle` only to attach one count, while the
@@ -307,10 +313,14 @@ object Dedup {
     val dfs = tok.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2)
     val wDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
-    // localCheckpoint: the posting list feeds BOTH sides of the self-join
-    // below — without it the df join + per-doc rank run twice (once per
-    // side). The checkpoint is prefix-sized (≈ n·(1−t) of each doc's
-    // shingles), the thing PPJoin already bounds.
+    // NOT checkpointed, deliberately (measured, r7): from the
+    // checkpointed shCp the whole prefix pipeline (explode + df
+    // aggregate + broadcast join + per-doc rank window) re-runs in
+    // ~0.3 s per self-join side at sf0.1, while a blocking
+    // localCheckpoint materialization costs ~0.6-1 s of dead time on
+    // the critical path — running the cheap subtree twice beats
+    // serializing it once. (The r6 form's df WINDOW was the expensive
+    // thing worth checkpointing; the join-back form isn't.)
     val prefix = tok
       .join(dfs, Seq("shingle"), "left")
       .withColumn("df", coalesce(col("df"), lit(1L)))
@@ -320,7 +330,6 @@ object Dedup {
       // LOSSLESS posting prune — see the df-frame comment above
       .filter(col("df") >= 2)
       .select("shingle", "doc_id", "n", "rn")
-      .localCheckpoint()
     val a = prefix.toDF("shingle", "id_a", "n_a", "rn_a")
     val b = prefix.toDF("shingle", "id_b", "n_b", "rn_b")
     // Accumulated positional filter (the full PPJoin bound, not just the
@@ -347,10 +356,14 @@ object Dedup {
       .filter(col("c") + least(col("n_a") - col("ma"), col("n_b") - col("mb"))
         >= expr(s"($p * (n_a + n_b) + ${p + q - 1}) div ${p + q}"))
       .select("id_a", "id_b")
-    val shA = sh.toDF("id_a", "sh_a")
-    val shB = sh.toDF("id_b", "sh_b")
+    val shA = shCp.toDF("id_a", "sh_a")
+    val shB = shCp.toDF("id_b", "sh_b")
+    // merge-based intersect over the per-doc-sorted arrays — same count
+    // as size(array_intersect(...)), no per-pair hash sets (see
+    // [[graft.functions.SortedIntersectSize]]); sort_array does not
+    // change sizes, so the Jaccard denominators are untouched
     cands.join(shA, "id_a").join(shB, "id_b")
-      .withColumn("inter", expr("size(array_intersect(sh_a, sh_b))"))
+      .withColumn("inter", expr("graft_sorted_intersect_size(sh_a, sh_b)"))
       .withColumn("jaccard", col("inter").cast("double") /
         (expr("size(sh_a)") + expr("size(sh_b)") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
@@ -722,11 +735,14 @@ object Dedup {
         .select("id_a", "id_b").localCheckpoint()
       val nTrue = truth.agg(count(lit(1)).as("n_true"))
 
-      // Each blocker's candidate set is referenced twice by row() (volume
-      // count + truth semi-join) — checkpoint each once so no blocker's
-      // signature pass or bucket join runs twice.
-      val bands = bandCollisionPairs(s, dir).localCheckpoint()
-      val simC = simhash64BlockPairs(s, dir).localCheckpoint()
+      // Each blocker runs exactly ONCE: row() fuses the volume count and
+      // the truth hit count into a single aggregate over one left join
+      // against the (tiny, checkpointed) truth set — no per-blocker
+      // checkpoint, no second pass over any blocker's signature/bucket
+      // join (r6 punch: this and the prefix-build rework took q133 from
+      // 5.5 s to under 3 s at sf0.1).
+      val bands = bandCollisionPairs(s, dir)
+      val simC = simhash64BlockPairs(s, dir)
 
       val keyed = Synth.documents(s, dir)
         .select(col("doc_id"), col("lang"),
@@ -742,12 +758,16 @@ object Dedup {
           .filter(col("b2").isNotNull))
         .select(least(col("doc_id"), col("b")).as("id_a"),
           greatest(col("doc_id"), col("b")).as("id_b"))
-        .distinct().localCheckpoint()
+        .distinct()
 
+      // one pass per blocker: volume + truth hits from the same left join
+      // (truth is near-dup-pair-sized and checkpointed — AQE broadcasts
+      // it, so the blocker side never shuffles for the join)
       def row(name: String, cands: DataFrame) =
-        cands.agg(count(lit(1)).as("n_candidates"))
-          .crossJoin(truth.join(cands, Seq("id_a", "id_b"), "left_semi")
-            .agg(count(lit(1)).as("n_true_found")))
+        cands
+          .join(truth.withColumn("t", lit(1)), Seq("id_a", "id_b"), "left")
+          .agg(count(lit(1)).as("n_candidates"),
+            count(col("t")).as("n_true_found"))
           .crossJoin(nTrue)
           .select(lit(name).as("blocker"), col("n_candidates"),
             col("n_true_found"),

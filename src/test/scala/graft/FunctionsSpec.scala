@@ -139,4 +139,41 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.contains("a b c") && r.contains("b c d"))
     assert(r.distinct.size == r.size)
   }
+
+  test("graft_sorted_intersect_size ≡ size(array_intersect) on sorted random arrays") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // random string arrays WITH duplicates (dedup semantics must match),
+    // including empty and fully-overlapping cases
+    val rows = (0 until 200).map { _ =>
+      def arr() = Seq.fill(rnd.nextInt(20))(s"w${rnd.nextInt(12)}").sorted
+      (arr(), arr())
+    } :+ ((Seq.empty[String], Seq("a", "b"))) :+
+      ((Seq("a", "a", "b"), Seq("a", "b", "b")))
+    val df = rows.toDF("a", "b")
+    val bad = df.selectExpr(
+      "graft_sorted_intersect_size(a, b) AS merged",
+      "size(array_intersect(a, b)) AS composed")
+      .filter("merged != composed")
+    assert(bad.count() == 0)
+    // long arrays too (the codegen comparator differs by element type)
+    val lrows = (0 until 100).map { _ =>
+      def arr() = Seq.fill(rnd.nextInt(20))(rnd.nextInt(9).toLong).sorted
+      (arr(), arr())
+    }
+    val lbad = lrows.toDF("a", "b").selectExpr(
+      "graft_sorted_intersect_size(a, b) AS merged",
+      "size(array_intersect(a, b)) AS composed")
+      .filter("merged != composed")
+    assert(lbad.count() == 0)
+  }
+
+  test("graft_sorted_intersect_size: null contract (null array in, null out)") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_sorted_intersect_size(cast(null as array<string>), array('a'))")
+      .collect()(0)
+    assert(r.isNullAt(0))
+  }
 }
