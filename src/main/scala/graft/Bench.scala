@@ -47,6 +47,7 @@ object Bench {
         .count().orderBy("k").collect()
       graft.operators.Dedup.warmArtifacts(spark, sfDir)
       graft.operators.SuffixRank.warmArtifacts(spark, sfDir)
+      graft.operators.GraphCore.warmArtifacts(spark, sfDir)
     }
     val selected = SparkEntry.queries
       .filter { case (name, _) => subset.forall(_.exists(name.startsWith)) }

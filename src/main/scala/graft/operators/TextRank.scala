@@ -169,21 +169,63 @@ object TextRank {
     // the same word graph: word pairs that share many neighbors but are
     // NOT directly connected (the co-occurrence graph's missing edges
     // with the strongest structural evidence — distributional synonym
-    // candidates). The wedge join is the q68-triangle shape: edges ⋈
-    // edges on the middle vertex gives every 2-path in one hash join
-    // (Σ deg² work, bounded by the c_ab ≥ 3 head cut), the pair count
-    // is one shuffle, and existing edges leave via a left_anti join —
-    // never an all-pairs space. Candidate order (a < b) makes each
-    // unordered pair count once.
+    // candidates).
+    //
+    // ORIENTED wedge enumeration (the r6 punch item): the naive form
+    // joined the SYMMETRIC edge list to itself on the middle vertex — a
+    // hub word of degree d streams d² ordered pairs (every wedge twice,
+    // plus the discarded half), and word co-occurrence graphs are
+    // exactly the power-law case. Here every edge is oriented low→high
+    // in q68's (degree, id) total order and each wedge (a, mid, b) is
+    // generated EXACTLY ONCE, routed by where its center sits in that
+    // order: mid lowest → a pair of mid's out-neighbors (cfgA); mid
+    // between → one in-edge × one out-edge (cfgB); mid highest → a pair
+    // of in-neighbors (cfgC). The three configs partition the wedge set,
+    // so summing their pair streams reproduces the exact common-neighbor
+    // counts — the oracle and hash are unchanged. Out-degrees are
+    // bounded at O(√m) by the orientation, so cfgA's fan-out is
+    // O(√m)/edge and cfgB's is O(√m)/in-edge; cfgC (in-neighbor pairs at
+    // the order-highest endpoint) is the one quadratic term left, and it
+    // is OUTPUT-bounded: every pair it streams has cn ≥ 1 through that
+    // hub and is emitted by the groupBy, the floor any exact
+    // common-neighbor enumerator pays. Existing edges leave via a
+    // left_anti join — never an all-pairs space.
     "q132_link_prediction" -> { (s, dir) =>
       val (_, wedges) = wordGraph(s, dir)
-      val e = wedges.select("src", "dst").localCheckpoint()
-      val wedgePairs = e.toDF("mid", "a")
-        .join(e.toDF("mid", "b").hint("shuffle_hash"), "mid")
+      // ONE corpus pass: the unique (u < v) edge list is checkpointed and
+      // everything else (degrees, orientation, the anti side) derives
+      // from it — without this the co-occurrence pair explode re-runs
+      // for each consumer
+      val eU = wedges.filter(col("src") < col("dst"))
+        .select(col("src").as("u"), col("dst").as("v"))
+        .localCheckpoint()
+      val deg = eU.select(col("u").as("x"))
+        .unionAll(eU.select(col("v").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("d"))
+      val loFirst = col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      val oriented = eU
+        .join(deg.toDF("u", "du"), "u")
+        .join(deg.toDF("v", "dv"), "v")
+        .select(
+          when(loFirst, col("u")).otherwise(col("v")).as("lo"),
+          when(loFirst, col("v")).otherwise(col("u")).as("hi"))
+        .localCheckpoint() // feeds all three config joins + the anti side
+      val cfgA = oriented.toDF("mid", "a")
+        .join(oriented.toDF("mid", "b").hint("shuffle_hash"), "mid")
         .filter(col("a") < col("b"))
-      val cn = wedgePairs.groupBy("a", "b")
-        .agg(count(lit(1)).as("common_neighbors"))
-      cn.join(e.toDF("a", "b"), Seq("a", "b"), "left_anti")
+        .select("a", "b")
+      val cfgB = oriented.toDF("x", "mid")
+        .join(oriented.toDF("mid", "y").hint("shuffle_hash"), "mid")
+        .select(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b"))
+      val cfgC = oriented.toDF("a", "mid")
+        .join(oriented.toDF("b", "mid").hint("shuffle_hash"), "mid")
+        .filter(col("a") < col("b"))
+        .select("a", "b")
+      val cn = cfgA.unionAll(cfgB).unionAll(cfgC)
+        .groupBy("a", "b").agg(count(lit(1)).as("common_neighbors"))
+      cn.join(eU.toDF("a", "b"), Seq("a", "b"), "left_anti")
         .orderBy(col("common_neighbors").desc, col("a"), col("b"))
         .limit(topN)
     }

