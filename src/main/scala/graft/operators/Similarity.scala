@@ -391,8 +391,82 @@ object Similarity {
       val e = Synth.embeddings(s, dir)
         .withColumn("cluster", expr(clusterExprSpark("embedding")))
       rankTopK(e, Some("cluster")).orderBy("query_id", "rk")
+    },
+
+    // TWO-TIER Matryoshka + IVF search — the production composition of
+    // q167 (prefix-truncation ranking) and q42 (IVF routing), the index
+    // the MRL paper actually ships: ROUTE on the cheap tier (cluster
+    // assignment AND shortlist ranking both use only the first 16 of 64
+    // dimensions — a 4× smaller scan), then RERANK only the 50-deep
+    // shortlist at full width. Emitted: recall@10 of the tiered result
+    // against the exact full-width ranking (the number that decides
+    // whether the 4× cheaper tier is usable), per query. Plan shape at
+    // 100 TB: both tier passes are map-only against broadcast queries
+    // (the cluster join key rides the corpus scan), every ranking is the
+    // bounded-heap graft_topk — only shortlist·|queries| rows ever reach
+    // a shuffle, and the corpus side adds NO new shuffle over q42's.
+    "q175_tiered_ann" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val e = Synth.embeddings(s, dir)
+        .withColumn("trunc", expr("slice(embedding, 1, 16)"))
+        .withColumn("cl", expr(cluster16ExprSpark("trunc")))
+      val qT = broadcast(e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("trunc").as("q_tr"),
+          col("cl")))
+      val short = qT.join(e, "cl")
+        .withColumn("tdot", expr(Dedup.dot("q_tr", "trunc")))
+        .groupBy("query_id")
+        .agg(expr(s"graft_topk(tdot, vec_id, $tieredShortlist)").as("top"))
+        .select(col("query_id"), explode(col("top")).as("c"))
+        .select(col("query_id"), col("c.id").as("vec_id"))
+      val qF = broadcast(e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+      val tiered = short
+        .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+        .join(qF, "query_id")
+        .withColumn("cosine", expr(Dedup.dot("q_emb", "embedding")))
+        .groupBy("query_id")
+        .agg(expr(s"graft_topk(cosine, vec_id, $topK)").as("top"))
+        .select(col("query_id"), explode(col("top")).as("c"))
+        .select(col("query_id"), col("c.id").as("vec_id"))
+        .withColumn("hit", lit(1))
+      rankTopK(e, None).select("query_id", "vec_id")
+        .join(tiered, Seq("query_id", "vec_id"), "left")
+        .groupBy("query_id")
+        .agg(count(col("hit")).as("n_hit"))
+        .withColumn("recall",
+          col("n_hit").cast("double") / lit(topK.toDouble))
+        .select("query_id", "n_hit", "recall")
+        .orderBy("query_id")
     }
   )
+
+  /** q175's shortlist depth — the full-width rerank budget per query.
+    * 50 of ~n/8 cluster members keeps the expensive tier trivially
+    * small while giving the 16-dim router 5× headroom over top-10.
+    */
+  private val tieredShortlist = 50
+
+  /** 1-based argmax cluster over the FIRST-16-DIM centroid prefixes —
+    * q175's cheap router (the full-width assignment is
+    * [[clusterExprSpark]]).
+    */
+  private def centroidArray16Spark(c: Int): String =
+    centroids(c).take(16).map(w => s"${w}D").mkString("array(", ", ", ")")
+  private def centroidArray16Duck(c: Int): String =
+    centroids(c).take(16).mkString("[", ", ", "]")
+  private[operators] def cluster16ExprSpark(col: String): String = {
+    val ds = (0 until nCentroids)
+      .map(c => Dedup.dot(col, centroidArray16Spark(c)))
+      .mkString("array(", ", ", ")")
+    s"array_position($ds, array_max($ds))"
+  }
+  private[operators] def cluster16ExprDuck(col: String): String = {
+    val ds = (0 until nCentroids)
+      .map(c => dotDuck(col, centroidArray16Duck(c)))
+      .mkString("[", ", ", "]")
+    s"cast(list_position($ds, list_max($ds)) as bigint)"
+  }
 
   private[operators] val normCosExpr =
     // ONE rendering of the normalized cosine, shared comment for both
@@ -682,6 +756,46 @@ object Similarity {
          |    ORDER BY ${dotDuck("q.embedding", "e.embedding")} DESC, e.vec_id) as int) AS rk
          | FROM c q JOIN c e ON q.cluster = e.cluster
          | WHERE q.vec_id < $nQueries)
-         |WHERE rk <= $topK ORDER BY query_id, rk""".stripMargin
+         |WHERE rk <= $topK ORDER BY query_id, rk""".stripMargin,
+
+    // route on 16-dim prefixes (cluster + shortlist), rerank the
+    // shortlist full-width, score against the exact full ranking
+    "q175_tiered_ann" ->
+      s"""WITH c AS (
+         | SELECT vec_id, embedding, list_slice(embedding, 1, 16) AS trunc,
+         |  ${cluster16ExprDuck("list_slice(embedding, 1, 16)")} AS cl
+         | FROM embeddings),
+         |short AS (
+         | SELECT query_id, vec_id FROM (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |     ORDER BY ${dotDuck("q.trunc", "e.trunc")} DESC, e.vec_id) AS srk
+         |  FROM c q JOIN c e ON q.cl = e.cl
+         |  WHERE q.vec_id < $nQueries)
+         | WHERE srk <= $tieredShortlist),
+         |ap AS (
+         | SELECT query_id, vec_id FROM (
+         |  SELECT s.query_id, s.vec_id,
+         |   row_number() OVER (PARTITION BY s.query_id
+         |     ORDER BY ${dotDuck("q.embedding", "e.embedding")} DESC,
+         |       s.vec_id) AS rk
+         |  FROM short s
+         |   JOIN embeddings e ON e.vec_id = s.vec_id
+         |   JOIN embeddings q ON q.vec_id = s.query_id)
+         | WHERE rk <= $topK),
+         |ex AS (
+         | SELECT query_id, vec_id FROM (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |     ORDER BY ${dotDuck("q.embedding", "e.embedding")} DESC, e.vec_id) AS rk
+         |  FROM embeddings q CROSS JOIN embeddings e
+         |  WHERE q.vec_id < $nQueries)
+         | WHERE rk <= $topK)
+         |SELECT ex.query_id AS query_id,
+         |  cast(count(ap.vec_id) as bigint) AS n_hit,
+         |  cast(count(ap.vec_id) as double) / $topK AS recall
+         |FROM ex LEFT JOIN ap
+         |  ON ap.query_id = ex.query_id AND ap.vec_id = ex.vec_id
+         |GROUP BY ex.query_id ORDER BY query_id""".stripMargin
   )
 }
