@@ -102,6 +102,53 @@ object Curation {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Water-filling token-budget allocation — the data-mix design next
+    // to q171's Neyman ALLOCATION and q99's quota EXECUTION: given a
+    // total training-token budget (2/5 of the corpus here), cap every
+    // source at the common water level L where Σ_s min(tokens_s, L)
+    // exhausts the budget — small sources contribute everything, large
+    // ones are cut to L (the flat-cap mix rule behind "no source may
+    // dominate" data recipes). L has a CLOSED FORM over the
+    // size-sorted sources: with prefix sums P_k, the level lies in
+    // [N_k, N_{k+1}) for the largest feasible k and equals
+    // (B − P_k) div (S − k) — so the whole design is one per-source
+    // aggregation plus windows over the #sources-row frame (the
+    // PrefixSum offsets argument: never corpus-sized) and a 1-row
+    // broadcast back onto the sources. Exact integer arithmetic
+    // throughout — the floor-division level is the same in both
+    // engines, no float ever appears.
+    "q178_mix_waterfill" -> { (s, dir) =>
+      val st = Synth.documents(s, dir)
+        .select(col("source"),
+          expr(s"cast(size(${TextAnalysis.toks}) as bigint)").as("x"))
+        .groupBy("source").agg(sum(col("x")).as("n_tokens"))
+      val w = Window.orderBy("n_tokens", "source") // #sources rows
+      val ranked = st
+        .withColumn("k", row_number().over(w).cast("long"))
+        .withColumn("prefix", sum(col("n_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+      val consts = broadcast(st.agg(
+        expr("sum(n_tokens) * 2 div 5").as("budget"),
+        count(lit(1)).cast("long").as("n_src")))
+      val feas = ranked.crossJoin(consts)
+        .filter(expr("prefix + n_tokens * (n_src - k) <= budget"))
+      // prefix at the largest feasible k via max(struct) — the
+      // hash-exact argmax convention (k is unique, so ties can't occur)
+      val kStar = broadcast(feas
+        .agg(max(struct(col("k"), col("prefix"))).as("m"))
+        .select(col("m.k").as("k_star"), col("m.prefix").as("pfx")))
+      val level = broadcast(consts.crossJoin(kStar)
+        .withColumn("level", expr(
+          "CASE WHEN k_star IS NULL THEN budget div n_src " +
+            "WHEN k_star = n_src THEN NULL " + // budget covers everything
+            "ELSE (budget - pfx) div (n_src - k_star) END"))
+        .select("level", "budget"))
+      st.crossJoin(level)
+        .withColumn("alloc", expr("least(n_tokens, coalesce(level, n_tokens))"))
+        .select("source", "n_tokens", "alloc", "level", "budget")
+        .orderBy("source")
+    },
+
     // Curriculum interleave — the deterministic TRAINING ORDER a data
     // loader consumes: quality-descending within each source (quality =
     // n_chars here; any per-doc score plugs in), sources round-robin
@@ -444,6 +491,37 @@ object Curation {
   private val BlockedDomains = Seq("src3-corpus.org", "src7-corpus.org")
 
   def oracle: Map[String, String] = Map(
+    // the same closed-form level over size-sorted prefix sums; window
+    // sums come back hugeint in DuckDB → cast to bigint so schemas match
+    "q178_mix_waterfill" ->
+      s"""WITH st AS (
+         |  SELECT source, cast(sum(x) as bigint) AS n_tokens
+         |  FROM (SELECT source, cast(len(${TextAnalysis.dToks}) as bigint) AS x
+         |        FROM documents)
+         |  GROUP BY source),
+         |r AS (
+         |  SELECT source, n_tokens,
+         |    cast(row_number() OVER (ORDER BY n_tokens, source) as bigint) AS k,
+         |    cast(sum(n_tokens) OVER (ORDER BY n_tokens, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint)
+         |      AS prefix
+         |  FROM st),
+         |c AS (
+         |  SELECT cast(sum(n_tokens) as bigint) * 2 // 5 AS budget,
+         |    cast(count(*) as bigint) AS n_src
+         |  FROM st),
+         |ks AS (
+         |  SELECT max(k) AS k_star, max_by(prefix, k) AS pfx
+         |  FROM r, c WHERE prefix + n_tokens * (n_src - k) <= budget),
+         |lvl AS (
+         |  SELECT CASE WHEN k_star IS NULL THEN budget // n_src
+         |    WHEN k_star = n_src THEN NULL
+         |    ELSE (budget - pfx) // (n_src - k_star) END AS level, budget
+         |  FROM ks, c)
+         |SELECT source, n_tokens,
+         |  least(n_tokens, coalesce(level, n_tokens)) AS alloc, level, budget
+         |FROM st, lvl ORDER BY source""".stripMargin,
+
     "q171_neyman_allocation" ->
       s"""WITH st AS (
          |  SELECT source, count(*) AS n,

@@ -457,6 +457,51 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // Content-defined chunking + chunk-level corpus dedup — q108's
+    // granularity with CONTENT-DEFINED boundaries instead of fixed
+    // 8-token tiles (the CDC idea from storage dedup/rsync): a chunk
+    // boundary opens before token i wherever the salted 32-bit hash of
+    // the (prev, cur) token window ≡ 0 mod 16 (expected chunk ≈ 16
+    // tokens). Fixed tiles are ALIGNMENT-SENSITIVE — one inserted token
+    // shifts every later tile and kills all their matches — while CDC
+    // boundaries are content-anchored, so an edit only perturbs the
+    // chunk containing it; that is exactly why incremental-storage
+    // dedup uses CDC. Corpus-wide keep-first over the chunk text (the
+    // q108 rule), per-doc (n_chunks, n_kept) summary. Scale shape: the
+    // boundary signal is computed POST-EXPLODE on columns (codegen'd —
+    // never a per-token lambda in the interpreter) from a zip_with over
+    // the shifted token array; one doc-keyed window for the running
+    // chunk id, one chunk-text shuffle for keep-first, all counts exact.
+    "q176_cdc_chunks" -> { (s, dir) =>
+      val D = 16
+      val t = Synth.documents(s, dir).select(col("doc_id"), expr(toks).as("t"))
+      val pos = t.select(col("doc_id"), posexplode(expr(
+        "zip_with(t, concat(array(cast(null as string)), " +
+          "slice(t, 1, size(t) - 1)), " +
+          "(cur, prev) -> struct(cur AS cur, prev AS prev))")))
+        .toDF("doc_id", "p", "x")
+        .select(col("doc_id"), col("p"),
+          col("x.cur").as("cur"), col("x.prev").as("prev"))
+      val bnd = pos.withColumn("bnd",
+        when(col("prev").isNull, 0L).otherwise(when(
+          expr(Curation.u32Spark("cdc:", "concat(prev, ' ', cur)") +
+            s" % $D") === 0, 1L).otherwise(0L)))
+      val wDoc = Window.partitionBy("doc_id").orderBy("p")
+      val chunks = bnd
+        .withColumn("chunk", sum(col("bnd")).over(wDoc))
+        .groupBy("doc_id", "chunk")
+        .agg(min(col("p")).as("start"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("p"), col("cur")))),
+            x => x.getField("cur")), " ").as("chunk_text"))
+      val wTxt = Window.partitionBy("chunk_text").orderBy("doc_id", "start")
+      chunks.withColumn("kept", row_number().over(wTxt) === 1)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("doc_id")
+    },
+
     // N-gram Jaccard near-dup: inverted index on shingles → candidate
     // pairs → exact Jaccard; top-50 most similar pairs (deterministic
     // tiebreak). The shingle join replaces all-pairs comparison: cost is
@@ -1188,6 +1233,38 @@ object Dedup {
          | nullif(string_agg(CASE WHEN keep THEN para END, ' ' ORDER BY p), '')
          |   AS clean_text
          |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the same salted-u32 boundary signal and keep-first rule; window
+    // sums come back hugeint in DuckDB → cast to bigint
+    "q176_cdc_chunks" ->
+      s"""WITH tok AS (SELECT doc_id, $dToks AS t FROM documents),
+         |pos AS (
+         |  SELECT doc_id, u.p - 1 AS p, t[u.p] AS cur,
+         |    CASE WHEN u.p = 1 THEN NULL ELSE t[u.p - 1] END AS prev
+         |  FROM tok, unnest(range(1, len(t) + 1)) u(p)),
+         |b AS (
+         |  SELECT doc_id, p, cur,
+         |    CASE WHEN prev IS NULL THEN 0
+         |      WHEN (${Curation.u32Duck("cdc:", "prev || ' ' || cur")}) % 16 = 0
+         |      THEN 1 ELSE 0 END AS bnd
+         |  FROM pos),
+         |ch AS (
+         |  SELECT doc_id, p, cur,
+         |    sum(bnd) OVER (PARTITION BY doc_id ORDER BY p
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk
+         |  FROM b),
+         |chunks AS (
+         |  SELECT doc_id, chunk, min(p) AS start,
+         |    string_agg(cur, ' ' ORDER BY p) AS chunk_text
+         |  FROM ch GROUP BY 1, 2),
+         |k AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (PARTITION BY chunk_text
+         |      ORDER BY doc_id, start) = 1 AS kept
+         |  FROM chunks)
+         |SELECT doc_id, cast(count(*) as bigint) AS n_chunks,
+         |  cast(sum(CASE WHEN kept THEN 1 ELSE 0 END) as bigint) AS n_kept
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q31_ngram_jaccard" ->
       s"""WITH allsh AS (

@@ -140,6 +140,48 @@ object GraphCore {
       associationRules(Synth.lineitem(s, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct(), minSupp = 3, basketCap = BasketCap)
+    },
+
+    // A-priori frequent TRIPLES — the level-3 itemset pass above q160's
+    // pairs, over per-CUSTOMER part baskets (a customer's orders pooled
+    // — richer baskets than single orders, which max out at 7 items).
+    // The a-priori monotonicity (support(abc) ≤ support of every
+    // sub-pair) is applied as LOSSLESS semi-join gates: the (a, b) gate
+    // fires BEFORE the c fan-out (the basket expansion only extends
+    // frequent pairs) and the (b, c)/(a, c) gates prune before the
+    // count — gated counts are exact because a triple's instances pass
+    // or fail gates identically, and any gated-out triple was below
+    // min-support anyway. That ordering is the whole scale story:
+    // ungated triple enumeration is Σ C(basket, 3) (148M rows at
+    // sf0.1), gated it is (frequent-pair instances) × basket — two
+    // orders of magnitude less. Exact integer supports, deterministic
+    // top-20 by (support DESC, a, b, c).
+    "q177_frequent_triples" -> { (s, dir) =>
+      val minSupp = 2
+      val ob = Synth.orders(s, dir)
+        .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
+      val opB = Synth.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .join(ob, "ok").select("ck", "pk").distinct()
+      val f2 = opB.toDF("ck", "a")
+        .join(opB.toDF("ck", "b").hint("shuffle_hash"), "ck")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("s_ab"))
+        .filter(col("s_ab") >= minSupp)
+        .select("a", "b").localCheckpoint() // read by all three gates
+      opB.toDF("ck", "a")
+        .join(opB.toDF("ck", "b").hint("shuffle_hash"), "ck")
+        .filter(col("a") < col("b"))
+        .join(f2, Seq("a", "b"), "left_semi")
+        .select("ck", "a", "b")
+        .join(opB.toDF("ck", "c").hint("shuffle_hash"), "ck")
+        .filter(col("b") < col("c"))
+        .join(f2.toDF("b", "c"), Seq("b", "c"), "left_semi")
+        .join(f2.toDF("a", "c"), Seq("a", "c"), "left_semi")
+        .groupBy("a", "b", "c").agg(count(lit(1)).as("s_abc"))
+        .filter(col("s_abc") >= minSupp)
+        .orderBy(col("s_abc").desc, col("a"), col("b"), col("c"))
+        .limit(20)
     }
   )
 
@@ -292,7 +334,21 @@ object GraphCore {
           |FROM rules
           |  JOIN supp sx ON sx.pk = rules.x
           |  JOIN supp sy ON sy.pk = rules.y
-          |ORDER BY lift DESC, x, y LIMIT 20""".stripMargin
+          |ORDER BY lift DESC, x, y LIMIT 20""".stripMargin,
+
+      // ungated 3-way basket join + HAVING — the gates are lossless, so
+      // the declarative form is the same set
+      "q177_frequent_triples" ->
+        """WITH ob AS (
+          |  SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS pk
+          |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)
+          |SELECT a.pk AS a, b.pk AS b, c.pk AS c,
+          |  cast(count(*) as bigint) AS s_abc
+          |FROM ob a
+          |  JOIN ob b ON b.ck = a.ck AND a.pk < b.pk
+          |  JOIN ob c ON c.ck = b.ck AND b.pk < c.pk
+          |GROUP BY 1, 2, 3 HAVING count(*) >= 2
+          |ORDER BY s_abc DESC, a, b, c LIMIT 20""".stripMargin
     )
   }
 }

@@ -145,6 +145,37 @@ object Series {
         .withColumn("is_alarm", col("cusum") > col("tot"))
         .select("event_type", "day", "n", "cusum", "is_alarm")
         .orderBy("event_type", "day")
+    },
+
+    // First-order Markov transition matrix over per-user event
+    // sequences — the behavioral model behind next-event prediction and
+    // session-anomaly scoring (q90's lift scores CO-OCCURRENCE in a
+    // basket; this scores ORDER). Bigrams come from one lead() over the
+    // (ts, event_id)-ordered per-user sequence — event_id breaks
+    // timestamp ties so the pair multiset is deterministic — then one
+    // (from, to) count aggregation (map-side combinable) and a row
+    // normalization over the ≤ #types² matrix rows. Probabilities are
+    // integer MILLIONTHS (n·10⁶ div row_total — the hash-exact
+    // convention), so the matrix is bit-identical across engines. Scale
+    // shape: one user-keyed shuffle for the lead, nothing else touches
+    // the corpus; the normalizing window runs over matrix rows, not
+    // events. The streaming twin keeps one (last ts, event_id, type)
+    // triple of state per user ([[graft.streaming.EventTimeAggregates
+    // .streamingMarkov]]) and is proven point-equal on dense input.
+    "q179_markov_transitions" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val bi = Synth.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("from_type"))
+        .withColumn("to_type", lead(col("from_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+      bi.groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+        .withColumn("row_total", sum(col("n")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("from_type")))
+        .withColumn("p_e6", expr("n * 1000000 div row_total"))
+        .select("from_type", "to_type", "n", "row_total", "p_e6")
+        .orderBy("from_type", "to_type")
     }
   )
 
@@ -310,6 +341,23 @@ object Series {
          |    PARTITION BY event_type ORDER BY day
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) > tot
          |    AS is_alarm
-         |FROM pref ORDER BY event_type, day""".stripMargin
+         |FROM pref ORDER BY event_type, day""".stripMargin,
+
+    // the same lead() bigrams; the window sum normalizer comes back
+    // hugeint in DuckDB → cast to bigint so schemas match
+    "q179_markov_transitions" ->
+      """WITH bi AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, cast(count(*) as bigint) AS n
+        |  FROM bi WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  cast(sum(n) OVER (PARTITION BY from_type) as bigint) AS row_total,
+        |  n * 1000000 // cast(sum(n) OVER (PARTITION BY from_type) as bigint)
+        |    AS p_e6
+        |FROM c ORDER BY from_type, to_type""".stripMargin
   )
 }

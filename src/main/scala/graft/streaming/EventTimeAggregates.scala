@@ -387,6 +387,58 @@ object EventTimeAggregates {
         })
   }
 
+  final case class EventAt(
+      user_id: Long, ts_us: Long, event_id: Long, event_type: String)
+  final case class MarkovState(
+      lastTs: Long, lastId: Long, lastType: String, droppedLate: Long)
+  final case class Transition(user_id: Long, from_type: String, to_type: String)
+
+  /** Streaming twin of the batch q179 Markov bigrams: the transition
+    * (from, to) pairs a next-event model trains on, emitted as events
+    * arrive. State per user is ONE (last ts, event_id, type) triple —
+    * O(active users), stream-volume-independent. Rows inside a
+    * micro-batch are ordered by (ts, event_id) — the same total order
+    * the batch lead() uses — so on in-order input the emitted
+    * transition multiset equals q179's bigrams exactly (EventTimeSpec
+    * proves count-equality across a micro-batch split + restart). Same
+    * late contract as the daily twins: a row at or before the last seen
+    * (ts, event_id) is dropped and counted, never spliced into history.
+    * Downstream the (from, to) counts/probabilities are an ordinary
+    * streaming aggregation over this append stream.
+    */
+  def streamingMarkov(events: Dataset[EventAt]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (uid: Long, rows: Iterator[EventAt], state: GroupState[MarkovState]) => {
+          val st = state.getOption
+            .getOrElse(MarkovState(Long.MinValue, Long.MinValue, null, 0L))
+          var lastTs = st.lastTs
+          var lastId = st.lastId
+          var lastType = st.lastType
+          var dropped = st.droppedLate
+          val out = rows.toSeq.sortBy(r => (r.ts_us, r.event_id)).flatMap { r =>
+            if (r.ts_us < lastTs ||
+              (r.ts_us == lastTs && r.event_id <= lastId)) {
+              dropped += 1
+              None
+            } else {
+              val t =
+                if (lastType != null) Some(Transition(uid, lastType, r.event_type))
+                else None
+              lastTs = r.ts_us
+              lastId = r.event_id
+              lastType = r.event_type
+              t
+            }
+          }
+          state.update(MarkovState(lastTs, lastId, lastType, dropped))
+          out.iterator
+        })
+  }
+
   final case class MgState(counters: Map[String, Long], n: Long, batch: Long)
   final case class MgSummary(
       bucket: Int, batch: Long, n: Long, items: Map[String, Long])

@@ -571,6 +571,72 @@ class EventTimeSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming CUSUM drops uncalibrated event types instead of always-alarming (r6 advice)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long)]
+    // only "known" carries calibration; "mystery" must emit NOTHING
+    // (the old (0, 1) default made step = n and threshold 0 — every
+    // first nonzero day alarmed, silently)
+    val out = EventTimeAggregates.streamingCusum(
+      mem.toDS().map { case (t, d, n) => DailyCount(t, d, n) },
+      Map("known" -> ((300L, 3L))))
+    val q = out.writeStream.format("memory").queryName("scusum_uncal")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(("known", 0L, 100L), ("mystery", 0L, 100L),
+        ("mystery", 1L, 100L))
+      q.processAllAvailable()
+      val types = spark.sql("select distinct event_type from scusum_uncal")
+        .collect().map(_.getString(0)).toSet
+      assert(types == Set("known"),
+        s"uncalibrated types must be dropped at the door, got $types")
+    } finally q.stop()
+  }
+
+  test("streaming Markov transitions equal batch q179 bigrams across a batch split + restart") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // batch truth: the (from, to) counts of q179 at sf0.001
+    val batch = SparkEntry.queries("q179_markov_transitions")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(batch.nonEmpty)
+    // the same events, in event-time order, split across two micro-batches
+    // AND a checkpoint restart (the per-user last-event state must survive)
+    val evs = graft.operators.Synth.events(spark, "/root/testdata/sf0.001")
+      .selectExpr("user_id", "cast(ts as long) as ts_us", "event_id",
+        "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._2, t._3))
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-markov").toString
+    val outDir = java.nio.file.Files.createTempDirectory("markov-out").toString
+    val out = EventTimeAggregates.streamingMarkov(
+      mem.toDS().map { case (u, t, i, e) =>
+        EventTimeAggregates.EventAt(u, t, i, e) })
+    def start() = out.writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    val q1 = start()
+    mem.addData(b1: _*)
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = start()
+    try {
+      mem.addData(b2: _*)
+      q2.processAllAvailable()
+      val got = spark.read.parquet(outDir)
+        .groupBy("from_type", "to_type").count().collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got == batch,
+        s"stream bigram counts must equal batch q179's: " +
+          s"missing=${batch.keySet -- got.keySet} extra=${got.keySet -- batch.keySet}")
+    } finally q2.stop()
+  }
+
   test("streaming Misra-Gries heavy hitters honor the n/(k+1) guarantees across batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
