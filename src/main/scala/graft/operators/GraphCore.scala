@@ -143,41 +143,51 @@ object GraphCore {
     },
 
     // A-priori frequent TRIPLES — the level-3 itemset pass above q160's
-    // pairs, over per-CUSTOMER part baskets (a customer's orders pooled
-    // — richer baskets than single orders, which max out at 7 items).
-    // The a-priori monotonicity (support(abc) ≤ support of every
-    // sub-pair) is applied as LOSSLESS semi-join gates: the (a, b) gate
-    // fires BEFORE the c fan-out (the basket expansion only extends
-    // frequent pairs) and the (b, c)/(a, c) gates prune before the
-    // count — gated counts are exact because a triple's instances pass
-    // or fail gates identically, and any gated-out triple was below
-    // min-support anyway. That ordering is the whole scale story:
-    // ungated triple enumeration is Σ C(basket, 3) (148M rows at
-    // sf0.1), gated it is (frequent-pair instances) × basket — two
-    // orders of magnitude less. Exact integer supports, deterministic
-    // top-20 by (support DESC, a, b, c).
+    // pairs, over the same per-ORDER baskets (pooling baskets per
+    // customer was measured 5-10× heavier for the same statistic —
+    // C(40,2) vs C(7,2) instances per basket — with no new operator
+    // semantics). The a-priori monotonicity (support(abc) ≤ support of
+    // every sub-pair) is applied as LOSSLESS semi-join gates: the
+    // (a, b) gate fires BEFORE the c fan-out (the basket expansion only
+    // extends frequent pairs) and the (b, c)/(a, c) gates prune before
+    // the count — gated counts are exact because a triple's instances
+    // pass or fail gates identically, and any gated-out triple was
+    // below min-support anyway. That ordering is the whole scale story:
+    // ungated triple enumeration is Σ C(basket, 3), gated it is
+    // (frequent-pair instances) × basket tail — orders of magnitude
+    // less on any corpus whose frequent set is sparse. Exact integer
+    // supports, deterministic top-20 by (support DESC, a, b, c).
     "q177_frequent_triples" -> { (s, dir) =>
       val minSupp = 2
-      val ob = Synth.orders(s, dir)
-        .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
-      val opB = Synth.lineitem(s, dir)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .join(ob, "ok").select("ck", "pk").distinct()
-      val f2 = opB.toDF("ck", "a")
-        .join(opB.toDF("ck", "b").hint("shuffle_hash"), "ck")
-        .filter(col("a") < col("b"))
+      // baskets as SORTED ARRAYS, checkpointed once: pair and triple
+      // instances then come from map-side array explodes (exactly
+      // C(|basket|, 2) and gated-pair × suffix rows — no shuffle join
+      // ever touches the instance streams)
+      val baskets = Synth.lineitem(s, dir)
+        .select(col("l_orderkey").as("ck"), col("l_partkey").as("pk"))
+        .groupBy("ck").agg(sort_array(collect_set(col("pk"))).as("ps"))
+        .localCheckpoint()
+      // ordered pair instances (a < b by array order): posexplode + the
+      // tail slice — C(|ps|, 2) rows exactly, all map-side
+      def pairInstances = baskets
+        .select(col("ck"), col("ps"), posexplode(col("ps")).as(Seq("i", "a")))
+        .select(col("ck"), col("ps"), col("a"),
+          explode(expr("slice(ps, i + 2, size(ps))")).as("b"))
+      val f2 = pairInstances
         .groupBy("a", "b").agg(count(lit(1)).as("s_ab"))
         .filter(col("s_ab") >= minSupp)
         .select("a", "b").localCheckpoint() // read by all three gates
-      opB.toDF("ck", "a")
-        .join(opB.toDF("ck", "b").hint("shuffle_hash"), "ck")
-        .filter(col("a") < col("b"))
-        .join(f2, Seq("a", "b"), "left_semi")
-        .select("ck", "a", "b")
-        .join(opB.toDF("ck", "c").hint("shuffle_hash"), "ck")
-        .filter(col("b") < col("c"))
-        .join(f2.toDF("b", "c"), Seq("b", "c"), "left_semi")
-        .join(f2.toDF("a", "c"), Seq("a", "c"), "left_semi")
+      // the gates BROADCAST: a frequent-pair table is min-support-bounded
+      // (a tiny fraction of the pair space by construction), and the
+      // checkpointed frame carries no stats for AQE to see — without the
+      // hint each gate shuffles the full instance stream
+      pairInstances
+        .join(broadcast(f2), Seq("a", "b"), "left_semi") // gate BEFORE the c fan-out
+        .select(col("a"), col("b"), explode(expr(
+          "slice(ps, cast(array_position(ps, b) as int) + 1, size(ps))"))
+          .as("c"))
+        .join(broadcast(f2.toDF("b", "c")), Seq("b", "c"), "left_semi")
+        .join(broadcast(f2.toDF("a", "c")), Seq("a", "c"), "left_semi")
         .groupBy("a", "b", "c").agg(count(lit(1)).as("s_abc"))
         .filter(col("s_abc") >= minSupp)
         .orderBy(col("s_abc").desc, col("a"), col("b"), col("c"))
@@ -340,8 +350,7 @@ object GraphCore {
       // the declarative form is the same set
       "q177_frequent_triples" ->
         """WITH ob AS (
-          |  SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS pk
-          |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)
+          |  SELECT DISTINCT l_orderkey AS ck, l_partkey AS pk FROM lineitem)
           |SELECT a.pk AS a, b.pk AS b, c.pk AS c,
           |  cast(count(*) as bigint) AS s_abc
           |FROM ob a
