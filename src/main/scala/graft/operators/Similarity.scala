@@ -393,6 +393,36 @@ object Similarity {
       rankTopK(e, Some("cluster")).orderBy("query_id", "rk")
     },
 
+    // ColBERT-style LATE INTERACTION (MaxSim) — multi-vector retrieval:
+    // a query is a SET of token vectors (vec_ids 0-2 here) and a
+    // document a SET of vectors (each label's members), scored
+    // sim(Q, D) = Σ_{q∈Q} max_{d∈D} ⟨q, d⟩ — the late-interaction
+    // operator single-vector ANN (q40-q48) cannot express: per query
+    // token the BEST-matching doc vector wins, so one strong token
+    // match isn't averaged away. Plan shape: the 3 query vectors
+    // broadcast, the corpus pass is map-only (3 dots per vector), the
+    // per-(doc, token) maxes are map-side-combinable aggregates, and
+    // the final Σ is a FIXED-ORDER (m0 + m1) + m2 of exact
+    // correctly-rounded doubles — hash-exact. At production scale each
+    // query token routes through an ANN probe (q43b/q175) and this
+    // same MaxSim tail scores the union of shortlists.
+    "q180_late_interaction" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val e = Synth.embeddings(s, dir)
+      val q = broadcast(e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_idx"), col("embedding").as("q_emb")))
+      e.select(col("label"), col("embedding")).crossJoin(q)
+        .withColumn("d", expr(Dedup.dot("q_emb", "embedding")))
+        .groupBy("label")
+        .agg(
+          max(when(col("q_idx") === 0, col("d"))).as("m0"),
+          max(when(col("q_idx") === 1, col("d"))).as("m1"),
+          max(when(col("q_idx") === 2, col("d"))).as("m2"))
+        .withColumn("maxsim", (col("m0") + col("m1")) + col("m2"))
+        .select("label", "m0", "m1", "m2", "maxsim")
+        .orderBy(col("maxsim").desc, col("label"))
+    },
+
     // TWO-TIER Matryoshka + IVF search — the production composition of
     // q167 (prefix-truncation ranking) and q42 (IVF routing), the index
     // the MRL paper actually ships: ROUTE on the cheap tier (cluster
@@ -757,6 +787,25 @@ object Similarity {
          | FROM c q JOIN c e ON q.cluster = e.cluster
          | WHERE q.vec_id < $nQueries)
          |WHERE rk <= $topK ORDER BY query_id, rk""".stripMargin,
+
+    // the same per-(label, query-token) maxes; the Σ keeps the fixed
+    // (m0 + m1) + m2 nesting so the doubles are engine-identical
+    "q180_late_interaction" ->
+      s"""WITH q AS (
+         | SELECT vec_id AS q_idx, embedding AS q_emb
+         | FROM embeddings WHERE vec_id < 3),
+         |d AS (
+         | SELECT e.label, q.q_idx,
+         |  ${dotDuck("q.q_emb", "e.embedding")} AS d
+         | FROM embeddings e CROSS JOIN q),
+         |m AS (
+         | SELECT label,
+         |  max(CASE WHEN q_idx = 0 THEN d END) AS m0,
+         |  max(CASE WHEN q_idx = 1 THEN d END) AS m1,
+         |  max(CASE WHEN q_idx = 2 THEN d END) AS m2
+         | FROM d GROUP BY label)
+         |SELECT label, m0, m1, m2, (m0 + m1) + m2 AS maxsim
+         |FROM m ORDER BY maxsim DESC, label""".stripMargin,
 
     // route on 16-dim prefixes (cluster + shortlist), rerank the
     // shortlist full-width, score against the exact full ranking

@@ -387,6 +387,38 @@ object EventTimeAggregates {
         })
   }
 
+  /** Watermarked STREAM-STREAM interval join — view → purchase
+    * attribution within `horizon`, the two-input join shape none of the
+    * stream-static twins cover: BOTH sides are unbounded, so the join
+    * must buffer state and the watermarks are what bound it. The range
+    * condition `view.ts ≤ purchase.ts ≤ view.ts + horizon` plus the two
+    * watermarks lets Spark compute exactly how long each side's rows
+    * can still match — views age out `horizon` past the purchase-side
+    * watermark, purchases as soon as their own watermark passes — so
+    * state is O(events per watermark+horizon window), never O(stream).
+    * Inner join ⇒ results emit immediately on match (no watermark wait);
+    * a row later than `delay` against its own side's watermark is
+    * dropped by the join semantics, the standard streaming-join
+    * contract (EventTimeSpec drives both properties).
+    */
+  def streamingAttribution(
+      views: DataFrame,
+      purchases: DataFrame,
+      horizon: String = "1 hour",
+      delay: String = "2 hours"): DataFrame = {
+    val v = views.withWatermark("ts", delay)
+      .select(col("user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    val p = purchases.withWatermark("ts", delay)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    v.join(p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr(s"interval $horizon"))
+      .select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
+  }
+
   final case class EventAt(
       user_id: Long, ts_us: Long, event_id: Long, event_type: String)
   final case class MarkovState(

@@ -56,6 +56,48 @@ class EventTimeSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: attribution inside the horizon, bounded state, late views never match") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val vs = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val ps = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    def df(m: MemoryStream[(java.sql.Timestamp, Long, Long)]) =
+      m.toDF().toDF("ts", "user_id", "event_id")
+    val out = EventTimeAggregates.streamingAttribution(
+      df(vs), df(ps), horizon = "1 hour", delay = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("attr")
+      .outputMode(OutputMode.Append()).start()
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    try {
+      // user 1: view at 10:00, purchase at 10:30 (inside the hour) and
+      // one at 11:30 (outside); user 2: purchase with no view
+      vs.addData((t(10, 0), 1L, 100L))
+      ps.addData((t(10, 30), 1L, 200L), (t(11, 30), 1L, 201L),
+        (t(10, 15), 2L, 202L))
+      q.processAllAvailable()
+      val got = spark.sql("select view_id, purchase_id from attr").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((100L, 200L)),
+        s"only the inside-horizon purchase may attribute, got $got")
+
+      // advance both watermarks far past 10:00 + horizon + delay, then
+      // deliver a LATE view for the 10:30 purchase: the join state for
+      // that region is gone, so no new match may appear (bounded state
+      // is the whole point of the watermarked stream-stream join)
+      vs.addData((t(16, 0), 9L, 101L))
+      ps.addData((t(16, 0), 9L, 203L))
+      q.processAllAvailable()
+      vs.addData((t(10, 29), 1L, 102L)) // late: watermark is ~15:30
+      q.processAllAvailable()
+      val after = spark.sql("select view_id, purchase_id from attr").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!after.exists(_._1 == 102L),
+        s"a view later than the watermark must never match, got $after")
+      // the 16:00 pair matched normally (same instant is inside [ts, ts+1h])
+      assert(after.contains((101L, 203L)))
+    } finally q.stop()
+  }
+
   test("streaming curation: quality gate + watermark dedup + stream-static temperature sample") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
