@@ -48,6 +48,7 @@ object Bench {
       graft.operators.Dedup.warmArtifacts(spark, sfDir)
       graft.operators.SuffixRank.warmArtifacts(spark, sfDir)
       graft.operators.GraphCore.warmArtifacts(spark, sfDir)
+      graft.operators.TextRank.warmArtifacts(spark, sfDir)
     }
     val selected = SparkEntry.queries
       .filter { case (name, _) => subset.forall(_.exists(name.startsWith)) }

@@ -146,7 +146,11 @@ object GraphCore {
     // pairs, over the same per-ORDER baskets (pooling baskets per
     // customer was measured 5-10× heavier for the same statistic —
     // C(40,2) vs C(7,2) instances per basket — with no new operator
-    // semantics). The a-priori monotonicity (support(abc) ≤ support of
+    // semantics). DISTINCT from q134: q134 mines word triples over
+    // document presence with a TOP-K VOCABULARY cut (the dense-matrix
+    // regime — a tiny hot vocabulary where every pair is frequent and
+    // gates buy nothing); this query mines sparse transaction baskets
+    // where the lossless min-support gates below ARE the algorithm. The a-priori monotonicity (support(abc) ≤ support of
     // every sub-pair) is applied as LOSSLESS semi-join gates: the
     // (a, b) gate fires BEFORE the c fan-out (the basket expansion only
     // extends frequent pairs) and the (b, c)/(a, c) gates prune before
@@ -157,7 +161,7 @@ object GraphCore {
     // (frequent-pair instances) × basket tail — orders of magnitude
     // less on any corpus whose frequent set is sparse. Exact integer
     // supports, deterministic top-20 by (support DESC, a, b, c).
-    "q177_frequent_triples" -> { (s, dir) =>
+    "q177_apriori_triples" -> { (s, dir) =>
       val minSupp = 2
       // baskets as SORTED ARRAYS, checkpointed once: pair and triple
       // instances then come from map-side array explodes (exactly
@@ -348,7 +352,7 @@ object GraphCore {
 
       // ungated 3-way basket join + HAVING — the gates are lossless, so
       // the declarative form is the same set
-      "q177_frequent_triples" ->
+      "q177_apriori_triples" ->
         """WITH ob AS (
           |  SELECT DISTINCT l_orderkey AS ck, l_partkey AS pk FROM lineitem)
           |SELECT a.pk AS a, b.pk AS b, c.pk AS c,

@@ -28,26 +28,55 @@ object TextRank {
   private val topN = 25
   private val bfsRounds = 3
 
-  /** The symmetric weighted word graph shared by q119 (TextRank) and
-    * q121 (label propagation): q110's ±2-window unordered pair
-    * multiset, self-pairs dropped, compacted to counts, `c_ab ≥
-    * minEdge` head cut, then both directions emitted. Returns
-    * (vertices(id), weighted edges(src, dst, cnt)).
+  /** The symmetric weighted word graph shared by q119 (TextRank), q121
+    * (label propagation), q132 (link prediction), q136/q158 (BFS), and
+    * q164 (modularity): q110's ±2-window unordered pair multiset,
+    * self-pairs dropped, compacted to counts, `c_ab ≥ minEdge` head
+    * cut, then both directions emitted. Returns (vertices(id), weighted
+    * edges(src, dst, cnt)).
+    *
+    * The COMPACTED pair table (a, b, c_ab) is a corpus artifact six
+    * queries re-derived from scratch (the corpus-sized pair explode +
+    * count shuffle, ~1 s each at sf0.1), so it is memoized once per
+    * corpus content ([[CorpusKey]]) like the co-purchase edge list and
+    * the cluster map; the symmetric wedge view and the vertex set
+    * derive map-side from the table scan.
     */
+  private val graphLock = new Object
+  private def coTable(s: SparkSession, dir: String): DataFrame = {
+    val table = CorpusKey.tableName(s, "graft_word_cooc", dir)
+    graphLock.synchronized {
+      if (!s.catalog.tableExists(table)) {
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), table)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+        val t = Synth.documents(s, dir)
+          .select(col("doc_id"), expr(TextAnalysis.toks).as("t"))
+        t.filter(expr("size(t) >= 2"))
+          .select(explode(expr(
+            "flatten(transform(sequence(1, size(t) - 1), " +
+              "i -> transform(sequence(i + 1, least(i + 2, size(t))), " +
+              "j -> struct(least(element_at(t, i), element_at(t, j)) AS a, " +
+              "greatest(element_at(t, i), element_at(t, j)) AS b))))")).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+          .filter(col("a") =!= col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+          .filter(col("c_ab") >= minEdge)
+          .write.mode("overwrite").saveAsTable(table)
+      }
+    }
+    s.table(table).select("a", "b", "c_ab")
+  }
+
+  /** Bench warmup hook — see [[graft.operators.Dedup.warmArtifacts]]. */
+  private[graft] def warmArtifacts(s: SparkSession, dir: String): Unit = {
+    coTable(s, dir); ()
+  }
+
   private[operators] def wordGraph(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
-    val t = Synth.documents(s, dir)
-      .select(col("doc_id"), expr(TextAnalysis.toks).as("t"))
-    val pairs = t.filter(expr("size(t) >= 2"))
-      .select(explode(expr(
-        "flatten(transform(sequence(1, size(t) - 1), " +
-          "i -> transform(sequence(i + 1, least(i + 2, size(t))), " +
-          "j -> struct(least(element_at(t, i), element_at(t, j)) AS a, " +
-          "greatest(element_at(t, i), element_at(t, j)) AS b))))")).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
-      .filter(col("a") =!= col("b"))
-    val co = pairs.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
-      .filter(col("c_ab") >= minEdge)
+    val co = coTable(s, dir)
     val wedges = co.select(col("a").as("src"), col("b").as("dst"),
         col("c_ab").as("cnt"))
       .unionAll(co.select(col("b").as("src"), col("a").as("dst"),
