@@ -186,6 +186,8 @@ object Dedup {
   private[graft] def warmArtifacts(s: SparkSession, dir: String): Unit = {
     minhashClusterMap(s, dir).count()
     bandIndexTable(s, dir)
+    bandCollisionPairs(s, dir)
+    simhash64BlockPairs(s, dir)
   }
 
   private val clusterMapLock = new Object
@@ -244,30 +246,56 @@ object Dedup {
 
   /** MinHash band-collision candidate pairs (id_a < id_b) — the q32b
     * blocker, shared by q133's recall table and q151's agreement score.
+    * MEMOIZED per corpus content (three consumers re-ran the signature
+    * pass + bucket self-join + distinct each): the pair set is the
+    * blocker's OUTPUT — near-dup-candidate-sized, the thing the whole
+    * blocking family exists to keep small — so persisting it is cheap
+    * at any scale.
     */
-  private def bandCollisionPairs(s: SparkSession, dir: String): DataFrame = {
-    val lng = bandsLong(minhashBanded(s, dir))
-    lng.toDF("id_a", "band", "bucket")
-      .join(lng.toDF("id_b", "band", "bucket").hint("shuffle_hash"),
-        Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-  }
+  private def bandCollisionPairs(s: SparkSession, dir: String): DataFrame =
+    memoPairs(s, "graft_band_pairs", dir) {
+      val lng = bandsLong(minhashBanded(s, dir))
+      lng.toDF("id_a", "band", "bucket")
+        .join(lng.toDF("id_b", "band", "bucket").hint("shuffle_hash"),
+          Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+    }
 
   /** SimHash64 pigeonhole-block candidate pairs (id_a < id_b) — the q33c
-    * blocker, shared by q133 and q151.
+    * blocker, shared by q133 and q151; memoized like
+    * [[bandCollisionPairs]].
     */
-  private def simhash64BlockPairs(s: SparkSession, dir: String): DataFrame = {
-    val simBlocks = Synth.documents(s, dir)
-      .select(col("doc_id"), expr(s"graft_simhash64($toks)").as("sim"))
-      .select(col("doc_id"),
-        explode(expr("array(0, 1, 2, 3)")).as("blk"), col("sim"))
-      .withColumn("block", expr("shiftright(sim, blk * 16) & 65535"))
-    simBlocks.select(col("blk"), col("block"), col("doc_id").as("id_a"))
-      .join(simBlocks.select(col("blk"), col("block"),
-        col("doc_id").as("id_b")).hint("shuffle_hash"), Seq("blk", "block"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+  private def simhash64BlockPairs(s: SparkSession, dir: String): DataFrame =
+    memoPairs(s, "graft_sim64_pairs", dir) {
+      val simBlocks = Synth.documents(s, dir)
+        .select(col("doc_id"), expr(s"graft_simhash64($toks)").as("sim"))
+        .select(col("doc_id"),
+          explode(expr("array(0, 1, 2, 3)")).as("blk"), col("sim"))
+        .withColumn("block", expr("shiftright(sim, blk * 16) & 65535"))
+      simBlocks.select(col("blk"), col("block"), col("doc_id").as("id_a"))
+        .join(simBlocks.select(col("blk"), col("block"),
+          col("doc_id").as("id_b")).hint("shuffle_hash"), Seq("blk", "block"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+    }
+
+  /** Build-once helper for candidate-pair memo tables ([[CorpusKey]]
+    * naming; the same stale-location guard as the cluster map).
+    */
+  private def memoPairs(s: SparkSession, prefix: String, dir: String)(
+      build: => DataFrame): DataFrame = {
+    val table = CorpusKey.tableName(s, prefix, dir)
+    clusterMapLock.synchronized {
+      if (!s.catalog.tableExists(table)) {
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), table)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+        build.write.mode("overwrite").saveAsTable(table)
+      }
+    }
+    s.table(table).select("id_a", "id_b")
   }
 
   /** Verified Jaccard ≥ 1/2 pairs from a (doc_id, sh) frame via the
