@@ -256,6 +256,32 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q177: all three a-priori gates are broadcast semi-joins; instances never shuffle for them") {
+    val p = plan("q177_apriori_triples")
+    val semis = p.collect {
+      case j: BroadcastHashJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }
+    assert(semis.size >= 3,
+      s"the (a,b)/(b,c)/(a,c) frequent-pair gates must broadcast:\n$p")
+    assert(!p.toString.contains("CartesianProduct"), s"no pair space:\n$p")
+  }
+
+  test("q176/q179: windows are keyed (doc/user/matrix-row), never corpus-wide single-partition") {
+    for (q <- Seq("q176_cdc_chunks", "q179_markov_transitions")) {
+      val p = plan(q)
+      val wins = p.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.nonEmpty, s"$q expected window operators:\n$p")
+      wins.foreach { w =>
+        assert(w.partitionSpec.nonEmpty,
+          s"$q has an unpartitioned (single-partition) window:\n$p")
+      }
+      assert(!p.toString.contains("CartesianProduct"), s"$q no pair space:\n$p")
+    }
+  }
+
   test("q56: the query/df/stats sides broadcast; corpus never shuffles for them") {
     val p = plan("q56_bm25")
     val bhj = p.collect { case j: BroadcastHashJoinExec => j }

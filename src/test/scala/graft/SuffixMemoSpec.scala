@@ -71,4 +71,20 @@ class SuffixMemoSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark, "graft_suffix_ranks", sf.replace("sf0.001", "sf0.01"))
     assert(n1 != other, "distinct corpora must never share a table name")
   }
+
+  test("a touched file at the same dir changes the key (mtime is part of the fingerprint)") {
+    // copy a corpus dir, key it, touch one file, key again — the name
+    // must change, which is what forces the rebuild the r6 advice asked
+    // for (tableExists can never serve a stale artifact)
+    val tmp = java.nio.file.Files.createTempDirectory("corpuskey").toFile
+    val src = new java.io.File(s"$sf/documents.parquet") // a single file here
+    val one = new java.io.File(tmp, "documents.parquet")
+    java.nio.file.Files.copy(src.toPath, one.toPath)
+    val n1 = graft.operators.CorpusKey.tableName(spark, "t", tmp.toString)
+    java.nio.file.Files.setLastModifiedTime(one.toPath,
+      java.nio.file.attribute.FileTime.fromMillis(
+        one.lastModified() + 60000))
+    val n2 = graft.operators.CorpusKey.tableName(spark, "t", tmp.toString)
+    assert(n1 != n2, "regenerated data at the same path must re-key")
+  }
 }
