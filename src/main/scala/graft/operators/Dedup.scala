@@ -724,6 +724,29 @@ object Dedup {
     // near-dup reuses the shared cluster map; both flags join the
     // source dimension in one final rollup. All counts — hash-exact;
     // the two rates are single IEEE divides.
+    // Copy-PROVENANCE matrix — the DIRECTIONAL dedup diagnostic next to
+    // q140 (per-source rates), q170 (cluster sizes), and q161 (loss
+    // weights): for every near-dup copy, WHO copied WHOM. The cluster
+    // map's canonical id IS the cluster's min member (its originator
+    // under the deterministic keep-first rule), so the matrix is two
+    // source lookups over the copies — (originator source → copier
+    // source, count) — probe-cheap against the materialized map, output
+    // bounded by #sources². Cross-source cells are mirror/scraper
+    // evidence; the diagonal is within-source churn.
+    "q182_copy_matrix" -> { (s, dir) =>
+      val src = Synth.documents(s, dir).select(col("doc_id"), col("source"))
+      minhashClusterMap(s, dir)
+        .filter(col("doc_id") =!= col("cluster_id")) // copies only
+        .join(src, "doc_id")
+        .join(src.toDF("cluster_id", "orig_source"), "cluster_id")
+        .groupBy(col("orig_source"), col("source").as("copier_source"))
+        .agg(count(lit(1)).as("n_copies"))
+        .withColumn("is_cross_source",
+          col("orig_source") =!= col("copier_source"))
+        .select("orig_source", "copier_source", "n_copies", "is_cross_source")
+        .orderBy("orig_source", "copier_source")
+    },
+
     "q140_dup_rate_by_source" -> { (s, dir) =>
       val docs = Synth.documents(s, dir).select(col("doc_id"), col("source"))
       val wHash = Window.partitionBy("content_hash")
@@ -1457,6 +1480,23 @@ object Dedup {
          |  cast(1000000 // cluster_size as bigint) AS weight_ppm
          |FROM clusters c JOIN sz USING (cluster_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "q182_copy_matrix" ->
+      s"""$duckQ61Reach,
+         |clusters AS (
+         |  SELECT d.doc_id,
+         |    least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id
+         |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+         |  GROUP BY d.doc_id)
+         |SELECT o.source AS orig_source, c2.source AS copier_source,
+         |  cast(count(*) as bigint) AS n_copies,
+         |  o.source <> c2.source AS is_cross_source
+         |FROM clusters c
+         |  JOIN documents c2 ON c2.doc_id = c.doc_id
+         |  JOIN documents o ON o.doc_id = c.cluster_id
+         |WHERE c.doc_id <> c.cluster_id
+         |GROUP BY o.source, c2.source
+         |ORDER BY orig_source, copier_source""".stripMargin,
 
     "q140_dup_rate_by_source" ->
       s"""$duckQ61Reach,
