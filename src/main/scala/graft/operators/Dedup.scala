@@ -26,8 +26,13 @@ object Dedup {
     * native [[graft.functions.TokenShingles]] expression — the composed
     * array_distinct/transform/slice form it replaces runs the lambda
     * interpreter per shingle and dominated both queries (~1 ms/doc).
+    * Deliberately NOT a memo table (measured, r7): decoding a
+    * ~50-string-array column back out of parquet costs about what the
+    * native shingling costs from the raw text scan, so persistence buys
+    * nothing here — unlike the DERIVED artifacts (cluster map, pair
+    * sets, suffix ranks), whose construction is many shuffles deep.
     */
-  private[operators] def shingled(s: SparkSession, dir: String) = {
+  private[operators] def shingled(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Synth.documents(s, dir)
       .select(col("doc_id"), expr(s"graft_shingles($toks, 3)").as("sh"))

@@ -42,7 +42,8 @@ class ClusterMapSpec extends AnyFunSuite with BeforeAndAfterAll {
     // their plans scan the bucketed table and contain none of the
     // pipeline's signature machinery (no band/bucket columns anywhere)
     for (q <- Seq("q125_dedup_keep_best", "q140_dup_rate_by_source",
-        "q161_dup_aware_weights")) {
+        "q161_dup_aware_weights", "q181_cluster_safe_split",
+        "q182_copy_matrix")) {
       val p = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
       val scans = p.collect { case f: FileSourceScanExec => f }
       assert(scans.exists(_.metadata.getOrElse("Location", "")
