@@ -316,6 +316,12 @@ object Dedup {
     * much shorter prefixes (t=0.8 posts ~n/5 of each doc's shingles vs
     * ~n/2 at t=0.5), which q133's ground-truth pass exploits.
     */
+  /** Posting lists above this df take the pairwise-join route instead of
+    * the single-row array explode — the hub/skew escape hatch; see the
+    * candidate-generation comment inside [[prefixJaccardPairs]].
+    */
+  private val PostingCap = 4096
+
   private[graft] def prefixJaccardPairs(sh: DataFrame, p: Int = 1,
       q: Int = 2, minJaccard: Double = 0.5): DataFrame = {
     require(0 < p && p < q, "threshold p/q must lie in (0, 1)")
@@ -363,8 +369,44 @@ object Dedup {
       // LOSSLESS posting prune — see the df-frame comment above
       .filter(col("df") >= 2)
       .select("shingle", "doc_id", "n", "rn")
-    val a = prefix.toDF("shingle", "id_a", "n_a", "rn_a")
-    val b = prefix.toDF("shingle", "id_b", "n_b", "rn_b")
+    // Candidate pairs from POSTING-LIST ARRAYS, not a posting self-join
+    // (r7, measured): group the prefix postings per shingle, sort each
+    // (doc_id-ordered structs, so the i < j explode emits id_a < id_b by
+    // construction), and emit each unordered pair exactly ONCE map-side
+    // — the self-join form streamed every pair twice through the probe
+    // AND evaluated the whole prefix subtree once per side. Posting
+    // lists are tiny by nature (a df-heavy shingle is boilerplate;
+    // p99 df = 18 here) — a web-scale hub shingle above [[PostingCap]]
+    // would make a giant row AND a giant single-task explode, so over-
+    // cap shingles (none at any tested SF — the split is hash-invariant)
+    // take the classic skew route: the original pairwise self-join,
+    // whose per-task fan-out the shuffle hash spreads no worse.
+    val posting = prefix.groupBy("shingle")
+      .agg(count(lit(1)).as("dfp"),
+        sort_array(collect_list(struct(col("doc_id"), col("n"), col("rn"))))
+          .as("ps"))
+      .localCheckpoint() // two consumers (small/large split)
+    def pairFilters(df: DataFrame): DataFrame = df
+      .filter(col("n_b") * q >= col("n_a") * p &&
+        col("n_a") * q >= col("n_b") * p)
+      .filter(least(col("n_a") - col("rn_a"), col("n_b") - col("rn_b")) + 1
+        >= expr(s"($p * (n_a + n_b) + ${p + q - 1}) div ${p + q}"))
+    val small = pairFilters(posting.filter(col("dfp") <= PostingCap)
+      .select(col("ps"), posexplode(col("ps")).as(Seq("i", "a")))
+      .select(col("a"), explode(expr("slice(ps, i + 2, size(ps))")).as("b"))
+      .select(col("a.doc_id").as("id_a"), col("a.n").as("n_a"),
+        col("a.rn").as("rn_a"), col("b.doc_id").as("id_b"),
+        col("b.n").as("n_b"), col("b.rn").as("rn_b")))
+    val largePost = posting.filter(col("dfp") > PostingCap)
+      .select(col("shingle"), explode(col("ps")).as("x"))
+      .select(col("shingle"), col("x.doc_id").as("doc_id"),
+        col("x.n").as("n"), col("x.rn").as("rn"))
+    val large = pairFilters(
+      largePost.toDF("shingle", "id_a", "n_a", "rn_a")
+        .join(largePost.toDF("shingle", "id_b", "n_b", "rn_b")
+          .hint("shuffle_hash"), "shingle")
+        .filter(col("id_a") < col("id_b")))
+      .select("id_a", "n_a", "rn_a", "id_b", "n_b", "rn_b")
     // Accumulated positional filter (the full PPJoin bound, not just the
     // per-match one): per pair, c = #shared prefix shingles and the LAST
     // match's positions (the posting order is one consistent global
@@ -376,12 +418,7 @@ object Dedup {
     // array-intersect verify — the verify join shrinks from |candidates|
     // to nearly |true pairs|. Losslessness is property-tested on random
     // docs (PropertySpec: EVERY Jaccard ≥ t pair is found).
-    val cands = a.join(b.hint("shuffle_hash"), "shingle")
-      .filter(col("id_a") < col("id_b"))
-      .filter(col("n_b") * q >= col("n_a") * p &&
-        col("n_a") * q >= col("n_b") * p)
-      .filter(least(col("n_a") - col("rn_a"), col("n_b") - col("rn_b")) + 1
-        >= expr(s"($p * (n_a + n_b) + ${p + q - 1}) div ${p + q}"))
+    val cands = small.unionAll(large)
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("c"),
         max(col("rn_a")).as("ma"), max(col("rn_b")).as("mb"),
