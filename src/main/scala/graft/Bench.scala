@@ -111,6 +111,16 @@ object Bench {
         val ts = times.map(_._1)
         if (ts.min >= 0.05 && ts.max / ts.min > 1.3) times :+= runOnce()
       }
+      // If the damper's extra run DISAGREED with both base runs (both hit
+      // the same hiccup, the rerun found the steady state), one fast run
+      // stands alone and the 2nd-best/best spread still reads > 1.3 —
+      // pay ONE more run to confirm it. Bounded: ≤ 4 runs, pathological
+      // queries only.
+      if (times.forall(_._2) && times.size == 3) {
+        val sorted = times.map(_._1).sorted
+        if (sorted.head >= 0.05 && sorted(1) / sorted.head > 1.3)
+          times :+= runOnce()
+      }
       val (min, ok, spread) = summarize(times)
       (name, min, ok, spread)
     }
