@@ -34,25 +34,43 @@ object Bench {
       .setLevel(org.apache.log4j.Level.ERROR)
     val subset = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
     val explain = sys.env.contains("SPARK_GRAFT_EXPLAIN")
+    val selected = SparkEntry.queries
+      .filter { case (name, _) => subset.forall(_.exists(name.startsWith)) }
+      .toSeq.sortBy(_._1)
+    val selectedNames = selected.map(_._1).toSet
     // Uncounted warmup: pay JVM/codegen/shuffle-machinery startup here so
     // it isn't attributed to whichever query happens to run first, and
     // build the MEMOIZED CORPUS ARTIFACTS (cluster map, band index,
     // suffix ranks) — those are per-corpus state every consumer probes,
     // not any single query's work, and paying them inside some query's
     // first run is what produced r6's 2-3× spreads on q62b/q173/q174.
+    // Each family warms only when a SELECTED query consumes its tables
+    // (SPARK_GRAFT_QUERIES profiling runs skip unrelated builds), and a
+    // warm-build failure defers to the consuming queries instead of
+    // aborting the whole bench.
     locally {
       import org.apache.spark.sql.functions._
       spark.range(1000000).select(sum(col("id"))).collect()
       spark.range(100000).groupBy((col("id") % 7).as("k"))
         .count().orderBy("k").collect()
-      graft.operators.Dedup.warmArtifacts(spark, sfDir)
-      graft.operators.SuffixRank.warmArtifacts(spark, sfDir)
-      graft.operators.GraphCore.warmArtifacts(spark, sfDir)
-      graft.operators.TextRank.warmArtifacts(spark, sfDir)
+      import graft.operators._
+      val families: Seq[(String, Set[String], () => Unit)] = Seq(
+        ("dedup", Dedup.queries.keySet ++ Curation.queries.keySet,
+          () => Dedup.warmArtifacts(spark, sfDir)),
+        ("suffix", SuffixRank.queries.keySet,
+          () => SuffixRank.warmArtifacts(spark, sfDir)),
+        ("copurchase", GraphCore.queries.keySet ++ Triangles.queries.keySet,
+          () => GraphCore.warmArtifacts(spark, sfDir)),
+        ("wordcooc", TextRank.queries.keySet,
+          () => TextRank.warmArtifacts(spark, sfDir)))
+      families.foreach { case (fam, consumers, warm) =>
+        if (consumers.intersect(selectedNames).nonEmpty)
+          try warm() catch { case e: Throwable =>
+            System.err.println(
+              s"[bench] warmup '$fam' failed (deferred to consumers): ${e.getMessage}")
+          }
+      }
     }
-    val selected = SparkEntry.queries
-      .filter { case (name, _) => subset.forall(_.exists(name.startsWith)) }
-      .toSeq.sortBy(_._1)
     // min of 2 runs per query: the first run pays that query's codegen /
     // JIT compilation (several seconds of constant overhead on the
     // multi-stage plans, 1.5–2× run-to-run noise on this host); the
@@ -161,20 +179,59 @@ object Bench {
       } else None
 
     val all = results ++ loaderResult
-    def fmtMap(f: ((String, Double, Boolean, Double)) => String): String =
+    // JVM-default-locale interpolators (f"$v%.2f") would emit `0,26` under
+    // a comma-decimal locale and break the JSON — always Locale.ROOT
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    def entries(f: ((String, Double, Boolean, Double)) => String): Seq[String] =
       all.map { case t @ (k, _, _, _) => "\"" + k + "\":" + f(t) }
-        .mkString("{", ",", "}")
-    val qs = fmtMap { case (_, v, ok, _) => if (ok) f"$v%.2f" else "\"failed\"" }
-    val spreads = fmtMap { case (_, _, _, sp) => f"$sp%.2f" }
+    val qEntries = entries { case (_, v, ok, _) => if (ok) num(v) else "\"failed\"" }
+    val spEntries = entries { case (_, _, _, sp) => num(sp) }
     // failed queries are excluded from the total AND flagged — a crash must
     // never read as a speedup
     val total = all.collect { case (_, v, true, _) => v }.sum
     val failed = all.count(!_._3)
-    // spread line FIRST, summary line LAST — the tail capture must always
-    // see the timings, and a reader of the last line alone gets the
-    // totals before the per-query map
-    println(s"""{"metric":"spread","runs_per_query":$runsPerQuery,"spread":$spreads,"sf":"$sfDir"}""")
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","failed":$failed,"runs_per_query":$runsPerQuery,"queries":$qs,"sf":"$sfDir"}""")
+
+    // The driver records only the process TAIL and json-parses the last
+    // line. r6/r7 both lost timings to oversized lines (r7: one ~5 KB
+    // summary line, truncated mid-map — 126 of 205 timings gone). So:
+    // (1) every map is chunked into ≤ ~2 KB lines, (2) the LAST line is
+    // a SHORT all-scalar totals line that always survives and parses,
+    // (3) the complete single-object artifact goes to a file for full
+    // fidelity regardless of tail size.
+    def chunks(es: Seq[String]): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[StringBuilder]
+      es.foreach { e =>
+        if (out.isEmpty || out.last.length + e.length + 1 > 1800)
+          out += new StringBuilder(e)
+        else out.last.append(',').append(e)
+      }
+      out.map(_.result()).toSeq
+    }
+    def emitChunked(metric: String, key: String, es: Seq[String]): Int = {
+      val cs = chunks(es)
+      cs.zipWithIndex.foreach { case (c, i) =>
+        println(s"""{"metric":"${metric}_${i + 1}of${cs.size}","$key":{$c},"sf":"$sfDir"}""")
+      }
+      cs.size
+    }
+    val fullJson =
+      s"""{"metric":"bench","value":${num(total)},"unit":"sec","failed":$failed,""" +
+        s""""runs_per_query":$runsPerQuery,"n_queries":${all.size},""" +
+        s""""queries":{${qEntries.mkString(",")}},""" +
+        s""""spread":{${spEntries.mkString(",")}},"sf":"$sfDir"}"""
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/BENCH_FULL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
+      (fullJson + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}")
+    }
+    emitChunked("spread", "spread", spEntries)
+    val nChunks = emitChunked("queries", "queries", qEntries)
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","failed":$failed,""" +
+      s""""runs_per_query":$runsPerQuery,"n_queries":${all.size},""" +
+      s""""query_chunks":$nChunks,"full_artifact":"$fullPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

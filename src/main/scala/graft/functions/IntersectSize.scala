@@ -246,9 +246,9 @@ case class SortedIntersectSize(left: Expression, right: Expression)
          |  else {
          |    $cnt++;
          |    $i++;
-         |    while ($i < $na && ${ctx.genComp(elemType, s"($jt)($getAi)", x)} == 0) $i++;
+         |    while ($i < $na && ${ctx.genComp(elemType, s"($getAi)", x)} == 0) $i++;
          |    $j++;
-         |    while ($j < $nb && ${ctx.genComp(elemType, s"($jt)($getBj)", y)} == 0) $j++;
+         |    while ($j < $nb && ${ctx.genComp(elemType, s"($getBj)", y)} == 0) $j++;
          |  }
          |}
          |${ev.value} = $cnt;

@@ -35,11 +35,18 @@ case class TopKByScore(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKByScore.Buffer] {
+  extends TypedImperativeAggregate[TopKByScore.Buffer]
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
   require(k > 0, "graft_topk: k must be positive")
 
   override def children: Seq[Expression] = Seq(score, id)
+
+  // without this, a wrongly-typed id surfaces as a mid-job
+  // ClassCastException inside update() instead of an analysis error
+  // (ImplicitCastInputTypes still lets numeric inputs widen for free)
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType)
+
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
     StructType(Seq(
