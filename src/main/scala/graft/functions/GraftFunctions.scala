@@ -60,6 +60,10 @@ object GraftFunctions {
         "graft_sorted_intersect_size"),
       (children: Seq[Expression]) =>
         SortedIntersectSize(children(0), children(1))),
+    (FunctionIdentifier("graft_gram_stats"),
+      new ExpressionInfo(classOf[GramStats].getName, "graft_gram_stats"),
+      (children: Seq[Expression]) => GramStats(children(0),
+        children(1).eval().asInstanceOf[Int])),
     (FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKByScore].getName, "graft_topk"),
       // the analyzer wraps AggregateFunctions in AggregateExpression

@@ -944,40 +944,29 @@ object TextAnalysis {
     // outgrows a task. All ratios are integer MILLIONTHS (a · 10⁶ div b)
     // so every value hash-matches cross-engine.
     "q148_repetition_signals" -> { (s, dir) =>
-      // zip_with over two/three shifted slices, NOT transform(sequence)
-      // + per-gram slice: the composed slice-per-shingle form costs
-      // ~1 ms/doc in the lambda interpreter (the measurement that
-      // justified the native TokenShingles) — zipping pays two slice
-      // copies per DOC and one linear pass (13.7 s → map-speed at sf0.1).
-      def g2Expr =
-        "if(size(t) < 2, array(), zip_with(slice(t, 1, size(t) - 1), " +
-          "slice(t, 2, size(t) - 1), (a, b) -> concat(a, ' ', b)))"
-      def g3Expr =
-        "if(size(t) < 3, array(), zip_with(zip_with(" +
-          "slice(t, 1, size(t) - 2), slice(t, 2, size(t) - 2), " +
-          "(a, b) -> concat(a, ' ', b)), slice(t, 3, size(t) - 2), " +
-          "(ab, c) -> concat(ab, ' ', c)))"
-      val base = Synth.documents(s, dir)
+      // ONE pass per doc via the native graft_gram_stats (n_grams,
+      // n_distinct, top_cnt, top_g in a single hash-map scan). The
+      // composed rendering this replaces — zip_with shifted slices +
+      // interpreted array_distinct for the fractions, explode +
+      // (doc, gram) count + per-doc argmax for the top gram — paid two
+      // corpus-sized shuffles and the lambda interpreter (2.97 s at
+      // sf0.1); this plan is map-only up to the presentation orderBy,
+      // same hashes (GramStats replicates max(struct(cnt, g)) ordering
+      // including ties).
+      graft.functions.GraftFunctions.register(s)
+      Synth.documents(s, dir)
         .select(col("doc_id"), expr(toks).as("t"))
         .withColumn("n_tokens", expr("size(t)"))
         .withColumn("n_chars", expr("length(array_join(t, ' '))"))
-        .withColumn("g2", expr(g2Expr))
-        .withColumn("g3", expr(g3Expr))
+        .withColumn("s2", expr("graft_gram_stats(t, 2)"))
+        .withColumn("s3", expr("graft_gram_stats(t, 3)"))
         .withColumn("dup_bigram_ppm", expr(
-          "if(size(g2) = 0, 0L, cast(size(g2) - size(array_distinct(g2)) as bigint) * 1000000 div size(g2))"))
+          "if(s2.n_grams = 0, 0L, cast(s2.n_grams - s2.n_distinct as bigint) * 1000000 div s2.n_grams)"))
         .withColumn("dup_trigram_ppm", expr(
-          "if(size(g3) = 0, 0L, cast(size(g3) - size(array_distinct(g3)) as bigint) * 1000000 div size(g3))"))
-      val top = base.select(col("doc_id"), explode(col("g2")).as("g"))
-        .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
-        .groupBy("doc_id")
-        .agg(max(struct(col("cnt"), col("g"))).as("tg"))
-        .select(col("doc_id"), col("tg.cnt").as("top_cnt"),
-          col("tg.g").as("top_g"))
-      base.select("doc_id", "n_tokens", "n_chars",
-          "dup_bigram_ppm", "dup_trigram_ppm")
-        .join(top, Seq("doc_id"), "left")
+          "if(s3.n_grams = 0, 0L, cast(s3.n_grams - s3.n_distinct as bigint) * 1000000 div s3.n_grams)"))
         .withColumn("top_bigram_chars_ppm", coalesce(
-          expr("cast(top_cnt as bigint) * length(top_g) * 1000000 div n_chars"),
+          expr("if(s2.n_grams = 0, null, " +
+            "cast(s2.top_cnt as bigint) * length(s2.top_g) * 1000000 div n_chars)"),
           lit(0L)))
         .select("doc_id", "n_tokens", "dup_bigram_ppm", "dup_trigram_ppm",
           "top_bigram_chars_ppm")

@@ -123,6 +123,11 @@ class CodegenGateSpec extends AnyFunSuite with BeforeAndAfterAll {
     gate("concat_ws(',', graft_winnow(a, 2, 3))", strArrays)
   }
 
+  test("graft_gram_stats compiles") {
+    gate("graft_gram_stats(a, 2)", strArrays)
+    gate("graft_gram_stats(a, 3)", strArrays)
+  }
+
   test("graft_topk aggregate plan compiles end-to-end") {
     // TopKByScore is an imperative aggregate (no doGenCode of its own);
     // this gates the surrounding hash-aggregate stage under

@@ -169,6 +169,43 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lbad.count() == 0)
   }
 
+  test("graft_gram_stats ≡ the composed zip_with/array_distinct/argmax form") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // small vocab forces duplicate grams AND top-count ties (the
+    // max(struct) tie-break by binary-largest gram must match)
+    val rows = (0 until 300).map { _ =>
+      Seq.fill(rnd.nextInt(15))(s"w${rnd.nextInt(4)}")
+    } :+ Seq.empty[String] :+ Seq("only") :+ Seq("a", "a", "a", "a")
+    val df = rows.map(Tuple1(_)).toDF("t")
+    val bad = df.selectExpr(
+      "graft_gram_stats(t, 2) AS s",
+      """if(size(t) < 2, array(), zip_with(slice(t, 1, size(t) - 1),
+        | slice(t, 2, size(t) - 1), (a, b) -> concat(a, ' ', b))) AS g2""".stripMargin)
+      .selectExpr("s", "size(g2) AS n_grams",
+        "size(array_distinct(g2)) AS n_distinct",
+        """aggregate(array_distinct(g2),
+          | named_struct('cnt', 0, 'g', cast(null as string)),
+          | (acc, x) -> if(size(filter(g2, e -> e = x)) > acc.cnt
+          |   or (size(filter(g2, e -> e = x)) = acc.cnt and (acc.g is null or x > acc.g)),
+          |   named_struct('cnt', size(filter(g2, e -> e = x)), 'g', x), acc)) AS top""".stripMargin)
+      .filter("""s.n_grams != n_grams or s.n_distinct != n_distinct
+        | or s.top_cnt != top.cnt
+        | or not (s.top_g <=> top.g)""".stripMargin)
+    assert(bad.count() == 0)
+  }
+
+  test("graft_gram_stats: null and short-input contracts") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_gram_stats(cast(null as array<string>), 2) AS n,
+        | graft_gram_stats(array('one'), 2) AS short""".stripMargin).collect()(0)
+    assert(r.isNullAt(0))
+    val s = r.getStruct(1)
+    assert(s.getInt(0) == 0 && s.getInt(1) == 0 && s.getInt(2) == 0 && s.isNullAt(3))
+  }
+
   test("graft_sorted_intersect_size: null contract (null array in, null out)") {
     GraftFunctions.register(spark)
     val r = spark.sql(
