@@ -64,6 +64,12 @@ object GraftFunctions {
       new ExpressionInfo(classOf[GramStats].getName, "graft_gram_stats"),
       (children: Seq[Expression]) => GramStats(children(0),
         children(1).eval().asInstanceOf[Int])),
+    (FunctionIdentifier("graft_hamming_pairs"),
+      new ExpressionInfo(classOf[HammingPairs].getName, "graft_hamming_pairs"),
+      (children: Seq[Expression]) => HammingPairs(children(0), children(1),
+        children(2).eval().asInstanceOf[Int],
+        children(3).eval().asInstanceOf[Int],
+        children(4).eval().asInstanceOf[Int])),
     (FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKByScore].getName, "graft_topk"),
       // the analyzer wraps AggregateFunctions in AggregateExpression

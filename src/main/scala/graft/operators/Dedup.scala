@@ -224,12 +224,10 @@ object Dedup {
     */
   private def buildClusterMap(s: SparkSession, dir: String): DataFrame = {
     val docsSh = shingled(s, dir)
-    val lng = bandsLong(minhashBanded(s, dir))
-    val a = lng.toDF("id_a", "band", "bucket")
-    val b = lng.toDF("id_b", "band", "bucket")
-    val cands = a.join(b.hint("shuffle_hash"), Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val cands = bucketPairs(bandsLong(minhashBanded(s, dir)),
+        Seq("band", "bucket"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
     val shA = docsSh.toDF("id_a", "sh_a")
     val shB = docsSh.toDF("id_b", "sh_b")
     val edges = cands
@@ -249,6 +247,51 @@ object Dedup {
       .select("doc_id", "cluster_id")
   }
 
+  /** SimHash pigeonhole pair generation shared by q33b/q33c: bucket the
+    * (key..., doc_id, sim) rows, then the native
+    * [[graft.functions.HammingPairs]] generator scans each bucket's
+    * primitive long arrays and emits ONLY the Hamming-surviving pairs —
+    * the quadratic candidate space is an XOR/popcount loop, never rows
+    * (the former posexplode+slice emission materialized 8.5M pair
+    * structs at q33b's coarse geometry for a ~50k-survivor answer).
+    * Over-cap buckets (web-scale hubs; none at any tested SF) take the
+    * classic pairwise join + filter route.
+    */
+  private[graft] def hammingBlockPairs(rows: DataFrame, keys: Seq[String],
+      maxDist: Int, width: Int, nBlocks: Int,
+      cap: Int = PostingCap): DataFrame = {
+    graft.functions.GraftFunctions.register(rows.sparkSession)
+    require(keys.head == "blk", "first key must be the block index")
+    val grouped = rows
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("dfp"),
+        sort_array(collect_list(struct(col("doc_id"), col("sim")))).as("ps"))
+      .localCheckpoint() // two consumers (small/large split)
+    val small = grouped.filter(col("dfp") <= cap)
+      .select(expr(s"graft_hamming_pairs(ps, blk, $maxDist, $width, $nBlocks)"))
+      .toDF("id_a", "id_b", "hamming")
+    // over-cap fallback: same first-agreeing-block predicate in SQL, so
+    // the union stays duplicate-free whichever route a bucket took
+    val firstBlock = (0 until nBlocks).map { b =>
+      s"(blk = $b" + (if (b == 0) "" else (0 until b).map { e =>
+        s" and (shiftright(sim_a ^ sim_b, ${width * e}) & ${(1L << width) - 1}) != 0"
+      }.mkString("")) + ")"
+    }.mkString(" or ")
+    val largeRows = grouped.filter(col("dfp") > cap)
+      .select(keys.map(col) :+ explode(col("ps")).as("x"): _*)
+    val large = largeRows
+      .select(keys.map(col) :+ col("x.doc_id").as("id_a") :+
+        col("x.sim").as("sim_a"): _*)
+      .join(largeRows.select(keys.map(col) :+ col("x.doc_id").as("id_b") :+
+        col("x.sim").as("sim_b"): _*).hint("shuffle_hash"), keys)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", expr("cast(bit_count(sim_a ^ sim_b) as int)"))
+      .filter(col("hamming") <= maxDist)
+      .filter(expr(firstBlock))
+      .select("id_a", "id_b", "hamming")
+    small.unionAll(large)
+  }
+
   /** MinHash band-collision candidate pairs (id_a < id_b) — the q32b
     * blocker, shared by q133's recall table and q151's agreement score.
     * MEMOIZED per corpus content (three consumers re-ran the signature
@@ -259,12 +302,9 @@ object Dedup {
     */
   private def bandCollisionPairs(s: SparkSession, dir: String): DataFrame =
     memoPairs(s, "graft_band_pairs", dir) {
-      val lng = bandsLong(minhashBanded(s, dir))
-      lng.toDF("id_a", "band", "bucket")
-        .join(lng.toDF("id_b", "band", "bucket").hint("shuffle_hash"),
-          Seq("band", "bucket"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct()
+      bucketPairs(bandsLong(minhashBanded(s, dir)), Seq("band", "bucket"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
     }
 
   /** SimHash64 pigeonhole-block candidate pairs (id_a < id_b) — the q33c
@@ -278,11 +318,10 @@ object Dedup {
         .select(col("doc_id"),
           explode(expr("array(0, 1, 2, 3)")).as("blk"), col("sim"))
         .withColumn("block", expr("shiftright(sim, blk * 16) & 65535"))
-      simBlocks.select(col("blk"), col("block"), col("doc_id").as("id_a"))
-        .join(simBlocks.select(col("blk"), col("block"),
-          col("doc_id").as("id_b")).hint("shuffle_hash"), Seq("blk", "block"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct()
+        .select("blk", "block", "doc_id")
+      bucketPairs(simBlocks, Seq("blk", "block"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
     }
 
   /** Build-once helper for candidate-pair memo tables ([[CorpusKey]]
@@ -321,6 +360,47 @@ object Dedup {
     * candidate-generation comment inside [[prefixJaccardPairs]].
     */
   private val PostingCap = 4096
+
+  /** Within-bucket unordered-pair emission, shared by every blocking
+    * family (prefix posting lists, MinHash band buckets, SimHash
+    * pigeonhole blocks): group `rows` by `keys`, collect the remaining
+    * columns as a SORTED struct array, and emit each i < j pair exactly
+    * ONCE map-side via posexplode + slice — the self-join form this
+    * replaces streamed every pair twice through the probe and evaluated
+    * the whole upstream subtree once per join side. The first payload
+    * column must be the unique doc id, so struct ordering yields
+    * `a.doc < b.doc` by construction.
+    *
+    * Buckets above `cap` would make a giant collected row AND a giant
+    * single-task explode, so they take the classic skew route — the
+    * pairwise shuffle-hash self-join on the bucket key, whose fan-out
+    * the shuffle spreads no worse (none exist at any tested SF; a
+    * web-scale hub bucket is exactly what the cap is for).
+    *
+    * Returns two struct columns `a`, `b` (payload fields) for the
+    * caller to project.
+    */
+  private[graft] def bucketPairs(rows: DataFrame, keys: Seq[String],
+      cap: Int = PostingCap): DataFrame = {
+    val payload = rows.columns.filterNot(keys.contains).toSeq
+    val pstruct = struct(payload.map(col): _*)
+    val grouped = rows
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("dfp"), sort_array(collect_list(pstruct)).as("ps"))
+      .localCheckpoint() // two consumers (small/large split)
+    val small = grouped.filter(col("dfp") <= cap)
+      .select(col("ps"), posexplode(col("ps")).as(Seq("i", "a")))
+      .select(col("a"), explode(expr("slice(ps, i + 2, size(ps))")).as("b"))
+      .select("a", "b")
+    val largeRows = grouped.filter(col("dfp") > cap)
+      .select(keys.map(col) :+ explode(col("ps")).as("x"): _*)
+    val large = largeRows.select(keys.map(col) :+ col("x").as("a"): _*)
+      .join(largeRows.select(keys.map(col) :+ col("x").as("b"): _*)
+        .hint("shuffle_hash"), keys)
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+    small.unionAll(large)
+  }
 
   private[graft] def prefixJaccardPairs(sh: DataFrame, p: Int = 1,
       q: Int = 2, minJaccard: Double = 0.5): DataFrame = {
@@ -369,44 +449,23 @@ object Dedup {
       // LOSSLESS posting prune — see the df-frame comment above
       .filter(col("df") >= 2)
       .select("shingle", "doc_id", "n", "rn")
-    // Candidate pairs from POSTING-LIST ARRAYS, not a posting self-join
-    // (r7, measured): group the prefix postings per shingle, sort each
-    // (doc_id-ordered structs, so the i < j explode emits id_a < id_b by
-    // construction), and emit each unordered pair exactly ONCE map-side
-    // — the self-join form streamed every pair twice through the probe
-    // AND evaluated the whole prefix subtree once per side. Posting
-    // lists are tiny by nature (a df-heavy shingle is boilerplate;
-    // p99 df = 18 here) — a web-scale hub shingle above [[PostingCap]]
-    // would make a giant row AND a giant single-task explode, so over-
-    // cap shingles (none at any tested SF — the split is hash-invariant)
-    // take the classic skew route: the original pairwise self-join,
-    // whose per-task fan-out the shuffle hash spreads no worse.
-    val posting = prefix.groupBy("shingle")
-      .agg(count(lit(1)).as("dfp"),
-        sort_array(collect_list(struct(col("doc_id"), col("n"), col("rn"))))
-          .as("ps"))
-      .localCheckpoint() // two consumers (small/large split)
-    def pairFilters(df: DataFrame): DataFrame = df
+    // Candidate pairs from POSTING-LIST ARRAYS via [[bucketPairs]] (r7,
+    // measured; the helper is shared with the band/block families since
+    // r8): each unordered pair emitted exactly ONCE map-side — the
+    // self-join form streamed every pair twice through the probe AND
+    // evaluated the whole prefix subtree once per side. Posting lists
+    // are tiny by nature (a df-heavy shingle is boilerplate; p99 df =
+    // 18 here) — a web-scale hub shingle above [[PostingCap]] takes the
+    // classic pairwise-join skew route inside the helper.
+    val pairs = bucketPairs(
+      prefix.select("shingle", "doc_id", "n", "rn"), Seq("shingle"))
+      .select(col("a.doc_id").as("id_a"), col("a.n").as("n_a"),
+        col("a.rn").as("rn_a"), col("b.doc_id").as("id_b"),
+        col("b.n").as("n_b"), col("b.rn").as("rn_b"))
       .filter(col("n_b") * q >= col("n_a") * p &&
         col("n_a") * q >= col("n_b") * p)
       .filter(least(col("n_a") - col("rn_a"), col("n_b") - col("rn_b")) + 1
         >= expr(s"($p * (n_a + n_b) + ${p + q - 1}) div ${p + q}"))
-    val small = pairFilters(posting.filter(col("dfp") <= PostingCap)
-      .select(col("ps"), posexplode(col("ps")).as(Seq("i", "a")))
-      .select(col("a"), explode(expr("slice(ps, i + 2, size(ps))")).as("b"))
-      .select(col("a.doc_id").as("id_a"), col("a.n").as("n_a"),
-        col("a.rn").as("rn_a"), col("b.doc_id").as("id_b"),
-        col("b.n").as("n_b"), col("b.rn").as("rn_b")))
-    val largePost = posting.filter(col("dfp") > PostingCap)
-      .select(col("shingle"), explode(col("ps")).as("x"))
-      .select(col("shingle"), col("x.doc_id").as("doc_id"),
-        col("x.n").as("n"), col("x.rn").as("rn"))
-    val large = pairFilters(
-      largePost.toDF("shingle", "id_a", "n_a", "rn_a")
-        .join(largePost.toDF("shingle", "id_b", "n_b", "rn_b")
-          .hint("shuffle_hash"), "shingle")
-        .filter(col("id_a") < col("id_b")))
-      .select("id_a", "n_a", "rn_a", "id_b", "n_b", "rn_b")
     // Accumulated positional filter (the full PPJoin bound, not just the
     // per-match one): per pair, c = #shared prefix shingles and the LAST
     // match's positions (the posting order is one consistent global
@@ -418,7 +477,7 @@ object Dedup {
     // array-intersect verify — the verify join shrinks from |candidates|
     // to nearly |true pairs|. Losslessness is property-tested on random
     // docs (PropertySpec: EVERY Jaccard ≥ t pair is found).
-    val cands = small.unionAll(large)
+    val cands = pairs
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("c"),
         max(col("rn_a")).as("ma"), max(col("rn_b")).as("mb"),
@@ -665,19 +724,14 @@ object Dedup {
     // geometry.
     "q33b_simhash_pairs" -> { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
-      val sim = Synth.documents(s, dir)
+      val lng = Synth.documents(s, dir)
         .select(col("doc_id"), expr(s"graft_simhash($toks)").as("sim"))
-      val lng = sim
-        .select(col("doc_id"), col("sim"), explode(expr("array(0, 1, 2, 3)")).as("blk"))
+        .select(col("doc_id"), col("sim"),
+          explode(expr("array(0, 1, 2, 3)")).as("blk"))
         .withColumn("nib", expr("shiftright(sim, blk * 4) & 15"))
-      val a = lng.select(col("blk"), col("nib"), col("doc_id").as("id_a"), col("sim").as("sim_a"))
-      val b = lng.select(col("blk"), col("nib"), col("doc_id").as("id_b"), col("sim").as("sim_b"))
-      a.join(b.hint("shuffle_hash"), Seq("blk", "nib"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b", "sim_a", "sim_b").distinct()
-        .withColumn("hamming", expr("cast(bit_count(sim_a ^ sim_b) as int)"))
-        .filter(col("hamming") <= 3)
-        .select("id_a", "id_b", "hamming")
+        .select("blk", "nib", "doc_id", "sim")
+      hammingBlockPairs(lng, Seq("blk", "nib"), maxDist = 3,
+          width = 4, nBlocks = 4)
         .orderBy("id_a", "id_b")
     },
 
@@ -693,19 +747,14 @@ object Dedup {
     // (graft_simhash64); plan shape is q33b's.
     "q33c_simhash64_pairs" -> { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
-      val sim = Synth.documents(s, dir)
+      val lng = Synth.documents(s, dir)
         .select(col("doc_id"), expr(s"graft_simhash64($toks)").as("sim"))
-      val lng = sim
-        .select(col("doc_id"), col("sim"), explode(expr("array(0, 1, 2, 3)")).as("blk"))
+        .select(col("doc_id"), col("sim"),
+          explode(expr("array(0, 1, 2, 3)")).as("blk"))
         .withColumn("block", expr("shiftright(sim, blk * 16) & 65535"))
-      val a = lng.select(col("blk"), col("block"), col("doc_id").as("id_a"), col("sim").as("sim_a"))
-      val b = lng.select(col("blk"), col("block"), col("doc_id").as("id_b"), col("sim").as("sim_b"))
-      a.join(b.hint("shuffle_hash"), Seq("blk", "block"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b", "sim_a", "sim_b").distinct()
-        .withColumn("hamming", expr("cast(bit_count(sim_a ^ sim_b) as int)"))
-        .filter(col("hamming") <= 3)
-        .select("id_a", "id_b", "hamming")
+        .select("blk", "block", "doc_id", "sim")
+      hammingBlockPairs(lng, Seq("blk", "block"), maxDist = 3,
+          width = 16, nBlocks = 4)
         .orderBy("id_a", "id_b")
     },
 
@@ -725,15 +774,12 @@ object Dedup {
 
     // LSH candidate-pair generation — the step q32's signatures exist FOR:
     // docs sharing any band bucket are near-dup candidates. Unpivot to
-    // (band, bucket) rows (map-only stack), self-join on the bucket key,
-    // count shared bands per pair. At scale the join touches only docs
-    // whose band hash collides — never the n² pair space.
+    // (band, bucket) rows (map-only stack), emit each within-bucket pair
+    // once via [[bucketPairs]], count shared bands per pair. At scale the
+    // pair space is bounded by band collisions — never n².
     "q32b_lsh_pairs" -> { (s, dir) =>
-      val lng = bandsLong(minhashBanded(s, dir))
-      val a = lng.toDF("id_a", "band", "bucket")
-      val b = lng.toDF("id_b", "band", "bucket")
-      a.join(b.hint("shuffle_hash"), Seq("band", "bucket"))
-        .filter(col("id_a") < col("id_b"))
+      bucketPairs(bandsLong(minhashBanded(s, dir)), Seq("band", "bucket"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         .groupBy("id_a", "id_b")
         .agg(count(lit(1)).as("n_bands"))
         .orderBy("id_a", "id_b")
