@@ -175,6 +175,7 @@ object Dedup {
     val table = CorpusKey.tableName(s, "graft_band_idx", dir)
     clusterMapLock.synchronized {
       if (!s.catalog.tableExists(table)) {
+        CorpusKey.prepareBuild(s, table)
         val isBatch = col("doc_id") % 5 === 0
         val corpusBands = bandsLong(minhashBandedFrom(
           shingled(s, dir).filter(!isBatch)))
@@ -202,12 +203,8 @@ object Dedup {
     val table = CorpusKey.tableName(s, "graft_cluster_map", dir)
     clusterMapLock.synchronized {
       if (!s.catalog.tableExists(table)) {
-        // stale catalog-less location from a previous JVM (in-memory
-        // catalog forgets tables; the warehouse dir does not)
-        val loc = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir"), table)
-        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(loc)) fs.delete(loc, true)
+        // superseded-fingerprint sweep + stale-location guard
+        CorpusKey.prepareBuild(s, table)
         buildClusterMap(s, dir)
           .write.bucketBy(8, "doc_id").sortBy("doc_id")
           .mode("overwrite").saveAsTable(table)
@@ -332,10 +329,7 @@ object Dedup {
     val table = CorpusKey.tableName(s, prefix, dir)
     clusterMapLock.synchronized {
       if (!s.catalog.tableExists(table)) {
-        val loc = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir"), table)
-        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(loc)) fs.delete(loc, true)
+        CorpusKey.prepareBuild(s, table)
         build.write.mode("overwrite").saveAsTable(table)
       }
     }

@@ -48,10 +48,7 @@ object GraphCore {
     val table = CorpusKey.tableName(s, "graft_copurchase_edges", dir)
     edgeLock.synchronized {
       if (!s.catalog.tableExists(table)) {
-        val loc = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir"), table)
-        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(loc)) fs.delete(loc, true)
+        CorpusKey.prepareBuild(s, table)
         val li = Synth.lineitem(s, dir)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         li.toDF("ok", "pa")

@@ -208,12 +208,8 @@ object SuffixRank {
     val table = CorpusKey.tableName(s, "graft_suffix_ranks", dir)
     memoLock.synchronized {
       if (!s.catalog.tableExists(table)) {
-        // stale catalog-less location from a previous JVM (the in-memory
-        // catalog forgets tables; the warehouse dir does not)
-        val loc = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir"), table)
-        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(loc)) fs.delete(loc, true)
+        // superseded-fingerprint sweep + stale-location guard
+        CorpusKey.prepareBuild(s, table)
         // repartition on the bucket key first: one file per bucket, so
         // the scan reports per-bucket ORDER too (multi-file buckets lose
         // the sortBy guarantee) and the window needs neither exchange

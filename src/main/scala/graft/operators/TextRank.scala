@@ -47,10 +47,7 @@ object TextRank {
     val table = CorpusKey.tableName(s, "graft_word_cooc", dir)
     graphLock.synchronized {
       if (!s.catalog.tableExists(table)) {
-        val loc = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir"), table)
-        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(loc)) fs.delete(loc, true)
+        CorpusKey.prepareBuild(s, table)
         val t = Synth.documents(s, dir)
           .select(col("doc_id"), expr(TextAnalysis.toks).as("t"))
         t.filter(expr("size(t) >= 2"))

@@ -115,24 +115,47 @@ class KinesisFileTable(options: CaseInsensitiveStringMap)
   private val rawStartingPosition: Option[String] =
     opt("initialPosition", "kinesis.startingPosition")
 
-  /** The published connector embeds the AT_TIMESTAMP value as a JSON
+  /** The published connector embeds the starting position as a JSON
     * object INSIDE `kinesis.startingPosition` (see the conformance table
     * on [[graft.sources.RecordSources.kinesisOptions]]); a config-only
     * swap must not silently fall back to the horizon, so a `{...}` value
-    * is decoded here: the position becomes AT_TIMESTAMP and the
-    * timestamp field (`at_timestamp`/`atTimestamp`, ISO-8601 instant —
-    * the double's timestamp rendering) is extracted.
+    * is decoded here: an `at_timestamp`/`atTimestamp` field (ISO-8601
+    * instant — the double's timestamp rendering) makes the position
+    * AT_TIMESTAMP; a `latest` or `trim_horizon`/`trimHorizon` key maps
+    * to the bare position of the same name (r7 advice: these fell
+    * through to the horizon, silently replaying the full backlog for
+    * LATEST). Any OTHER `{...}` value is rejected loudly — an
+    * unrecognized JSON position must never quietly become a full
+    * replay.
     */
   private def jsonTimestamp(v: String): Option[String] =
     if (!v.trim.startsWith("{")) None
     else """"(?:at_timestamp|atTimestamp)"\s*:\s*"([^"]+)"""".r
       .findFirstMatchIn(v).map(_.group(1))
 
+  private def jsonBarePosition(v: String): Option[String] = {
+    if (!v.trim.startsWith("{")) None
+    else if (""""(?:latest)"""".r.findFirstIn(v.toLowerCase).isDefined)
+      Some("LATEST")
+    else if (""""(?:trim_horizon|trimhorizon)"""".r
+        .findFirstIn(v.toLowerCase).isDefined)
+      Some("TRIM_HORIZON")
+    else None
+  }
+
   private val jsonTs: Option[String] = rawStartingPosition.flatMap(jsonTimestamp)
 
   private val initialPosition: String =
     if (jsonTs.isDefined) "AT_TIMESTAMP"
-    else rawStartingPosition.getOrElse("LATEST")
+    else rawStartingPosition match {
+      case Some(v) if v.trim.startsWith("{") =>
+        jsonBarePosition(v).getOrElse(throw new IllegalArgumentException(
+          s"Unrecognized JSON kinesis.startingPosition: $v (expected " +
+            "an at_timestamp/atTimestamp field, or a latest / " +
+            "trim_horizon key)"))
+      case Some(v) => v
+      case None => "LATEST"
+    }
 
   private val initialTimestamp: Option[String] =
     opt("initialTimestamp", "kinesis.startingPosition.timestamp")

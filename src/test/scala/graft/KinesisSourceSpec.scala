@@ -290,4 +290,47 @@ class KinesisSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"horizon fallback would have read all 7, got ${spark.table("json_pos").count()}")
     } finally q.stop()
   }
+
+  test("S1: JSON latest / trim_horizon positions decode; unknown JSON is rejected (r7 advice)") {
+    // {"latest": true} must behave as LATEST (skip the backlog) — falling
+    // through to the horizon would silently replay everything
+    val streamDir = newDir("kinesis-json-latest")
+    writeShard(streamDir, "shard-0000", (0 until 6).map(tsv))
+    val latest = spark.readStream.format("graft-kinesis")
+      .option("kinesis.streamName", streamDir.toString)
+      .option("kinesis.startingPosition", """{"latest": true}""")
+      .load()
+    val q1 = latest.writeStream.format("memory").queryName("json_latest").start()
+    try {
+      q1.processAllAvailable()
+      assert(spark.table("json_latest").count() == 0,
+        "JSON latest read the backlog — the r7 horizon fall-through")
+    } finally q1.stop()
+
+    val horizon = spark.readStream.format("graft-kinesis")
+      .option("kinesis.streamName", streamDir.toString)
+      .option("kinesis.startingPosition", """{"trim_horizon": true}""")
+      .load()
+    val q2 = horizon.writeStream.format("memory").queryName("json_horizon").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("json_horizon").count() == 6)
+    } finally q2.stop()
+
+    // an unrecognized JSON object must fail loudly, not replay the world
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-kinesis")
+        .option("kinesis.streamName", streamDir.toString)
+        .option("kinesis.startingPosition", """{"earliest": true}""")
+        .load()
+        .writeStream.format("memory").queryName("json_bad").start()
+        .processAllAvailable()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => Option(c.getMessage)
+        .exists(_.contains("Unrecognized JSON kinesis.startingPosition"))),
+      s"wrong failure: $e")
+  }
 }
