@@ -628,4 +628,120 @@ object EventTimeAggregates {
           }
         })
   }
+
+  final case class DocSegment(
+      doc_id: Long, seq: Int, tokens: Seq[String], last: Boolean)
+  final case class CdcChunk(
+      doc_id: Long, chunk: Long, start: Long, chunk_text: String)
+  final case class CdcChunkState(
+      nextSeq: Int, pos: Long, lastToken: String, chunkIdx: Long,
+      chunkStart: Long, chunkTokens: Seq[String],
+      buffered: Map[Int, (Seq[String], Boolean)])
+  final case class ChunkKept(doc_id: Long, chunk: Long, kept: Boolean)
+
+  /** The q176 boundary hash, JVM-side: first 4 md5 bytes of
+    * `"cdc:<prev> <cur>"` as an unsigned 32-bit value — bit-identical to
+    * the SQL rendering `conv(substring(md5(...), 1, 8), 16, 10)`.
+    */
+  private def cdcBoundaryHash(prev: String, cur: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"cdc:$prev $cur".getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** Streaming twin of the q176 CDC chunker — incremental corpora are
+    * content-defined chunking's whole point: documents arrive as ordered
+    * token SEGMENTS, possibly split across micro-batches, and chunk
+    * boundaries must land at the same content positions the batch pass
+    * finds (a boundary can straddle a segment split — the carried
+    * `lastToken` is what makes that work). Emits each chunk as soon as
+    * its closing boundary (or the doc's last segment) arrives.
+    *
+    * State per OPEN doc: the current unclosed chunk's tokens + one
+    * lastToken + counters, plus any out-of-order segments buffered until
+    * their predecessors arrive — O(open chunk + in-flight reordering),
+    * never O(document), and removed entirely when the doc's `last`
+    * segment is processed. EventTimeSpec proves the composed
+    * chunker→dedup pipeline point-equal to batch q176 across micro-batch
+    * splits mid-document and a checkpoint restart.
+    */
+  def streamingCdcChunks(
+      segments: Dataset[DocSegment], d: Int = 16): Dataset[CdcChunk] = {
+    import segments.sparkSession.implicits._
+    segments
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (doc: Long, rows: Iterator[DocSegment], state: GroupState[CdcChunkState]) => {
+          val st0 = state.getOption.getOrElse(
+            CdcChunkState(0, 0L, null, 0L, 0L, Vector.empty, Map.empty))
+          var buffered = st0.buffered ++
+            rows.map(r => r.seq -> ((r.tokens, r.last)))
+          var nextSeq = st0.nextSeq
+          var pos = st0.pos
+          var lastToken = st0.lastToken
+          var chunkIdx = st0.chunkIdx
+          var chunkStart = st0.chunkStart
+          var chunkTokens = st0.chunkTokens
+          var docClosed = false
+          val out = scala.collection.mutable.ArrayBuffer.empty[CdcChunk]
+          while (buffered.contains(nextSeq) && !docClosed) {
+            val (toks, last) = buffered(nextSeq)
+            buffered -= nextSeq
+            toks.foreach { cur =>
+              if (lastToken != null && cdcBoundaryHash(lastToken, cur) % d == 0) {
+                out += CdcChunk(doc, chunkIdx, chunkStart,
+                  chunkTokens.mkString(" "))
+                chunkIdx += 1
+                chunkStart = pos
+                chunkTokens = Vector.empty
+              }
+              chunkTokens = chunkTokens :+ cur
+              lastToken = cur
+              pos += 1
+            }
+            if (last) {
+              if (pos > 0)
+                out += CdcChunk(doc, chunkIdx, chunkStart,
+                  chunkTokens.mkString(" "))
+              docClosed = true
+            }
+            nextSeq += 1
+          }
+          if (docClosed) state.remove()
+          else state.update(CdcChunkState(nextSeq, pos, lastToken, chunkIdx,
+            chunkStart, chunkTokens, buffered))
+          out.iterator
+        })
+  }
+
+  /** Streaming dedup over the [[streamingCdcChunks]] output — the second
+    * stage of the incremental q176 pipeline (staged as its own query, the
+    * way a production run persists the chunk stream between them: two
+    * arbitrary-stateful operators with different keys cannot share one
+    * streaming query). First arrival of a chunk text is kept; within a
+    * micro-batch ties break by (doc_id, start) — the same order the batch
+    * window uses — so feeding chunks in doc order reproduces q176's keep
+    * set exactly. State: one boolean per DISTINCT chunk text — the dedup
+    * index itself; a 100 TB deployment probes the persisted
+    * [[graft.operators.DedupIndex]] table instead of keeping it in the
+    * state store.
+    */
+  def streamingChunkDedup(chunks: Dataset[CdcChunk]): Dataset[ChunkKept] = {
+    import chunks.sparkSession.implicits._
+    chunks
+      .groupByKey(_.chunk_text)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (_: String, rows: Iterator[CdcChunk], state: GroupState[Boolean]) => {
+          val seen = state.getOption.getOrElse(false)
+          val sorted = rows.toSeq.sortBy(r => (r.doc_id, r.start))
+          val out = sorted.zipWithIndex.map { case (r, i) =>
+            ChunkKept(r.doc_id, r.chunk, !seen && i == 0)
+          }
+          state.update(true)
+          out.iterator
+        })
+  }
 }

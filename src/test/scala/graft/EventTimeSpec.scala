@@ -679,6 +679,76 @@ class EventTimeSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q2.stop()
   }
 
+  test("streaming CDC chunk dedup equals batch q176 across mid-document splits + restart") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // batch truth at sf0.001: (doc_id, n_chunks, n_kept)
+    val batch = SparkEntry.queries("q176_cdc_chunks")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(batch.nonEmpty)
+
+    // the same docs as ordered token segments: each doc split into up to
+    // 3 pieces, delivered in doc order, with the MICRO-BATCH cut landing
+    // mid-document (both halves of doc at the boundary) AND a checkpoint
+    // restart between the batches — the carried lastToken/chunk state
+    // must survive both
+    val docs = graft.operators.Synth.documents(spark, "/root/testdata/sf0.001")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val segments = docs.flatMap { case (id, text) =>
+      val toks = text.trim.split("\\s+").toSeq
+      val cut1 = toks.length / 3
+      val cut2 = 2 * toks.length / 3
+      Seq(
+        EventTimeAggregates.DocSegment(id, 0, toks.take(cut1), last = false),
+        EventTimeAggregates.DocSegment(id, 1, toks.slice(cut1, cut2), last = false),
+        EventTimeAggregates.DocSegment(id, 2, toks.drop(cut2), last = true))
+    }
+    val mid = segments.length / 2 // lands inside some doc's segment run
+    val (s1, s2) = segments.splitAt(mid)
+
+    val mem = MemoryStream[EventTimeAggregates.DocSegment]
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-cdc").toString
+    val outDir = java.nio.file.Files.createTempDirectory("cdc-chunks").toString
+    val chunks = EventTimeAggregates.streamingCdcChunks(mem.toDS())
+    def start() = chunks.writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    val q1 = start()
+    mem.addData(s1: _*)
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = start()
+    val allChunks =
+      try {
+        mem.addData(s2: _*)
+        q2.processAllAvailable()
+        spark.read.parquet(outDir).as[EventTimeAggregates.CdcChunk]
+          .collect().sortBy(c => (c.doc_id, c.start))
+      } finally q2.stop()
+
+    // stage 2 (its own query, as documented): chunks in (doc_id, start)
+    // order — the batch window's order — split across two micro-batches
+    val memD = MemoryStream[EventTimeAggregates.CdcChunk]
+    val kept = EventTimeAggregates.streamingChunkDedup(memD.toDS())
+    val qd = kept.writeStream.format("memory").queryName("cdc_kept")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (c1, c2) = allChunks.splitAt(allChunks.length / 2)
+      memD.addData(c1.toSeq: _*); qd.processAllAvailable()
+      memD.addData(c2.toSeq: _*); qd.processAllAvailable()
+      val got = spark.sql("select doc_id, kept from cdc_kept").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1)))
+        .groupBy(_._1)
+        .map { case (id, xs) =>
+          id -> ((xs.size.toLong, xs.count(_._2).toLong)) }
+      assert(got == batch,
+        s"stream (n_chunks, n_kept) per doc must equal batch q176: " +
+          s"diff=${(got.toSet -- batch.toSet).take(5)}")
+    } finally qd.stop()
+  }
+
   test("streaming Misra-Gries heavy hitters honor the n/(k+1) guarantees across batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
