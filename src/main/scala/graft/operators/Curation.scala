@@ -101,6 +101,29 @@ object Curation {
       .filter(col("rk") <= col("alloc"))
   }
 
+  /** q183's corpus-touching stage, up to (but not including) the
+    * localCheckpoint: split-safe, dup-weighted per-source effective
+    * token mass. Factored out so PlanSpec can assert the single-scan
+    * claim (documents ×1, cluster-map table ×1 — the checkpoint hides
+    * this subtree from the final plan).
+    */
+  private[graft] def curriculumPerSource(s: SparkSession, dir: String): DataFrame = {
+    val base = Synth.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        expr(s"cast(size(${TextAnalysis.toks}) as bigint)").as("n_tokens"))
+      .join(Dedup.clusterMap(s, dir), "doc_id")
+      .withColumn("is_eval", expr(
+        u32Spark("clsplit:", "cast(cluster_id as string)") + " % 16 = 0"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+    base.filter(!col("is_eval"))
+      .withColumn("mass_ppm",
+        col("n_tokens") * expr("1000000 div cluster_size"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_train_docs"),
+        sum(col("mass_ppm")).as("train_mass"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Water-filling token-budget allocation — the data-mix design next
     // to q171's Neyman ALLOCATION and q99's quota EXECUTION: given a
@@ -278,6 +301,53 @@ object Curation {
             .as("n_leaky"))
         .withColumn("eval_ppm", expr("n_eval * 1000000 div n_docs"))
         .select("source", "n_docs", "n_eval", "n_leaky", "eval_ppm")
+        .orderBy("source")
+    },
+
+    // Dedup-aware curriculum mix — the COMPOSITION a real pretraining
+    // run executes as one plan, over the deduped, split-safe corpus:
+    // q181's cluster-safe split routes whole near-dup clusters away
+    // from eval (zero cluster leakage by construction), q161's
+    // dup-aware weights make each distinct content unit contribute one
+    // document's worth of tokens (weight = 1/cluster_size, integer
+    // millionths), and q178's water-fill allocates a 2/5 training-token
+    // budget across sources at the closed-form level L over the
+    // resulting per-source EFFECTIVE token mass. Cost shape: the corpus
+    // and the materialized cluster map are each scanned ONCE (cluster
+    // sizes come from a count window over the joined frame — clusters
+    // route whole, so within-train size = full size; PlanSpec asserts
+    // the single-scan claim), the per-source frame is #sources rows and
+    // localCheckpointed for the water-fill's three consumers. All
+    // integer arithmetic — hash-exact. Output per source: train docs,
+    // effective token mass (token-millionths), allocation, level,
+    // budget.
+    "q183_curriculum_mix" -> { (s, dir) =>
+      // #sources rows, three water-fill consumers
+      val perSource = curriculumPerSource(s, dir).localCheckpoint()
+      val w = Window.orderBy("train_mass", "source") // #sources rows
+      val ranked = perSource
+        .withColumn("k", row_number().over(w).cast("long"))
+        .withColumn("prefix", sum(col("train_mass")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+      val consts = broadcast(perSource.agg(
+        expr("sum(train_mass) * 2 div 5").as("budget"),
+        count(lit(1)).cast("long").as("n_src")))
+      val feas = ranked.crossJoin(consts)
+        .filter(expr("prefix + train_mass * (n_src - k) <= budget"))
+      val kStar = broadcast(feas
+        .agg(max(struct(col("k"), col("prefix"))).as("m"))
+        .select(col("m.k").as("k_star"), col("m.prefix").as("pfx")))
+      val level = broadcast(consts.crossJoin(kStar)
+        .withColumn("level", expr(
+          "CASE WHEN k_star IS NULL THEN budget div n_src " +
+            "WHEN k_star = n_src THEN NULL " +
+            "ELSE (budget - pfx) div (n_src - k_star) END"))
+        .select("level", "budget"))
+      perSource.crossJoin(level)
+        .withColumn("alloc",
+          expr("least(train_mass, coalesce(level, train_mass))"))
+        .select("source", "n_train_docs", "train_mass", "alloc",
+          "level", "budget")
         .orderBy("source")
     },
 
@@ -525,6 +595,54 @@ object Curation {
   def oracle: Map[String, String] = Map(
     // the same closed-form level over size-sorted prefix sums; window
     // sums come back hugeint in DuckDB → cast to bigint so schemas match
+    "q183_curriculum_mix" ->
+      s"""${Dedup.duckQ61Reach},
+         |clusters AS (
+         |  SELECT d.doc_id,
+         |    least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id
+         |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+         |  GROUP BY d.doc_id),
+         |sz AS (
+         |  SELECT cluster_id, count(*) AS cluster_size
+         |  FROM clusters GROUP BY 1),
+         |base AS (
+         |  SELECT d.doc_id, d.source,
+         |    cast(len(${TextAnalysis.dToks}) as bigint) AS n_tokens,
+         |    c.cluster_id, s.cluster_size,
+         |    CASE WHEN (${u32Duck("clsplit:", "cluster_id::VARCHAR")}) % 16 = 0
+         |      THEN 1 ELSE 0 END AS is_eval
+         |  FROM documents d
+         |    JOIN clusters c USING (doc_id) JOIN sz s USING (cluster_id)),
+         |st AS (
+         |  SELECT source, count(*) AS n_train_docs,
+         |    cast(sum(n_tokens * (1000000 // cluster_size)) as bigint)
+         |      AS train_mass
+         |  FROM base WHERE is_eval = 0 GROUP BY source),
+         |r AS (
+         |  SELECT source, train_mass,
+         |    cast(row_number() OVER (ORDER BY train_mass, source) as bigint)
+         |      AS k,
+         |    cast(sum(train_mass) OVER (ORDER BY train_mass, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint)
+         |      AS prefix
+         |  FROM st),
+         |c AS (
+         |  SELECT cast(sum(train_mass) as bigint) * 2 // 5 AS budget,
+         |    cast(count(*) as bigint) AS n_src
+         |  FROM st),
+         |ks AS (
+         |  SELECT max(k) AS k_star, max_by(prefix, k) AS pfx
+         |  FROM r, c WHERE prefix + train_mass * (n_src - k) <= budget),
+         |lvl AS (
+         |  SELECT CASE WHEN k_star IS NULL THEN budget // n_src
+         |    WHEN k_star = n_src THEN NULL
+         |    ELSE (budget - pfx) // (n_src - k_star) END AS level, budget
+         |  FROM ks, c)
+         |SELECT source, n_train_docs, train_mass,
+         |  least(train_mass, coalesce(level, train_mass)) AS alloc,
+         |  level, budget
+         |FROM st, lvl ORDER BY source""".stripMargin,
+
     "q178_mix_waterfill" ->
       s"""WITH st AS (
          |  SELECT source, cast(sum(x) as bigint) AS n_tokens

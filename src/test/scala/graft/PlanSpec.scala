@@ -554,4 +554,27 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bnl.size == 1,
       s"expected exactly the broadcast totals row, got ${bnl.size}:\n$c")
   }
+
+  test("q183: split → weights → water-fill composes without re-reading the corpus") {
+    // the corpus-touching stage (pre-checkpoint, where the scans live):
+    // documents once, the materialized cluster-map table once — the
+    // split, the dup weights (count window over the joined frame), and
+    // the per-source mass all ride the SAME pass
+    val p = graft.operators.Curation.curriculumPerSource(spark, sf)
+      .queryExecution.executedPlan
+    val scans = p.collect { case f: FileSourceScanExec => f }
+    val docScans = scans.filter(_.metadata.getOrElse("Location", "")
+      .contains("documents.parquet"))
+    val cmScans = scans.filterNot(_.metadata.getOrElse("Location", "")
+      .contains("documents.parquet"))
+    assert(docScans.size == 1,
+      s"corpus re-read between stages (${docScans.size} documents scans):\n$p")
+    assert(cmScans.size == 1,
+      s"expected one cluster-map scan, got ${cmScans.size}:\n$p")
+    // downstream of the checkpoint everything is #sources-row work: the
+    // full query plan must contain NO file scans at all
+    val full = plan("q183_curriculum_mix")
+    assert(full.collect { case f: FileSourceScanExec => f }.isEmpty,
+      s"water-fill stage re-read a table:\n$full")
+  }
 }
