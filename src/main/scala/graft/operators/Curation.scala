@@ -351,6 +351,41 @@ object Curation {
         .orderBy("source")
     },
 
+    // DSIR-style hashed-bigram importance scoring (Xie et al. 2023) —
+    // data SELECTION by distributional similarity to a target corpus:
+    // bigram features hash into 1024 buckets, the per-bucket
+    // target/raw frequency ratio (target = the English slice here;
+    // production plugs any quality subset) broadcasts as a 1024-row
+    // table, and each document scores by the sum of its occurrences'
+    // bucket ratios. DSIR's log-ratio sum is deliberately rendered as
+    // integer RATIO-MILLIONTHS (sum + div, no log): the selection
+    // ORDER is preserved bucket-for-bucket and the output hash-checks
+    // cross-engine, where a float log sum would hang on libm ulp
+    // differences. Two map-only passes over the corpus (ratio build +
+    // score join-back); only (doc, bucket) rows ever shuffle.
+    "q186_dsir_importance" -> { (s, dir) =>
+      val B = 1024
+      val g2 = "if(size(t) < 2, array(), zip_with(slice(t, 1, size(t) - 1), " +
+        "slice(t, 2, size(t) - 1), (a, b) -> concat(a, ' ', b)))"
+      val feats = Synth.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("lang"),
+          expr(TextAnalysis.toks).as("t"))
+        .select(col("doc_id"), col("source"), col("lang"),
+          explode(expr(g2)).as("g"))
+        .withColumn("b", expr(u32Spark("dsir:", "g") + s" % $B"))
+      val ratios = broadcast(feats.groupBy("b")
+        .agg(count(lit(1)).as("n_raw"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_tgt"))
+        .withColumn("ratio_ppm", expr("n_tgt * 1000000 div n_raw"))
+        .select("b", "ratio_ppm"))
+      feats.join(ratios, "b")
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_feats"), sum(col("ratio_ppm")).as("score_ppm"))
+        .withColumn("avg_ratio_ppm", expr("score_ppm div n_feats"))
+        .select("doc_id", "source", "n_feats", "score_ppm", "avg_ratio_ppm")
+        .orderBy("doc_id")
+    },
+
     // Temperature resampling: per-language keep thresholds from the
     // language histogram (tiny, broadcast), then one map-only pass keeps
     // doc iff u32(doc) < floor(sqrt(c_min/c_lang) * 2^32). The rarest
@@ -595,6 +630,29 @@ object Curation {
   def oracle: Map[String, String] = Map(
     // the same closed-form level over size-sorted prefix sums; window
     // sums come back hugeint in DuckDB → cast to bigint so schemas match
+    "q186_dsir_importance" ->
+      s"""WITH t AS (SELECT doc_id, source, lang,
+         |    ${TextAnalysis.dToks} AS t FROM documents),
+         |g AS (
+         |  SELECT doc_id, source, lang, unnest(
+         |    CASE WHEN len(t) < 2 THEN []::varchar[]
+         |      ELSE list_transform(generate_series(1, len(t) - 1),
+         |        i -> t[i] || ' ' || t[i + 1]) END) AS g
+         |  FROM t),
+         |f AS (
+         |  SELECT doc_id, source, lang,
+         |    (${u32Duck("dsir:", "g")}) % 1024 AS b
+         |  FROM g),
+         |ratios AS (
+         |  SELECT b, cast(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+         |    as bigint) * 1000000 // count(*) AS ratio_ppm
+         |  FROM f GROUP BY b)
+         |SELECT doc_id, source, count(*) AS n_feats,
+         |  cast(sum(ratio_ppm) as bigint) AS score_ppm,
+         |  cast(sum(ratio_ppm) as bigint) // count(*) AS avg_ratio_ppm
+         |FROM f JOIN ratios USING (b)
+         |GROUP BY doc_id, source ORDER BY doc_id""".stripMargin,
+
     "q183_curriculum_mix" ->
       s"""${Dedup.duckQ61Reach},
          |clusters AS (

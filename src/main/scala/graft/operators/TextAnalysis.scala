@@ -925,6 +925,64 @@ object TextAnalysis {
         .orderBy("bucket", "batch_seq")
     },
 
+    // Tokenizer fertility per language — the budget statistic a
+    // multilingual pretraining run publishes before fixing a tokenizer
+    // (a language whose words explode into many subwords pays more
+    // context window per sentence): with the q58/q81b BPE vocabulary
+    // (3 merge rounds, deterministic tie-break), per lang the word
+    // count, subword count, character mass, fertility (subwords/word)
+    // and chars/subword. The vocabulary is corpus-distinct-word-sized
+    // and the encode join is the q58 shuffle-hash shape; everything
+    // else is one aggregation. The two ratios are single IEEE divides
+    // of exact integers — hash-stable.
+    "q184_tokenizer_fertility" -> { (s, dir) =>
+      val vocab = (1 to 3).foldLeft(bpeVocab0(s, dir)) { case (words, _) =>
+        val best = bpePairStats(words).orderBy(col("n").desc, col("pair")).limit(1)
+        bpeMergeRound(words, best)
+      }
+      val enc = vocab.select(col("w"),
+        expr("size(split(trim(syms), ' '))").as("n_sub"),
+        expr("cast(length(w) as bigint)").as("w_chars"))
+      Synth.documents(s, dir)
+        .select(col("lang"), explode(expr(toks)).as("w"))
+        .join(enc.hint("shuffle_hash"), "w")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_sub")).as("n_subwords"),
+          sum(col("w_chars")).as("n_chars"))
+        .withColumn("fertility",
+          col("n_subwords").cast("double") / col("n_words").cast("double"))
+        .withColumn("chars_per_subword",
+          col("n_chars").cast("double") / col("n_subwords").cast("double"))
+        .select("lang", "n_words", "n_subwords", "n_chars",
+          "fertility", "chars_per_subword")
+        .orderBy("lang")
+    },
+
+    // Within-document token diversity — the repetition/quality filter
+    // rendered as the Gini–Simpson index instead of Shannon entropy:
+    // 1 − Σ c_i(c_i−1) / (n(n−1)), the probability two tokens drawn
+    // without replacement differ. Same practical signal as an entropy
+    // filter (machine-looped text scores near 0, diverse prose near 1)
+    // but PURE INTEGER arithmetic in millionths — an entropy rendering
+    // would hang the hash check on cross-engine log() ulp differences.
+    // One (doc, token) count + one per-doc aggregation; nothing
+    // corpus-wide shuffles except on doc_id.
+    "q185_token_diversity" -> { (s, dir) =>
+      Synth.documents(s, dir)
+        .select(col("doc_id"), explode(expr(toks)).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          sum(expr("c * (c - 1)")).as("rep"))
+        .withColumn("simpson_ppm", expr(
+          "if(n_tokens < 2, 0L, " +
+            "1000000 - rep * 1000000 div (n_tokens * (n_tokens - 1)))"))
+        .select("doc_id", "n_tokens", "n_distinct", "simpson_ppm")
+        .orderBy("doc_id")
+    },
+
     // Document length histogram (100-char buckets) — corpus shape stats.
     "q27_length_hist" -> { (s, dir) =>
       Synth.documents(s, dir)
@@ -1645,6 +1703,56 @@ object TextAnalysis {
       """SELECT cast(floor(n_chars / 100) * 100 as bigint) AS bucket,
         | count(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q184_tokenizer_fertility" -> {
+      def roundCte(r: Int, src: String) =
+        s"""pairs_$r AS (
+           |  SELECT p AS pair, cast(sum(wc) as bigint) AS n FROM (
+           |    SELECT wc, unnest(list_transform(
+           |      generate_series(1, len(string_split(trim(s), ' ')) - 1),
+           |      i -> string_split(trim(s), ' ')[i] || ' ' ||
+           |           string_split(trim(s), ' ')[i + 1])) AS p
+           |    FROM $src)
+           |  GROUP BY p),
+           |best_$r AS (SELECT pair, n FROM pairs_$r ORDER BY n DESC, pair LIMIT 1),
+           |words_$r AS (
+           |  SELECT w, replace(s, ' ' || b.pair || ' ',
+           |    ' ' || replace(b.pair, ' ', '') || ' ') AS s, wc
+           |  FROM $src CROSS JOIN best_$r b)""".stripMargin
+      s"""WITH words_0 AS (
+         |  SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s,
+         |    count(*) AS wc
+         |  FROM (SELECT unnest($dToks) AS w FROM documents) GROUP BY 1, 2),
+         |${roundCte(1, "words_0")},
+         |${roundCte(2, "words_1")},
+         |${roundCte(3, "words_2")},
+         |enc AS (
+         |  SELECT w, cast(len(string_split(trim(s), ' ')) as int) AS n_sub,
+         |    cast(length(w) as bigint) AS w_chars
+         |  FROM words_3),
+         |tok AS (SELECT lang, unnest($dToks) AS w FROM documents)
+         |SELECT lang, count(*) AS n_words,
+         |  cast(sum(n_sub) as bigint) AS n_subwords,
+         |  cast(sum(w_chars) as bigint) AS n_chars,
+         |  cast(cast(sum(n_sub) as bigint) as double)
+         |    / cast(count(*) as double) AS fertility,
+         |  cast(cast(sum(w_chars) as bigint) as double)
+         |    / cast(cast(sum(n_sub) as bigint) as double) AS chars_per_subword
+         |FROM tok JOIN enc USING (w)
+         |GROUP BY lang ORDER BY lang""".stripMargin
+    },
+
+    "q185_token_diversity" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, w, count(*) AS c
+         |  FROM (SELECT doc_id, unnest($dToks) AS w FROM documents)
+         |  GROUP BY 1, 2)
+         |SELECT doc_id, cast(sum(c) as bigint) AS n_tokens,
+         |  count(*) AS n_distinct,
+         |  cast(CASE WHEN sum(c) < 2 THEN 0
+         |    ELSE 1000000 - sum(c * (c - 1)) * 1000000
+         |      // (sum(c) * (sum(c) - 1)) END as bigint) AS simpson_ppm
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q148_repetition_signals" ->
       s"""WITH t AS (SELECT doc_id, $dToks AS t FROM documents),

@@ -35,11 +35,22 @@ class AdaptiveReuseSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected the self-join's shared prefix subtree to reuse:\n${plan.take(4000)}")
   }
 
-  test("q32b: the band-bucket self-join reuses the signature subtree") {
+  test("q32b: the array pair emission runs the signature pass once — no self-join left to reuse") {
+    // r7 asserted ReusedExchange here: the bucket SELF-JOIN evaluated
+    // the signature subtree once per side and AQE deduplicated the
+    // exchange. r8's bucketPairs array path makes that structurally
+    // impossible to regress the other way: ONE signature pass feeds the
+    // groupBy + posexplode, so the plan must contain no self-join (no
+    // sort-merge/shuffled-hash join at all on the in-cap route) and at
+    // most the checkpoint boundary between stages.
     val df = SparkEntry.queries("q32b_lsh_pairs")(spark, sf)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("ReusedExchange"),
-      s"expected signature-pass reuse:\n${plan.take(4000)}")
+    assert(plan.contains("isFinalPlan=true"), "expected an executed adaptive plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"q32b grew a self-join back:\n${plan.take(4000)}")
+    // the pair explode is present (the array route, not a join probe)
+    assert(plan.contains("Generate"),
+      s"expected the posexplode pair emission:\n${plan.take(4000)}")
   }
 }
