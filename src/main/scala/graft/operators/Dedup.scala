@@ -32,6 +32,12 @@ object Dedup {
     * nothing here — unlike the DERIVED artifacts (cluster map, pair
     * sets, suffix ranks), whose construction is many shuffles deep.
     */
+  /** Test-visible alias of [[shingled]] (AdaptiveReuseSpec drives
+    * prefixJaccardPairs directly to inspect the pre-checkpoint plan).
+    */
+  private[graft] def shingledFor(s: SparkSession, dir: String): DataFrame =
+    shingled(s, dir)
+
   private[operators] def shingled(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Synth.documents(s, dir)
@@ -484,8 +490,14 @@ object Dedup {
     // merge-based intersect over the per-doc-sorted arrays — same count
     // as size(array_intersect(...)), no per-pair hash sets (see
     // [[graft.functions.SortedIntersectSize]]); sort_array does not
-    // change sizes, so the Jaccard denominators are untouched
-    cands.join(shA, "id_a").join(shB, "id_b")
+    // change sizes, so the Jaccard denominators are untouched.
+    // shuffle_hash on both attaches (r8, measured): the default
+    // sort-merge SORTS the candidate stream twice with the ~50-string
+    // arrays already attached — the heaviest rows in the query — while
+    // the hash join only partitions them; ids are unique on the build
+    // side, so no skew risk.
+    cands.join(shA.hint("shuffle_hash"), "id_a")
+      .join(shB.hint("shuffle_hash"), "id_b")
       .withColumn("inter", expr("graft_sorted_intersect_size(sh_a, sh_b)"))
       .withColumn("jaccard", col("inter").cast("double") /
         (expr("size(sh_a)") + expr("size(sh_b)") - col("inter")))
@@ -702,7 +714,11 @@ object Dedup {
     // the UNFILTERED exact join, so a hash match proves no qualifying
     // pair was dropped.
     "q31b_prefix_jaccard" -> { (s, dir) =>
-      prefixJaccardPairs(shingled(s, dir)).orderBy("id_a", "id_b")
+      // output-sized checkpoint (≈ |true pairs|): the presentation
+      // orderBy's range-boundary SAMPLING pass would otherwise re-run
+      // the whole verify chain a second time (r8, measured ~1 s)
+      prefixJaccardPairs(shingled(s, dir)).localCheckpoint()
+        .orderBy("id_a", "id_b")
     },
 
     // SimHash Hamming-neighbor pairs via pigeonhole blocking: split the

@@ -26,13 +26,24 @@ class AdaptiveReuseSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  test("q31b: the duplicated prefix subtree reuses its exchange at runtime") {
-    val df = SparkEntry.queries("q31b_prefix_jaccard")(spark, sf)
-    df.collect() // AQE finalizes stages during execution
+  test("q31b: one prefix pass feeds the posting arrays; the verify attaches via hash joins") {
+    // r7 asserted ReusedExchange on the posting SELF-JOIN's shared
+    // prefix subtree; r8's bucketPairs array route runs the prefix
+    // pipeline once by construction, and the query's output-sized
+    // localCheckpoint hides the chain from the final plan — so the
+    // property is asserted on the verify chain itself (pre-checkpoint,
+    // pre-orderBy): no sort-merge join anywhere (the pair route is the
+    // array explode; the shingle attaches are hash joins that never
+    // sort the array-carrying candidate stream).
+    val df = graft.operators.Dedup.prefixJaccardPairs(
+      graft.operators.Dedup.shingledFor(spark, sf))
+    df.collect()
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("isFinalPlan=true"), "expected an executed adaptive plan")
-    assert(plan.contains("ReusedExchange"),
-      s"expected the self-join's shared prefix subtree to reuse:\n${plan.take(4000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the verify must not sort the candidate stream:\n${plan.take(4000)}")
+    assert(plan.contains("Generate"),
+      s"expected the posting-array pair explode:\n${plan.take(4000)}")
   }
 
   test("q32b: the array pair emission runs the signature pass once — no self-join left to reuse") {
