@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
 import org.apache.spark.sql.execution.{FileSourceScanExec, GenerateExec}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, SortMergeJoinExec}
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -553,6 +553,27 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val bnl = c.collect { case j: BroadcastNestedLoopJoinExec => j }
     assert(bnl.size == 1,
       s"expected exactly the broadcast totals row, got ${bnl.size}:\n$c")
+  }
+
+  test("q186: the 1024-row ratio table broadcasts; the corpus side never shuffles for it") {
+    val p = plan("q186_dsir_importance")
+    assert(p.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"ratio attach must be a broadcast join:\n$p")
+    // corpus-side work: the (doc, source) score agg and the presentation
+    // sort — the ratio build's own agg is bucket-sized. No sort-merge
+    // join may sort the corpus feature stream.
+    assert(p.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      s"the feature stream must not sort for the ratio attach:\n$p")
+  }
+
+  test("q185: one (doc, token) agg + one per-doc agg — nothing else touches the corpus") {
+    val p = plan("q185_token_diversity")
+    assert(p.collect { case f: FileSourceScanExec => f }.size == 1,
+      s"diversity must read the corpus once:\n$p")
+    val shuffles = p.collect { case s: ShuffleExchangeExec => s }
+    // (doc, w) agg, (doc) agg, presentation range sort
+    assert(shuffles.size <= 3,
+      s"expected <=3 exchanges, got ${shuffles.size}:\n$p")
   }
 
   test("q183: split → weights → water-fill composes without re-reading the corpus") {
