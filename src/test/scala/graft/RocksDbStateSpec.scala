@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventTimeAggregates
+
+/** The stateful streaming twins on the PRODUCTION state backend.
+  *
+  * Every EventTimeSpec case runs on the default HDFS-backed state store,
+  * which keeps all state on the JVM heap — fine for specs, not for a
+  * 100 TB deployment where keyed state (dedup indexes, open-doc chunk
+  * state, per-user sessions) outgrows memory. Spark ships the RocksDB
+  * provider for exactly that; this spec proves the arbitrary-stateful
+  * operators (flatMapGroupsWithState with a case-class state, kryo'd
+  * buffers, state removal at doc close) produce IDENTICAL results under
+  * `RocksDBStateStoreProvider`, including across a checkpoint restart —
+  * so the production backend is a config swap, not a code change.
+  */
+class RocksDbStateSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("CDC chunker + chunk dedup run on RocksDB state, restart included, same results") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .contains("RocksDB"))
+
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4),
+      (3L, "totally different content with its own words entirely here now"))
+    val segments = docs.flatMap { case (id, text) =>
+      val toks = text.trim.split("\\s+").toSeq
+      val cut = toks.length / 2
+      Seq(
+        EventTimeAggregates.DocSegment(id, 0, toks.take(cut), last = false),
+        EventTimeAggregates.DocSegment(id, 1, toks.drop(cut), last = true))
+    }
+    val (s1, s2) = segments.splitAt(segments.length / 2) // mid-document
+
+    val mem = MemoryStream[EventTimeAggregates.DocSegment]
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-rocks").toString
+    val outDir = java.nio.file.Files.createTempDirectory("rocks-out").toString
+    val chunks = EventTimeAggregates.streamingCdcChunks(mem.toDS())
+    def start() = chunks.writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    val q1 = start()
+    mem.addData(s1: _*)
+    q1.processAllAvailable()
+    q1.stop() // restart: RocksDB state must reload from the checkpoint
+    val q2 = start()
+    val got =
+      try {
+        mem.addData(s2: _*)
+        q2.processAllAvailable()
+        spark.read.parquet(outDir).as[EventTimeAggregates.CdcChunk]
+          .collect().sortBy(c => (c.doc_id, c.start))
+      } finally q2.stop()
+
+    // truth: the same chunking computed directly (single-partition batch
+    // path through the same code under a batch Dataset would not
+    // exercise the state store — compare against an in-process rebuild)
+    val expected = docs.flatMap { case (id, text) =>
+      val toks = text.trim.split("\\s+")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def h(prev: String, cur: String): Long = {
+        val d = md.digest(s"cdc:$prev $cur".getBytes("UTF-8"))
+        ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String)]
+      var start = 0L; var idx = 0L
+      val cur = scala.collection.mutable.ArrayBuffer.empty[String]
+      toks.zipWithIndex.foreach { case (t, i) =>
+        if (i > 0 && h(toks(i - 1), t) % 16 == 0) {
+          out += ((id, idx, start, cur.mkString(" ")))
+          idx += 1; start = i.toLong; cur.clear()
+        }
+        cur += t
+      }
+      if (toks.nonEmpty) out += ((id, idx, start, cur.mkString(" ")))
+      out
+    }.sortBy(t => (t._1, t._3))
+    assert(got.map(c => (c.doc_id, c.chunk, c.start, c.chunk_text)).toSeq
+      == expected, "RocksDB-backed chunking differs")
+
+    // stage 2 on RocksDB too: dedup kept-count matches the content
+    // (docs 1 and 2 are identical — doc 2 keeps nothing)
+    val memD = MemoryStream[EventTimeAggregates.CdcChunk]
+    val kept = EventTimeAggregates.streamingChunkDedup(memD.toDS())
+    val qd = kept.writeStream.format("memory").queryName("rocks_kept")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      memD.addData(got.toSeq: _*)
+      qd.processAllAvailable()
+      val perDoc = spark.sql("select doc_id, kept from rocks_kept").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1))).groupBy(_._1)
+        .map { case (id, xs) => id -> xs.count(_._2) }
+      assert(perDoc(2L) == 0, s"identical doc 2 must keep nothing: $perDoc")
+      assert(perDoc(1L) > 0 && perDoc(3L) > 0)
+    } finally qd.stop()
+  }
+
+  test("event-time sessionizer state expires on RocksDB exactly as on the default store") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // same shape as EventTimeSpec's sessionizer split test, on RocksDB:
+    // two bursts a gap apart for one user → two sessions, state carried
+    // across micro-batches
+    val mem = MemoryStream[EventTimeAggregates.SessionEvent]
+    val out = EventTimeAggregates.sessionize(mem.toDS(), gapUs = 1000L)
+    val q = out.writeStream.format("memory").queryName("rocks_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        EventTimeAggregates.SessionEvent(7L, 1L, 1000L),
+        EventTimeAggregates.SessionEvent(7L, 2L, 1500L))
+      q.processAllAvailable()
+      mem.addData(EventTimeAggregates.SessionEvent(7L, 3L, 10000L))
+      q.processAllAvailable()
+      val sess = spark.sql(
+        "select event_id, session_seq from rocks_sessions").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(sess(1L) == sess(2L), "burst must share a session")
+      assert(sess(3L) == sess(1L) + 1, s"gap must open a new session: $sess")
+    } finally q.stop()
+  }
+}
