@@ -197,6 +197,7 @@ object Dedup {
     */
   private[graft] def warmArtifacts(s: SparkSession, dir: String): Unit = {
     minhashClusterMap(s, dir).count()
+    corpusOnlyClusterMap(s, dir).count()
     bandIndexTable(s, dir)
     bandCollisionPairs(s, dir)
     simhash64BlockPairs(s, dir)
@@ -225,9 +226,15 @@ object Dedup {
     * map-only pass instead of managing a persist lifecycle because the
     * whole build runs exactly once per corpus.
     */
-  private def buildClusterMap(s: SparkSession, dir: String): DataFrame = {
-    val docsSh = shingled(s, dir)
-    val cands = bucketPairs(bandsLong(minhashBanded(s, dir)),
+  private def buildClusterMap(s: SparkSession, dir: String): DataFrame =
+    clusterMapFrom(shingled(s, dir))
+
+  /** The q61 pipeline from an already-shingled (doc_id, sh) frame —
+    * shared by the full-corpus memo build and q187's corpus-only
+    * baseline (the pre-ingestion state an incremental run starts from).
+    */
+  private def clusterMapFrom(docsSh: DataFrame): DataFrame = {
+    val cands = bucketPairs(bandsLong(minhashBandedFrom(docsSh)),
         Seq("band", "bucket"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
@@ -248,6 +255,23 @@ object Dedup {
       .join(clusters, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("component"), col("doc_id")))
       .select("doc_id", "cluster_id")
+  }
+
+  /** Corpus-only (batch docs excluded — the q62/bandIndexTable split)
+    * cluster map: the PRE-INGESTION state q187's incremental merge
+    * starts from. Memoized per corpus content like the full map.
+    */
+  private def corpusOnlyClusterMap(s: SparkSession, dir: String): DataFrame = {
+    val table = CorpusKey.tableName(s, "graft_cluster_map_corpus", dir)
+    clusterMapLock.synchronized {
+      if (!s.catalog.tableExists(table)) {
+        CorpusKey.prepareBuild(s, table)
+        clusterMapFrom(shingled(s, dir).filter(col("doc_id") % 5 =!= 0))
+          .write.bucketBy(8, "doc_id").sortBy("doc_id")
+          .mode("overwrite").saveAsTable(table)
+      }
+    }
+    s.table(table).select("doc_id", "cluster_id")
   }
 
   /** SimHash pigeonhole pair generation shared by q33b/q33c: bucket the
@@ -1190,6 +1214,73 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // Incremental CLUSTER-MAP MAINTENANCE — the step above q62's dup
+    // detection that continuous corpus ingestion actually needs: merge
+    // an arriving batch into the persisted near-dup cluster map without
+    // recomputing connected components over the corpus. The corpus's
+    // clusters are CONTRACTED to their canonical reps (each cluster's
+    // min doc id, i.e. its cluster_id), so the incremental CC runs on a
+    // super-graph of batch docs + affected reps only — new-new edges
+    // from the batch's own band buckets, new-old edges from probing the
+    // persisted corpus band index, both exact-Jaccard verified at the
+    // q61 threshold. Two corpus clusters merge exactly when a batch doc
+    // bridges them; the super-graph min equals the union graph's min
+    // because each rep IS its cluster's minimum. Cost is
+    // O(batch + collisions + affected clusters), never O(corpus). The
+    // oracle is the FULL-corpus q61 closure over all documents — the
+    // hash match is the incremental ≡ full-rebuild theorem, not a
+    // self-consistency check.
+    "q187_incremental_clusters" -> { (s, dir) =>
+      val isBatch = col("doc_id") % 5 === 0
+      val allSh = shingled(s, dir)
+      val batchSh = allSh.filter(isBatch).localCheckpoint() // 3 consumers
+      val corpusSh = allSh.filter(!isBatch)
+      val corpusMap = corpusOnlyClusterMap(s, dir)
+      val idxTable = bandIndexTable(s, dir)
+      val batchBands = bandBuckets(batchSh)
+      val newOldCands = DedupIndex.probeCandidates(s, idxTable,
+        batchBands.select(col("doc_id").as("id_new"), col("band"),
+          col("bucket")))
+      val newNewCands = bucketPairs(
+          batchBands.select("band", "bucket", "doc_id"), Seq("band", "bucket"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      def verified(pairs: DataFrame, aCol: String, bCol: String,
+          aSh: DataFrame, bSh: DataFrame): DataFrame =
+        pairs
+          .join(aSh.toDF(aCol, "sh_a").hint("shuffle_hash"), aCol)
+          .join(bSh.toDF(bCol, "sh_b").hint("shuffle_hash"), bCol)
+          .withColumn("inter", expr("size(array_intersect(sh_a, sh_b))"))
+          .withColumn("jaccard", col("inter").cast("double") /
+            (expr("size(sh_a)") + expr("size(sh_b)") - col("inter")))
+          .filter(col("jaccard") >= NearDupThreshold)
+          .select(aCol, bCol)
+      val eNewOld = verified(newOldCands, "id_new", "id_old",
+          batchSh, corpusSh)
+        .join(corpusMap.toDF("id_old", "rep"), "id_old")
+        .select(col("id_new").as("src"), col("rep").as("dst"))
+        .distinct()
+      val eNewNew = verified(newNewCands, "id_a", "id_b", batchSh, batchSh)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val edges = eNewOld.unionByName(eNewNew)
+      val touched = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id"))).distinct()
+      val comp = ConnectedComponents.run(touched, edges)
+      val batchAssign = batchSh.select("doc_id")
+        .join(comp.toDF("doc_id", "component"), Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("component"), col("doc_id")))
+        .select("doc_id", "cluster_id")
+      // corpus docs: only clusters whose rep merged get re-pointed
+      val oldAssign = corpusMap
+        .join(comp.toDF("rep", "newcomp"),
+          col("cluster_id") === col("rep"), "left")
+        .select(col("doc_id"),
+          coalesce(col("newcomp"), col("cluster_id")).as("cluster_id"))
+      batchAssign.withColumn("is_new_doc", lit(true))
+        .unionByName(oldAssign.withColumn("is_new_doc", lit(false)))
+        .orderBy("doc_id")
+    },
+
     // Benchmark decontamination — drop training docs sharing any token
     // 3-gram with the eval set (doc_id ≡ 0 mod 97 stands in for the
     // benchmark suite). The asymmetry is the whole design: benchmarks are
@@ -1562,6 +1653,18 @@ object Dedup {
          |  cast(sz * count(*) * 1000000 // (SELECT n_docs FROM n)
          |    as bigint) AS share_ppm
          |FROM sizes GROUP BY sz ORDER BY sz""".stripMargin,
+
+    // the full-corpus closure — hash-matching it proves the incremental
+    // super-graph merge equals a from-scratch rebuild
+    "q187_incremental_clusters" ->
+      s"""$duckQ61Reach,
+         |clusters AS (
+         |  SELECT d.doc_id,
+         |    least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id
+         |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+         |  GROUP BY d.doc_id)
+         |SELECT doc_id, cluster_id, doc_id % 5 = 0 AS is_new_doc
+         |FROM clusters ORDER BY doc_id""".stripMargin,
 
     "q161_dup_aware_weights" ->
       s"""$duckQ61Reach,
