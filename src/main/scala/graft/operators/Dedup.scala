@@ -407,6 +407,9 @@ object Dedup {
   private[graft] def bucketPairs(rows: DataFrame, keys: Seq[String],
       cap: Int = PostingCap): DataFrame = {
     val payload = rows.columns.filterNot(keys.contains).toSeq
+    val reserved = Set("dfp", "ps", "i", "a", "b", "x")
+    require(!rows.columns.exists(reserved),
+      s"bucketPairs reserves column names $reserved; rename the input")
     val pstruct = struct(payload.map(col): _*)
     val grouped = rows
       .groupBy(keys.map(col): _*)
