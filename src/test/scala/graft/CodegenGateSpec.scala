@@ -128,6 +128,35 @@ class CodegenGateSpec extends AnyFunSuite with BeforeAndAfterAll {
     gate("graft_gram_stats(a, 3)", strArrays)
   }
 
+  test("graft_hamming_pairs generator plan runs under CODEGEN_ONLY") {
+    // the generator itself is CodegenFallback by design (Generators
+    // beyond explode/stack run interpreted inside GenerateExec); this
+    // pins that the SURROUNDING stages still compile and the plan
+    // executes when interpreted projection fallback is disabled
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val rows = (0L until 40L).map(id => (0, id % 3, id, id % 7))
+      .toDF("blk", "block", "doc_id", "sim")
+    val conf = spark.conf
+    val (m0, f0) = (conf.get("spark.sql.codegen.factoryMode", "FALLBACK"),
+      conf.get("spark.sql.codegen.fallback", "true"))
+    try {
+      conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      conf.set("spark.sql.codegen.fallback", "false")
+      val n = rows.repartition(2)
+        .groupBy("blk", "block")
+        .agg(org.apache.spark.sql.functions.sort_array(
+          org.apache.spark.sql.functions.collect_list(
+            org.apache.spark.sql.functions.struct("doc_id", "sim"))).as("ps"))
+        .selectExpr("graft_hamming_pairs(ps, blk, 3, 16, 4)")
+        .count()
+      assert(n > 0)
+    } finally {
+      conf.set("spark.sql.codegen.factoryMode", m0)
+      conf.set("spark.sql.codegen.fallback", f0)
+    }
+  }
+
   test("graft_topk aggregate plan compiles end-to-end") {
     // TopKByScore is an imperative aggregate (no doGenCode of its own);
     // this gates the surrounding hash-aggregate stage under
