@@ -262,7 +262,11 @@ object Dedup {
     * starts from. Memoized per corpus content like the full map.
     */
   private def corpusOnlyClusterMap(s: SparkSession, dir: String): DataFrame = {
-    val table = CorpusKey.tableName(s, "graft_cluster_map_corpus", dir)
+    // prefix deliberately NOT an extension of graft_cluster_map: the
+    // prepareBuild sweep matches on `<prefix>_<dirSuffix>_`, and a
+    // pathological dir whose sanitized suffix begins with "corpus_"
+    // could otherwise alias the two families' stems
+    val table = CorpusKey.tableName(s, "graft_basemap", dir)
     clusterMapLock.synchronized {
       if (!s.catalog.tableExists(table)) {
         CorpusKey.prepareBuild(s, table)
