@@ -983,6 +983,32 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // Sliding-window chunking — the RAG / embedding-ingestion op next
+    // to q63b's concat-and-chunk (training layout) and q176's CDC
+    // (dedup layout): fixed L-token chunks at stride S < L, so
+    // consecutive chunks overlap by L − S tokens and no query span
+    // straddles a boundary unseen. Chunk starts are 0, S, 2S, … up to
+    // ⌈(n−L)/S⌉ (exact integer ceil via div), so every token is
+    // covered and only the last chunk may run short. Map-only: one
+    // sequence + explode per doc, no shuffle but the presentation sort.
+    "q188_sliding_chunks" -> { (s, dir) =>
+      val L = 64
+      val S = 48
+      Synth.documents(s, dir)
+        .select(col("doc_id"), expr(toks).as("t"))
+        .withColumn("n", expr("size(t)"))
+        .filter(col("n") > 0)
+        .select(col("doc_id"), col("t"), col("n"),
+          posexplode(expr(
+            s"transform(sequence(0, greatest((n - $L + $S - 1) div $S, 0)), " +
+              s"k -> cast(k * $S as int))")).as(Seq("chunk_idx", "start")))
+        .withColumn("n_chunk", expr(s"cast(least($L, n - start) as int)"))
+        .withColumn("chunk_text",
+          expr(s"array_join(slice(t, start + 1, $L), ' ')"))
+        .select("doc_id", "chunk_idx", "start", "n_chunk", "chunk_text")
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // Document length histogram (100-char buckets) — corpus shape stats.
     "q27_length_hist" -> { (s, dir) =>
       Synth.documents(s, dir)
@@ -1741,6 +1767,22 @@ object TextAnalysis {
          |FROM tok JOIN enc USING (w)
          |GROUP BY lang ORDER BY lang""".stripMargin
     },
+
+    "q188_sliding_chunks" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $dToks AS t, len($dToks) AS n FROM documents
+         |  WHERE len($dToks) > 0),
+         |ch AS (
+         |  SELECT doc_id, t, n,
+         |    unnest(generate_series(0, greatest((n - 64 + 47) // 48, 0)))
+         |      AS k
+         |  FROM t)
+         |SELECT doc_id, cast(k as int) AS chunk_idx,
+         |  cast(k * 48 as int) AS start,
+         |  cast(least(64, n - k * 48) as int) AS n_chunk,
+         |  array_to_string(list_slice(t, k * 48 + 1, k * 48 + 64), ' ')
+         |    AS chunk_text
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q185_token_diversity" ->
       s"""WITH c AS (
