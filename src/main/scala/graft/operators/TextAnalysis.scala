@@ -138,6 +138,25 @@ object TextAnalysis {
   private val dBM25Values = BM25Queries
     .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
 
+  /** q188's sliding-window chunk frame (doc_id, chunk_idx, start,
+    * n_chunk, ctoks) — shared with q189's chunk-level retrieval.
+    * Fixed L-token chunks at stride S; exact integer ceil start
+    * sequence; only the last chunk per doc runs short.
+    */
+  private def slidingChunks(s: SparkSession, dir: String,
+      L: Int = 64, S: Int = 48): DataFrame =
+    Synth.documents(s, dir)
+      .select(col("doc_id"), expr(toks).as("t"))
+      .withColumn("n", expr("size(t)"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("t"), col("n"),
+        posexplode(expr(
+          s"transform(sequence(0, greatest((n - $L + $S - 1) div $S, 0)), " +
+            s"k -> cast(k * $S as int))")).as(Seq("chunk_idx", "start")))
+      .withColumn("n_chunk", expr(s"cast(least($L, n - start) as int)"))
+      .withColumn("ctoks", expr(s"slice(t, start + 1, $L)"))
+      .select("doc_id", "chunk_idx", "start", "n_chunk", "ctoks")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Positional phrase search — the exact-match retrieval primitive
     // BM25 (q56) cannot express: "these words, ADJACENT, in this
@@ -992,21 +1011,35 @@ object TextAnalysis {
     // covered and only the last chunk may run short. Map-only: one
     // sequence + explode per doc, no shuffle but the presentation sort.
     "q188_sliding_chunks" -> { (s, dir) =>
-      val L = 64
-      val S = 48
-      Synth.documents(s, dir)
-        .select(col("doc_id"), expr(toks).as("t"))
-        .withColumn("n", expr("size(t)"))
-        .filter(col("n") > 0)
-        .select(col("doc_id"), col("t"), col("n"),
-          posexplode(expr(
-            s"transform(sequence(0, greatest((n - $L + $S - 1) div $S, 0)), " +
-              s"k -> cast(k * $S as int))")).as(Seq("chunk_idx", "start")))
-        .withColumn("n_chunk", expr(s"cast(least($L, n - start) as int)"))
-        .withColumn("chunk_text",
-          expr(s"array_join(slice(t, start + 1, $L), ' ')"))
+      slidingChunks(s, dir)
+        .withColumn("chunk_text", expr("array_join(ctoks, ' ')"))
         .select("doc_id", "chunk_idx", "start", "n_chunk", "chunk_text")
         .orderBy("doc_id", "chunk_idx")
+    },
+
+    // Chunk-level retrieval with doc-level max-pooling — the standard
+    // RAG pattern over q188's layout: score each overlapping chunk by
+    // query-term hit DENSITY (hits · 10⁶ div chunk length — chunk-level
+    // scoring is the point: a dense passage must not be averaged away
+    // by a long document), keep each doc's best chunk via the
+    // max(struct) argmax convention (ties → highest chunk_idx), top 20
+    // docs by (score DESC, doc_id). All integer arithmetic; map-only
+    // until the per-doc argmax, and the final cut is orderBy + limit
+    // (TakeOrderedAndProject — no range-sampling second pass).
+    "q189_chunk_retrieval" -> { (s, dir) =>
+      val queryTerms = "array('spark', 'join', 'window', 'filter')"
+      slidingChunks(s, dir)
+        .withColumn("score_ppm", expr(
+          s"cast(size(filter(ctoks, x -> array_contains($queryTerms, x))) " +
+            "* 1000000 div n_chunk as int)"))
+        .groupBy("doc_id")
+        .agg(max(struct(col("score_ppm"), col("chunk_idx"),
+          col("start"))).as("best"))
+        .select(col("doc_id"), col("best.score_ppm").as("score_ppm"),
+          col("best.chunk_idx").as("chunk_idx"),
+          col("best.start").as("start"))
+        .orderBy(col("score_ppm").desc, col("doc_id"))
+        .limit(20)
     },
 
     // Document length histogram (100-char buckets) — corpus shape stats.
@@ -1783,6 +1816,32 @@ object TextAnalysis {
          |  array_to_string(list_slice(t, k * 48 + 1, k * 48 + 64), ' ')
          |    AS chunk_text
          |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q189_chunk_retrieval" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $dToks AS t, len($dToks) AS n FROM documents
+         |  WHERE len($dToks) > 0),
+         |ch AS (
+         |  SELECT doc_id,
+         |    cast(k as int) AS chunk_idx, cast(k * 48 as int) AS start,
+         |    cast(least(64, n - k * 48) as int) AS n_chunk,
+         |    list_slice(t, k * 48 + 1, k * 48 + 64) AS ctoks
+         |  FROM (SELECT doc_id, t, n,
+         |      unnest(generate_series(0, greatest((n - 64 + 47) // 48, 0)))
+         |        AS k FROM t)),
+         |sc AS (
+         |  SELECT doc_id, chunk_idx, start,
+         |    cast(len(list_filter(ctoks, x -> list_contains(
+         |      ['spark', 'join', 'window', 'filter'], x))) * 1000000
+         |      // n_chunk as int) AS score_ppm
+         |  FROM ch),
+         |best AS (
+         |  SELECT doc_id, max(struct_pack(score_ppm := score_ppm,
+         |    chunk_idx := chunk_idx, start := start)) AS b
+         |  FROM sc GROUP BY doc_id)
+         |SELECT doc_id, b.score_ppm AS score_ppm,
+         |  b.chunk_idx AS chunk_idx, b.start AS start
+         |FROM best ORDER BY score_ppm DESC, doc_id LIMIT 20""".stripMargin,
 
     "q185_token_diversity" ->
       s"""WITH c AS (
