@@ -356,4 +356,46 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got == expected.toMap, s"seed=$seed n=$n rounds=$rounds")
     }
   }
+
+  test("q188 sliding chunks: full coverage, exact overlap, lossless reconstruction on random docs") {
+    import spark.implicits._
+    val (l, s) = (64, 48)
+    val rnd = new scala.util.Random(31)
+    // token counts straddling every edge: < L, exactly L, multiples of
+    // S, off-by-one around each boundary
+    val sizes = Seq(1, 2, 47, 48, 49, 63, 64, 65, 96, 112, 113, 160, 161) ++
+      Seq.fill(20)(1 + rnd.nextInt(400))
+    val docs = sizes.zipWithIndex.map { case (n, i) =>
+      (i.toLong, (0 until n).map(j => s"t${i}_$j").mkString(" "), "en",
+        "src0", n.toLong)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("chunk_prop").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val chunks = SparkEntry.queries("q188_sliding_chunks")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4)))
+      .groupBy(_._1)
+    docs.foreach { case (id, text, _, _, _) =>
+      val toks = text.split(" ")
+      val n = toks.length
+      val cs = chunks(id).sortBy(_._2)
+      val expectedChunks = math.max((n - l + s - 1) / s, 0) + 1
+      assert(cs.length == expectedChunks, s"doc $id n=$n: ${cs.length}")
+      cs.zipWithIndex.foreach { case ((_, k, start, nc, txt), i) =>
+        assert(k == i && start == i * s)
+        assert(nc == math.min(l, n - start), s"doc $id chunk $k len")
+        assert(txt == toks.slice(start, start + nc).mkString(" "),
+          s"doc $id chunk $k content")
+      }
+      // coverage: last chunk reaches the end; consecutive overlap L - S
+      val last = cs.last
+      assert(last._3 + last._4 == n, s"doc $id tail uncovered")
+      if (cs.length > 1)
+        assert(cs.init.forall(_._4 == l),
+          s"doc $id: only the last chunk may run short")
+    }
+  }
 }
