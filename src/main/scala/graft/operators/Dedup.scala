@@ -918,6 +918,36 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // Dedup-savings report — the before/after accounting a dedup run
+    // publishes per source: raw tokens, tokens under KEEP-CANONICAL
+    // retention (only each cluster's min-id member trains), and the
+    // q161 SOFT alternative's effective mass (every member at
+    // 1/cluster_size). One cluster-map scan joined to one corpus pass;
+    // the savings columns are exact integer millionths of the raw
+    // count. keep_canonical ≤ raw always; weighted mass ≈ canonical
+    // mass but distributed across members — the gap between the two
+    // retention policies, per source, is the number this report exists
+    // to show.
+    "q190_dedup_savings" -> { (s, dir) =>
+      val cm = minhashClusterMap(s, dir)
+      val sz = cm.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      val base = Synth.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          expr(s"cast(size($toks) as bigint)").as("n_tokens"))
+        .join(cm, "doc_id").join(sz, "cluster_id")
+      base.groupBy("source").agg(
+          sum(col("n_tokens")).as("raw_tokens"),
+          sum(when(col("doc_id") === col("cluster_id"), col("n_tokens"))
+            .otherwise(0L)).as("canonical_tokens"),
+          sum(col("n_tokens") * expr("1000000 div cluster_size"))
+            .as("weighted_mass_ppm"))
+        .withColumn("canonical_keep_ppm",
+          expr("canonical_tokens * 1000000 div raw_tokens"))
+        .select("source", "raw_tokens", "canonical_tokens",
+          "weighted_mass_ppm", "canonical_keep_ppm")
+        .orderBy("source")
+    },
+
     // Duplicate-cluster size distribution — the power-law sanity check a
     // dedup run publishes (a corpus whose cluster sizes DON'T decay
     // roughly geometrically usually has a broken blocker or a boilerplate
@@ -1672,6 +1702,31 @@ object Dedup {
          |  GROUP BY d.doc_id)
          |SELECT doc_id, cluster_id, doc_id % 5 = 0 AS is_new_doc
          |FROM clusters ORDER BY doc_id""".stripMargin,
+
+    "q190_dedup_savings" ->
+      s"""$duckQ61Reach,
+         |clusters AS (
+         |  SELECT d.doc_id,
+         |    least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id
+         |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+         |  GROUP BY d.doc_id),
+         |sz AS (
+         |  SELECT cluster_id, count(*) AS cluster_size
+         |  FROM clusters GROUP BY 1),
+         |base AS (
+         |  SELECT d.source, d.doc_id, c.cluster_id, s.cluster_size,
+         |    cast(len(${TextAnalysis.dToks}) as bigint) AS n_tokens
+         |  FROM documents d
+         |    JOIN clusters c USING (doc_id) JOIN sz s USING (cluster_id))
+         |SELECT source,
+         |  cast(sum(n_tokens) as bigint) AS raw_tokens,
+         |  cast(sum(CASE WHEN doc_id = cluster_id THEN n_tokens ELSE 0 END)
+         |    as bigint) AS canonical_tokens,
+         |  cast(sum(n_tokens * (1000000 // cluster_size)) as bigint)
+         |    AS weighted_mass_ppm,
+         |  cast(sum(CASE WHEN doc_id = cluster_id THEN n_tokens ELSE 0 END)
+         |    * 1000000 // sum(n_tokens) as bigint) AS canonical_keep_ppm
+         |FROM base GROUP BY source ORDER BY source""".stripMargin,
 
     "q161_dup_aware_weights" ->
       s"""$duckQ61Reach,
