@@ -45,6 +45,12 @@ case class HammingPairs(child: Expression, blkChild: Expression,
   require(maxDist >= 0, "graft_hamming_pairs: maxDist must be >= 0")
   require(width >= 1 && nBlocks >= 1 && width * nBlocks <= 64,
     "graft_hamming_pairs: need width >= 1, nBlocks >= 1, width*nBlocks <= 64")
+  // Recall precondition of the first-agreeing-block rule: maxDist
+  // differing bits spoil at most maxDist blocks, so any pair within
+  // maxDist agrees in >= 1 block ONLY IF maxDist < nBlocks. Violating it
+  // would silently drop every pair disagreeing in all blocks.
+  require(maxDist < nBlocks,
+    "graft_hamming_pairs: maxDist must be < nBlocks (pigeonhole recall)")
 
   override def children: Seq[Expression] = Seq(child, blkChild)
 

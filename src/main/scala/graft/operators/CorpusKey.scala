@@ -37,9 +37,21 @@ object CorpusKey {
   def tableName(s: SparkSession, prefix: String, dir: String): String =
     s"${prefix}_${sanitized(dir)}_${fingerprint(s, dir)}"
 
-  private def sanitized(dir: String): String =
-    dir.replaceAll("[^a-zA-Z0-9]+", "_")
-      .replaceAll("^_+|_+$", "").takeRight(40).toLowerCase
+  /** Readable suffix of the dir PLUS a hash of the FULL path: the
+    * truncated suffix alone can collide between two long paths (or paths
+    * differing only in non-alphanumerics), and since [[prepareBuild]]'s
+    * superseded-sibling GC keys on this stem, a collision would let one
+    * corpus's build drop the other's still-valid memo table (r8 advice).
+    * The path hash makes the stem unique per directory string, so GC
+    * only ever matches artifacts of the same corpus dir.
+    */
+  private def sanitized(dir: String): String = {
+    val suffix = dir.replaceAll("[^a-zA-Z0-9]+", "_")
+      .replaceAll("^_+|_+$", "").takeRight(32).toLowerCase
+    val ph = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir) & 0x7fffffff)
+    s"${suffix}_p$ph"
+  }
 
   private def fingerprint(s: SparkSession, dir: String): String = {
     val p = new Path(dir)

@@ -293,6 +293,9 @@ object Dedup {
       cap: Int = PostingCap): DataFrame = {
     graft.functions.GraftFunctions.register(rows.sparkSession)
     require(keys.head == "blk", "first key must be the block index")
+    require(maxDist < nBlocks,
+      "hammingBlockPairs: maxDist must be < nBlocks or the " +
+        "first-agreeing-block union silently loses pairs (pigeonhole)")
     val grouped = rows
       .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("dfp"),

@@ -54,7 +54,11 @@ final class HadoopBlobStore(confSerde: Map[String, String],
       val staging = new Path(p.getParent, p.getName + ".mpu")
       // a failed previous attempt may have left partial parts behind
       if (fs.exists(staging)) fs.delete(staging, true)
-      val nParts = (bytes.length + cap - 1) / cap
+      // bytes.length > maxSinglePutBytes >= 1 on this branch; compute the
+      // ceiling as (n-1)/cap+1 — the (n+cap-1) form overflows Int when
+      // length + cap exceeds Int.MaxValue, yielding a negative part count
+      // and a silently EMPTY final object.
+      val nParts = (bytes.length - 1) / cap + 1
       (0 until nParts).foreach { i =>
         val off = i * cap
         put(new Path(staging, f"part-$i%05d"), bytes, off,

@@ -134,10 +134,13 @@ class KinesisFileTable(options: CaseInsensitiveStringMap)
       .findFirstMatchIn(v).map(_.group(1))
 
   private def jsonBarePosition(v: String): Option[String] = {
+    // anchor to a KEY position ("latest": / "latest"}) — matching the
+    // quoted token anywhere would accept e.g. {"foo": "latest"} as
+    // LATEST instead of rejecting it as unrecognized (r8 advice)
     if (!v.trim.startsWith("{")) None
-    else if (""""(?:latest)"""".r.findFirstIn(v.toLowerCase).isDefined)
+    else if (""""latest"\s*:""".r.findFirstIn(v.toLowerCase).isDefined)
       Some("LATEST")
-    else if (""""(?:trim_horizon|trimhorizon)"""".r
+    else if (""""(?:trim_horizon|trimhorizon)"\s*:""".r
         .findFirstIn(v.toLowerCase).isDefined)
       Some("TRIM_HORIZON")
     else None

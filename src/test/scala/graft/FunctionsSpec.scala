@@ -213,4 +213,32 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0)
     assert(r.isNullAt(0))
   }
+
+  test("literal parameters: non-literal / non-integer args fail with a named error (r8 advice)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((Seq("a", "b", "c"), 2)).toDF("toks", "n")
+    df.createOrReplaceTempView("lit_check")
+    // non-literal n → clear AnalysisException naming function + parameter,
+    // not an opaque UnsupportedOperationException from resolution
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT graft_shingles(toks, n) FROM lit_check").collect()
+    }
+    assert(e1.getMessage.contains("graft_shingles") &&
+      e1.getMessage.contains("<n>"), s"wrong error: ${e1.getMessage}")
+    // non-integer literal → same contract
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT graft_hamming_pairs(array(named_struct('doc_id', 1L, " +
+        "'sim', 2L)), 0, 'three', 16, 4) FROM lit_check").collect()
+    }
+    assert(e2.getMessage.contains("graft_hamming_pairs") &&
+      e2.getMessage.contains("<maxDist>"), s"wrong error: ${e2.getMessage}")
+    // pigeonhole recall guard: maxDist >= nBlocks must fail loudly
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT graft_hamming_pairs(array(named_struct('doc_id', 1L, " +
+        "'sim', 2L)), 0, 4, 16, 4) FROM lit_check").collect()
+    }
+    assert(e3.getMessage.contains("maxDist") &&
+      e3.getMessage.contains("nBlocks"), s"wrong error: ${e3.getMessage}")
+  }
 }

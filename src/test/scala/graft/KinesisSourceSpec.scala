@@ -332,5 +332,20 @@ class KinesisSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       causes(e).exists(c => Option(c.getMessage)
         .exists(_.contains("Unrecognized JSON kinesis.startingPosition"))),
       s"wrong failure: $e")
+
+    // r8 advice: the position token must appear in KEY position — a
+    // value-side "latest" ({"foo": "latest"}) is NOT a latest position
+    // and must be rejected, not accepted as LATEST
+    val e2 = intercept[Exception] {
+      spark.readStream.format("graft-kinesis")
+        .option("kinesis.streamName", streamDir.toString)
+        .option("kinesis.startingPosition", """{"foo": "latest"}""")
+        .load()
+        .writeStream.format("memory").queryName("json_bad2").start()
+        .processAllAvailable()
+    }
+    assert(causes(e2).exists(c => Option(c.getMessage)
+        .exists(_.contains("Unrecognized JSON kinesis.startingPosition"))),
+      s"value-side latest was accepted: $e2")
   }
 }
