@@ -412,16 +412,27 @@ object Dedup {
     * caller to project.
     */
   private[graft] def bucketPairs(rows: DataFrame, keys: Seq[String],
-      cap: Int = PostingCap): DataFrame = {
+      cap: Int = PostingCap, reuse: Boolean = true): DataFrame = {
     val payload = rows.columns.filterNot(keys.contains).toSeq
     val reserved = Set("dfp", "ps", "i", "a", "b", "x")
     require(!rows.columns.exists(reserved),
       s"bucketPairs reserves column names $reserved; rename the input")
     val pstruct = struct(payload.map(col): _*)
-    val grouped = rows
+    // singleton buckets (the long tail — most shingles/bands are unique)
+    // can't produce a pair on either branch; dropping them BEFORE the
+    // checkpoint keeps the materialized array frame pair-candidate-sized
+    // instead of corpus-sized. `reuse` controls how the two consumers
+    // (small/large split) share the aggregation: a localCheckpoint when
+    // the input lineage is expensive (joins, shingling — the default),
+    // or recompute-under-ReusedExchange when the input is a cheap map
+    // over a memoized table (measured r9: q126 1.37 s -> 1.02 s without
+    // the checkpoint, q187 2.56 s -> 2.91 s WITH recompute — neither
+    // setting dominates, so the caller picks).
+    val aggd = rows
       .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("dfp"), sort_array(collect_list(pstruct)).as("ps"))
-      .localCheckpoint() // two consumers (small/large split)
+      .filter(col("dfp") >= 2)
+    val grouped = if (reuse) aggd.localCheckpoint() else aggd
     val small = grouped.filter(col("dfp") <= cap)
       .select(col("ps"), posexplode(col("ps")).as(Seq("i", "a")))
       .select(col("a"), explode(expr("slice(ps, i + 2, size(ps))")).as("b"))
@@ -1095,6 +1106,17 @@ object Dedup {
       val wtot = weighted.groupBy("doc_id").agg(sum(col("w")).as("wt"))
       val capped = weighted.filter(col("df") <= ShingleDfCap)
         .select("doc_id", "shingle", "w")
+      // Pair generation stays on the self-join DELIBERATELY (r9,
+      // measured): `capped` is already hash-partitioned by shingle from
+      // the wdf join, so both probe sides come from a ReusedExchange —
+      // the join adds ZERO shuffles and stays whole-stage-codegen'd.
+      // The bucketPairs migration was built and benched: 1.53 s vs
+      // 1.08 s here (min-of-5, isolated, sf0.1) — the collect_list
+      // ObjectHashAggregate (sort-fallback past 128 groups/partition at
+      // shingle granularity) costs more than the duplicate probe saves.
+      // Scale note: both plans emit Sigma C(df,2) pair rows and the df
+      // cap bounds every bucket, so the constant factor is the only
+      // difference at any corpus size.
       val a = capped.select("shingle", "doc_id", "w")
         .toDF("shingle", "id_a", "w")
       val b = capped.select("shingle", "doc_id").toDF("shingle", "id_b")
@@ -1125,11 +1147,14 @@ object Dedup {
     "q126_minhash_calibration" -> { (s, dir) =>
       val banded = minhashBanded(s, dir)
       val lng = bandsLong(banded)
-      val a = lng.toDF("id_a", "band", "bucket")
-      val b = lng.toDF("id_b", "band", "bucket")
-      val cands = a.join(b.hint("shuffle_hash"), Seq("band", "bucket"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct()
+      // bucketPairs (r8): one map-side emission per (band, bucket) pair
+      // instead of the double-probe self-join; distinct collapses pairs
+      // colliding in several bands (inherent to the candidate semantics)
+      val cands = bucketPairs(
+          lng.select(col("band"), col("bucket"), col("doc_id")),
+          Seq("band", "bucket"), reuse = false)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
       def side(tag: String) = banded.select(
         col("doc_id").as(s"id_$tag") +: col("sh").as(s"sh_$tag") +:
           (0 until nHashes).map(i => col(s"mh$i").as(s"${tag}m$i")): _*)
