@@ -34,18 +34,23 @@ object Multimodal {
   private val FrameStride = 64
   private val HeadBytes = 8
 
-  /** STUB — the real codec (image decode, audio resample) is not available
-    * in this environment. Deterministic byte-level stand-in: "frames" are
-    * the bytes at every FrameStride-th offset.
+  /** Decode dispatch: a mime with a registered pure-JVM codec
+    * ([[MediaCodecs.registry]] — BMP today) is REALLY decoded and the
+    * features computed over the decoded pixel plane; every other format
+    * (JPEG/PNG/audio — no codec in this container) takes the
+    * deterministic byte-level stand-in ("frames" are the bytes at every
+    * FrameStride-th offset), as does a registered mime whose payload
+    * fails to parse (degrade, don't fail the partition).
     */
   def decodeAndExtract(m: MediaRecord): MediaFeatures = {
-    val n = m.payload.length
-    val head = m.payload.take(HeadBytes).map(b => f"${b & 0xff}%02X").mkString
-    val frameIdx = 0 until n by FrameStride
-    val frames = frameIdx.map(i => m.payload(i) & 0xff)
+    val plane = MediaCodecs.registry.get(m.mime)
+      .flatMap(_.decode(m.payload)).map(_.pixels).getOrElse(m.payload)
+    val head = plane.take(HeadBytes).map(b => f"${b & 0xff}%02X").mkString
+    val frameIdx = 0 until plane.length by FrameStride
+    val frames = frameIdx.map(i => plane(i) & 0xff)
     MediaFeatures(
       doc_id = m.doc_id,
-      n_bytes = n,
+      n_bytes = m.payload.length,
       head_hex = head,
       frame_hex = frames.map(v => f"$v%02X").mkString,
       frame_sum = frames.map(_.toLong).sum)
@@ -150,6 +155,45 @@ object Multimodal {
         .filter(col("hamming") <= 7)
         .select("id_a", "id_b", "hamming")
         .orderBy("id_a", "id_b")
+    },
+
+    // REAL codec round-trip (r8 verdict #3): each document's bytes
+    // become the BGR pixel plane of an 8-wide 24-bit BMP (height =
+    // floor(n/24) rows; docs shorter than one row are excluded on both
+    // sides), encoded with BmpCodec.encode and decoded back through the
+    // MediaCodecs registry — actual header parsing, bottom-up row
+    // unflipping, padding handling. The oracle recomputes dimensions
+    // and per-channel integer sums STRAIGHT from the source bytes, so a
+    // hash match proves decode inverts encode byte-for-byte. Map-only;
+    // at 100 TB this is the same narrow per-partition decode pass as
+    // q50.
+    "q191_bmp_roundtrip" -> { (s, dir) =>
+      import s.implicits._
+      val W = 8
+      Synth.documents(s, dir)
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .flatMap { case (id, bytes) =>
+          val h = bytes.length / (3 * W)
+          if (h == 0) None
+          else {
+            val bmp = BmpCodec.encode(bytes, W, h)
+            val d = MediaCodecs.registry("image/bmp").decode(bmp).get
+            var sb = 0L; var sg = 0L; var sr = 0L
+            var i = 0
+            while (i < d.pixels.length) {
+              sb += d.pixels(i) & 0xff
+              sg += d.pixels(i + 1) & 0xff
+              sr += d.pixels(i + 2) & 0xff
+              i += 3
+            }
+            val tl = d.pixels.take(3).map(b => f"${b & 0xff}%02X").mkString
+            Some((id, d.width, d.height, sb, sg, sr, tl))
+          }
+        }
+        .toDF("doc_id", "width", "height", "sum_b", "sum_g", "sum_r",
+          "top_left_hex")
+        .orderBy("doc_id")
     }
   )
 
@@ -230,6 +274,32 @@ object Multimodal {
          |FROM w a JOIN w b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 7
          |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // Dimensions + channel sums computed straight from the source bytes
+    // (byte 3i = B, 3i+1 = G, 3i+2 = R of pixel i, top-down row-major) —
+    // a hash match proves BmpCodec.decode(BmpCodec.encode(bytes)) gives
+    // the bytes back: header fields, bottom-up row flip and padding all
+    // exercised for real.
+    "q191_bmp_roundtrip" -> {
+      val hexVal = (pos: String) =>
+        s"(strpos('0123456789ABCDEF', substring(hx, $pos, 1)) - 1) * 16" +
+          s" + strpos('0123456789ABCDEF', substring(hx, ($pos) + 1, 1)) - 1"
+      def chanSum(c: Int) =
+        s"cast(list_sum(list_transform(generate_series(0, 8 * height - 1)," +
+          s" i -> ${hexVal(s"(3 * i + $c) * 2 + 1")})) as bigint)"
+      s"""WITH h AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx,
+         |    octet_length(encode(text)) AS n
+         |  FROM documents),
+         |d AS (
+         |  SELECT doc_id, hx, n // 24 AS height FROM h WHERE n >= 24)
+         |SELECT doc_id, 8 AS width, cast(height as int) AS height,
+         |  ${chanSum(0)} AS sum_b,
+         |  ${chanSum(1)} AS sum_g,
+         |  ${chanSum(2)} AS sum_r,
+         |  substring(hx, 1, 6) AS top_left_hex
+         |FROM d ORDER BY doc_id""".stripMargin
     }
   )
 }

@@ -71,6 +71,7 @@ class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
     * selectivity, so these carry an explicit grant.
     */
   private val classification: Map[String, Set[String]] = Map(
+    "q191_bmp_roundtrip" -> strict,
     "q01_enriched_tstamp" -> strict,
     "q02_sdj_bad" -> strict,
     "q02_sdj_good" -> strict,
