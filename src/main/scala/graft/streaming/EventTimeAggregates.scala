@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -143,6 +143,162 @@ object EventTimeAggregates {
       .filter(col("jaccard") >= threshold)
       .groupBy(col("id_new").as("doc_id"))
       .agg(min(col("id_old")).as("dup_of"))
+  }
+
+  /** One doc retained in a band bucket's state. */
+  final case class SeenDoc(id: Long, sh: Seq[String])
+  /** Per-(band, bucket) state: docs seen in this bucket so far, capped. */
+  final case class BucketState(docs: Seq[SeenDoc])
+  /** A banded arriving doc (shingles ride along for in-op verify). */
+  final case class BandDoc(doc_id: Long, sh: Seq[String], band: Int, bucket: String)
+  /** An undirected near-dup edge. */
+  final case class ClusterEdge(src: Long, dst: Long)
+
+  /** Streaming twin of q187's incremental cluster maintenance, stage 1:
+    * the VERIFIED EDGE stream. Three branches, unioned:
+    *
+    *   - new-old: arriving docs minhash-band (map-only) and stream-static
+    *     join the PERSISTED corpus band index on (band, bucket), then
+    *     verify at exact Jaccard against the static corpus-shingle table
+    *     — identical to [[streamingIncrementalDedup]]'s probe.
+    *   - new-new ACROSS MICRO-BATCHES: flatMapGroupsWithState keyed by
+    *     (band, bucket); state is the docs previously seen in that
+    *     bucket (shingles included, so the verify runs IN the operator —
+    *     a join back to earlier batches would be a stream-stream
+    *     self-join). State is bounded by `bucketCap` docs per bucket ×
+    *     shingle-set size — the streaming rendering of the batch
+    *     PostingCap hub guard, with the same recall trade at the cap.
+    *     Runs on RocksDB exactly like every other stateful op here
+    *     (RocksDbStateSpec).
+    *   - a self-edge per arriving doc, which carries the batch's doc
+    *     list to the map-maintenance sink so edge-less docs still get a
+    *     singleton cluster row.
+    *
+    * The edges are NOT contracted here: endpoint → current-rep lookup
+    * must see the MAINTAINED map (reps merge as batches accumulate), so
+    * it happens inside the [[mergeClusterBatch]] foreachBatch sink, not
+    * against a static snapshot.
+    *
+    * `docs` (streaming): doc_id, text. `index` (static): doc_id, band,
+    * bucket. `corpusShingles` (static): doc_id, sh.
+    */
+  def streamingClusterEdges(
+      docs: DataFrame,
+      index: DataFrame,
+      corpusShingles: DataFrame,
+      threshold: Double = 0.8,
+      bucketCap: Int = 1024): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val bands = graft.operators.Dedup.bandBucketsWithShingles(
+      docs.select(col("doc_id"),
+        expr(s"graft_shingles(${graft.operators.Dedup.toks}, 3)").as("sh")))
+    val newOld = bands
+      .select(col("doc_id").as("id_new"), col("sh").as("sh_n"),
+        col("band"), col("bucket"))
+      .join(index.select(col("doc_id").as("id_old"), col("band"),
+        col("bucket")), Seq("band", "bucket"))
+      .join(corpusShingles.select(col("doc_id").as("id_old"),
+        col("sh").as("sh_o")), "id_old")
+      .withColumn("inter", expr("size(array_intersect(sh_n, sh_o))"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (expr("size(sh_n)") + expr("size(sh_o)") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_new").as("src"), col("id_old").as("dst"))
+    val newNew = bands
+      .select(col("doc_id"), col("sh"), col("band"), col("bucket"))
+      .as[BandDoc]
+      .groupByKey(b => (b.band, b.bucket))
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (_: (Int, String), rows: Iterator[BandDoc],
+            state: GroupState[BucketState]) => {
+          var seen = state.getOption.map(_.docs).getOrElse(Seq.empty)
+          val out = Seq.newBuilder[ClusterEdge]
+          // doc_id order keeps emission deterministic within a batch
+          rows.toSeq.sortBy(_.doc_id).foreach { b =>
+            if (!seen.exists(_.id == b.doc_id)) {
+              // mirror the batch verify exactly: intersection counts
+              // DISTINCT common shingles (array_intersect), the
+              // denominator uses RAW array lengths
+              val nSet = b.sh.toSet
+              seen.foreach { o =>
+                val inter = o.sh.toSet.count(nSet)
+                val j = inter.toDouble / (b.sh.size + o.sh.size - inter)
+                if (j >= threshold) out += ClusterEdge(b.doc_id, o.id)
+              }
+              if (seen.size < bucketCap) seen = seen :+ SeenDoc(b.doc_id, b.sh)
+            }
+          }
+          state.update(BucketState(seen))
+          out.result().iterator
+        })
+      .toDF("src", "dst")
+    val selfEdges = bands.select(col("doc_id").as("src"),
+      col("doc_id").as("dst"))
+    newOld.unionByName(newNew).unionByName(selfEdges)
+  }
+
+  /** Streaming twin of q187, stage 2 — the foreachBatch sink that folds
+    * one micro-batch of verified edges into the maintained cluster map.
+    * The map is an LSM-style pair: `baseTable` (the corpus map, seeded
+    * once) plus an append-only parquet log at `updatesDir` of
+    * (doc_id, cluster_id, ver) rows — each batch appends ONLY changed
+    * rows (new docs + re-pointed clusters), never rewrites the corpus
+    * (in production this is a MERGE into a transactional table; the
+    * read-side compaction is [[currentClusterMap]]). Work per batch is
+    * O(batch + collisions + affected clusters): endpoints contract to
+    * their CURRENT reps, connected components runs over touched
+    * vertices only, and re-pointing is one join against the touched
+    * components — the exact shape of batch q187. Replays append the
+    * same rows under the same `ver`, which the read-side max_by
+    * collapses — at-least-once ⇒ same map.
+    */
+  def mergeClusterBatch(edges: DataFrame, baseTable: String,
+      updatesDir: String, batchId: Long): Unit = {
+    val s = edges.sparkSession
+    val cur = currentClusterMap(s, baseTable, updatesDir).localCheckpoint()
+    val e = edges.distinct().localCheckpoint()
+    val contracted = e
+      .join(cur.toDF("src", "srep"), Seq("src"), "left")
+      .join(cur.toDF("dst", "drep"), Seq("dst"), "left")
+      .select(coalesce(col("srep"), col("src")).as("src"),
+        coalesce(col("drep"), col("dst")).as("dst"))
+      .distinct()
+    val touched = contracted.select(col("src").as("id"))
+      .union(contracted.select(col("dst").as("id"))).distinct()
+    val comp = graft.operators.ConnectedComponents.run(touched, contracted)
+    val newIds = e.select(col("src").as("doc_id"))
+      .union(e.select(col("dst").as("doc_id"))).distinct()
+      .join(cur.select("doc_id"), Seq("doc_id"), "left_anti")
+    val newAssign = newIds
+      .join(comp.toDF("doc_id", "component"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"))
+    val repointed = cur
+      .join(comp.toDF("cluster_id", "newc"), "cluster_id")
+      .filter(col("newc") =!= col("cluster_id"))
+      .select(col("doc_id"), col("newc").as("cluster_id"))
+    newAssign.unionByName(repointed)
+      .withColumn("ver", lit(batchId))
+      .write.mode("append").parquet(updatesDir)
+  }
+
+  /** Read-side compaction of the maintained map: latest `ver` wins per
+    * doc (base rows carry ver = -1). A production deployment compacts
+    * the log periodically; correctness only needs the max_by.
+    */
+  def currentClusterMap(s: SparkSession, baseTable: String,
+      updatesDir: String): DataFrame = {
+    val base = s.table(baseTable)
+      .select(col("doc_id"), col("cluster_id"), lit(-1L).as("ver"))
+    val all =
+      try base.unionByName(
+        s.read.parquet(updatesDir).select("doc_id", "cluster_id", "ver"))
+      catch { case _: org.apache.spark.sql.AnalysisException => base }
+    all.groupBy("doc_id")
+      .agg(expr("max_by(cluster_id, ver)").as("cluster_id"))
   }
 
   /** Streaming count-min sketch — the batch q102 sketch maintained

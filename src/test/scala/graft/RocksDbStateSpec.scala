@@ -139,4 +139,121 @@ class RocksDbStateSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(sess(3L) == sess(1L) + 1, s"gap must open a new session: $sess")
     } finally q.stop()
   }
+
+  test("incremental cluster maintenance equals the full rebuild across 3 micro-batches, RocksDB + restart") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val ctx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val theta = 0.3
+
+    // word-run texts: A and C overlap too little to cluster (J = 0.2 at
+    // 3-gram shingles); the BRIDGE contains both runs, so it is ≥ theta
+    // similar to each — near-dup similarity is NOT transitive, which is
+    // exactly what forces a cluster MERGE on arrival
+    def run(a: Int, b: Int) = (a to b).map(i => s"w$i").mkString(" ")
+    val tA = run(1, 20)
+    val tC = run(13, 32)
+    // run(6,31) band-collides with BOTH A and C under the production
+    // minhash geometry (verified offline; hashes are deterministic):
+    // J(A,bridge)=0.45, J(C,bridge)=0.68, J(A,C)=0.20
+    val tBridge = run(6, 31)
+    val tNovel = run(100, 119)
+    val tOther = run(200, 219)
+
+    // corpus: cluster {1, 2} (exact dups), singletons 3 (=tC) and 4
+    val corpus = Seq((1L, tA), (2L, tA), (3L, tC), (4L, tOther))
+      .toDF("doc_id", "text")
+    val corpusSh = corpus.select(col("doc_id"),
+      expr(s"graft_shingles(${graft.operators.Dedup.toks}, 3)").as("sh"))
+    graft.operators.DedupIndex.write(
+      graft.operators.Dedup.bandBuckets(corpusSh), "ic_band_idx", 4)
+    val index = spark.table("ic_band_idx")
+
+    // full-rebuild truth over a doc set: band-collision candidates
+    // verified at exact Jaccard (the q61/q187 semantics), then
+    // union-find — the same theorem batch q187's oracle checks
+    def fullRebuild(docs: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+      val sh = docs.select(col("doc_id"),
+        expr(s"graft_shingles(${graft.operators.Dedup.toks}, 3)").as("sh"))
+      val bands = graft.operators.Dedup.bandBuckets(sh)
+      val pairs = bands.toDF("id_a", "band", "bucket")
+        .join(bands.toDF("id_b", "band", "bucket"), Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b")).select("id_a", "id_b").distinct()
+        .join(sh.toDF("id_a", "sh_a"), "id_a")
+        .join(sh.toDF("id_b", "sh_b"), "id_b")
+        .withColumn("inter", expr("size(array_intersect(sh_a, sh_b))"))
+        .withColumn("j", col("inter").cast("double") /
+          (expr("size(sh_a)") + expr("size(sh_b)") - col("inter")))
+        .filter(col("j") >= theta).select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val ids = docs.select("doc_id").collect().map(_.getLong(0))
+      val root = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (root(x) == x) x else { val r = find(root(x)); root(x) = r; r }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { val m = math.min(ra, rb); root(ra) = m; root(rb) = m }
+      }
+      ids.map(i => i -> find(i)).toMap
+    }
+
+    // seed the maintained map with the corpus-only rebuild
+    val baseTable = "ic_base_map"
+    spark.sql(s"DROP TABLE IF EXISTS $baseTable")
+    // a previous JVM's warehouse dir survives the in-memory catalog
+    val loc = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir") + s"/$baseTable"))
+    if (loc.exists) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    fullRebuild(corpus).toSeq.toDF("doc_id", "cluster_id")
+      .write.saveAsTable(baseTable)
+    val updatesDir =
+      java.nio.file.Files.createTempDirectory("ic-updates").toString + "/log"
+    val ckpt = java.nio.file.Files.createTempDirectory("ic-ckpt").toString
+
+    val mem = MemoryStream[(Long, String)]
+    val edges = EventTimeAggregates.streamingClusterEdges(
+      mem.toDF().toDF("doc_id", "text"), index, corpusSh, theta)
+    def start() = edges.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        EventTimeAggregates.mergeClusterBatch(b, baseTable, updatesDir, id)
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+
+    var q = start()
+    val streamed = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    try {
+      // batch 1: a dup of corpus cluster {1,2} + a novel singleton
+      streamed ++= Seq((10L, tA), (11L, tNovel))
+      mem.addData((10L, tA), (11L, tNovel))
+      q.processAllAvailable()
+      // batch 2: cross-batch new-new (12 matches 11 from batch 1)
+      streamed += ((12L, tNovel))
+      mem.addData((12L, tNovel))
+      q.processAllAvailable()
+      q.stop()
+      // restart from the checkpoint: bucket state (doc 11/12's bucket
+      // occupancy) must come back from RocksDB
+      q = start()
+      // batch 3: the bridge doc merges corpus clusters {1,2,10} and {3}
+      streamed += ((13L, tBridge))
+      mem.addData((13L, tBridge))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val maintained = EventTimeAggregates
+      .currentClusterMap(spark, baseTable, updatesDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = fullRebuild(corpus.unionByName(
+      streamed.toSeq.toDF("doc_id", "text")))
+    assert(maintained == expected,
+      s"maintained $maintained\nexpected $expected")
+    // the scenario must actually exercise each event, or the equality
+    // proves less than it claims
+    assert(expected(10L) == 1L, "batch dup must join the corpus cluster")
+    assert(expected(12L) == 11L, "cross-batch new-new must cluster")
+    assert(expected(3L) == 1L && expected(13L) == 1L,
+      s"the bridge must merge corpus cluster 3 into 1: $expected")
+  }
 }
