@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions.{array, broadcast, col, count, element_at,
 object ProductQuantization {
 
   private val dim = 64
-  private val nSub = 8 // subspaces
+  private[operators] val nSub = 8 // subspaces
   private val subDim = dim / nSub
   private val nCodes = 16 // codebook entries per subspace
   private val nQueries = 5
@@ -55,13 +55,13 @@ object ProductQuantization {
   /** code_m = 1-based argmax_k dot(sub_m(v), codebook[m][k]) (first on
     * ties) — map-only encode, one tinyint per subspace in production.
     */
-  private def codeSpark(col: String, m: Int): String = {
+  private[operators] def codeSpark(col: String, m: Int): String = {
     val ds = (0 until nCodes)
       .map(k => Dedup.dot(subSpark(col, m), cbSpark(m, k)))
       .mkString("array(", ", ", ")")
     s"array_position($ds, array_max($ds))"
   }
-  private def codeDuck(col: String, m: Int): String = {
+  private[operators] def codeDuck(col: String, m: Int): String = {
     val ds = (0 until nCodes)
       .map(k => dotDuck(subDuck(col, m), cbDuck(m, k)))
       .mkString("[", ", ", "]")
@@ -71,11 +71,11 @@ object ProductQuantization {
   /** Per-query ADC table for subspace m: dots of the query slice against
     * all K codebook entries — computed once per query, before the join.
     */
-  private def tableSpark(col: String, m: Int): String =
+  private[operators] def tableSpark(col: String, m: Int): String =
     (0 until nCodes)
       .map(k => Dedup.dot(subSpark(col, m), cbSpark(m, k)))
       .mkString("array(", ", ", ")")
-  private def tableDuck(col: String, m: Int): String =
+  private[operators] def tableDuck(col: String, m: Int): String =
     (0 until nCodes)
       .map(k => dotDuck(subDuck(col, m), cbDuck(m, k)))
       .mkString("[", ", ", "]")

@@ -239,6 +239,87 @@ object Similarity {
         .orderBy("query_id")
     },
 
+    // ANN recall/cost FRONTIER (r8 verdict #8) — the report an operator
+    // runs before picking an index: every index family evaluated against
+    // the same exact truth in ONE query, emitting per (family, query)
+    // the candidate-set size (the probe COST) and recall@10 (the probe
+    // QUALITY). Families: brute (the anchor: n candidates, recall 1),
+    // LSH (q41), multi-probe LSH (q41b), IVF (q42), PQ-ADC (q48 — the
+    // full-scan-of-codes profile: n candidates but byte-sized ones; the
+    // frontier surfaces that its cost axis is different in KIND).
+    // The embedding table is scanned ONCE: a single projection computes
+    // every family's probe key (bucket, cluster, PQ codes), is
+    // checkpointed, and all five branches + the exact pass read the
+    // checkpoint. Integer candidate counts and hit counts keep the
+    // report hash-exact; only recall divides.
+    "q192_ann_frontier" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      import ProductQuantization.{nSub => pqSub}
+      val base = (0 until pqSub).foldLeft(
+          Synth.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+            .withColumn("bucket", expr(bucketExprSpark("embedding")))
+            .withColumn("cluster", expr(clusterExprSpark("embedding")))) {
+          (df, m) => df.withColumn(s"code$m",
+            expr(ProductQuantization.codeSpark("embedding", m)))
+        }.localCheckpoint()
+      val qs = base.filter(col("vec_id") < nQueries)
+      val exact = rankTopK(base, None)
+        .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+      // cand: (query_id, vec_id, score) rows; one aggregation gets the
+      // candidate count AND the bounded-heap top-k in the same pass
+      def report(family: String, cand: DataFrame): DataFrame =
+        cand.groupBy("query_id")
+          .agg(count(lit(1)).as("n_cand"),
+            expr(s"graft_topk(score, vec_id, $topK)").as("top"))
+          .select(col("query_id"), col("n_cand"), explode(col("top")).as("t"))
+          .select(col("query_id"), col("n_cand"), col("t.id").as("vec_id"))
+          .join(exact, Seq("query_id", "vec_id"), "left")
+          .groupBy("query_id", "n_cand")
+          .agg(count(col("hit")).as("n_hit"))
+          .select(lit(family).as("family"), col("query_id"), col("n_cand"),
+            col("n_hit"),
+            (col("n_hit").cast("double") / lit(topK.toDouble)).as("recall"))
+      def cosScored(j: DataFrame): DataFrame = j
+        .withColumn("score", expr(Dedup.dot("q_emb", "embedding")))
+        .select("query_id", "vec_id", "score")
+      val qPlain = qs.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"), col("bucket"), col("cluster"))
+      val brute = cosScored(broadcast(qPlain.drop("bucket", "cluster"))
+        .crossJoin(base.select("vec_id", "embedding")))
+      val lsh = cosScored(broadcast(qPlain.drop("cluster"))
+        .join(base.select("vec_id", "embedding", "bucket"), "bucket"))
+      val flips = (0 until nPlanes).map { i =>
+        expr(s"concat(substring(bucket, 1, $i), " +
+          s"if(substring(bucket, ${i + 1}, 1) = '1', '0', '1'), " +
+          s"substring(bucket, ${i + 2}, ${nPlanes - i - 1}))")
+      }
+      val mp = cosScored(broadcast(qPlain.drop("cluster")
+          .select(col("query_id"), col("q_emb"),
+            explode(array(col("bucket") +: flips: _*)).as("bucket")))
+        .join(base.select("vec_id", "embedding", "bucket"), "bucket"))
+      val ivf = cosScored(broadcast(qPlain.drop("bucket"))
+        .join(base.select("vec_id", "embedding", "cluster"), "cluster"))
+      val qTabs = broadcast((0 until pqSub).foldLeft(
+          qs.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))) {
+          (df, m) => df.withColumn(s"tab$m",
+            expr(ProductQuantization.tableSpark("q_emb", m)))
+        }.drop("q_emb"))
+      val adcScore = (0 until pqSub)
+        .map(m => s"element_at(tab$m, cast(code$m as int))")
+        .reduce((a, b) => s"($a + $b)")
+      val pq = qTabs
+        .crossJoin(base.select(col("vec_id") +:
+          (0 until pqSub).map(m => col(s"code$m")): _*))
+        .withColumn("score", expr(adcScore))
+        .select("query_id", "vec_id", "score")
+      report("brute", brute)
+        .unionByName(report("lsh", lsh))
+        .unionByName(report("multiprobe", mp))
+        .unionByName(report("ivf", ivf))
+        .unionByName(report("pq_adc", pq))
+        .orderBy("family", "query_id")
+    },
+
     // Johnson–Lindenstrauss random-projection ANN: project the 64-dim
     // embeddings to 16 dims with a deterministic ±1 sign matrix (the
     // Achlioptas construction — ±1 entries preserve pairwise dots in
@@ -669,6 +750,90 @@ object Similarity {
          |FROM ex LEFT JOIN ap
          |  ON ap.query_id = ex.query_id AND ap.vec_id = ex.vec_id
          |GROUP BY ex.query_id ORDER BY query_id""".stripMargin,
+
+    "q192_ann_frontier" -> {
+      import ProductQuantization.{nSub => pqSub}
+      val codeCols = (0 until pqSub)
+        .map(m => s"${ProductQuantization.codeDuck("embedding", m)} AS code$m")
+        .mkString(",\n  ")
+      val tabCols = (0 until pqSub)
+        .map(m => s"${ProductQuantization.tableDuck("embedding", m)} AS tab$m")
+        .mkString(",\n  ")
+      val adc = (0 until pqSub)
+        .map(m => s"q.tab$m[cast(e.code$m as int)]")
+        .reduce((a, b) => s"($a + $b)")
+      val flips = (0 until nPlanes).map { i =>
+        s"concat(substring(bucket, 1, $i), " +
+          s"CASE WHEN substring(bucket, ${i + 1}, 1) = '1' THEN '0' ELSE '1' END, " +
+          s"substring(bucket, ${i + 2}, ${nPlanes - i - 1}))"
+      }
+      def rep(f: String) =
+        s"""rep_$f AS (
+           | SELECT '$f' AS family, n.query_id, n.n_cand,
+           |  cast(count(ex.vec_id) as bigint) AS n_hit,
+           |  cast(count(ex.vec_id) as double) / $topK AS recall
+           | FROM (SELECT query_id, cast(count(*) as bigint) AS n_cand
+           |       FROM cand_$f GROUP BY query_id) n
+           | JOIN top_$f t ON t.query_id = n.query_id
+           | LEFT JOIN ex ON ex.query_id = t.query_id AND ex.vec_id = t.vec_id
+           | GROUP BY n.query_id, n.n_cand)""".stripMargin
+      def top(f: String) =
+        s"""top_$f AS (
+           | SELECT query_id, vec_id FROM (
+           |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY score DESC, vec_id) AS rk FROM cand_$f)
+           | WHERE rk <= $topK)""".stripMargin
+      s"""WITH b AS (
+         | SELECT vec_id, embedding,
+         |  ${bucketExprDuck("embedding")} AS bucket,
+         |  ${clusterExprDuck("embedding")} AS cluster,
+         |  $codeCols
+         | FROM embeddings),
+         |qt AS (
+         | SELECT vec_id AS query_id, $tabCols
+         | FROM embeddings WHERE vec_id < $nQueries),
+         |ex AS (
+         | SELECT query_id, vec_id FROM (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |     ORDER BY ${dotDuck("q.embedding", "e.embedding")} DESC, e.vec_id) AS rk
+         |  FROM embeddings q CROSS JOIN embeddings e
+         |  WHERE q.vec_id < $nQueries)
+         | WHERE rk <= $topK),
+         |cand_brute AS (
+         | SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         |  ${dotDuck("q.embedding", "e.embedding")} AS score
+         | FROM embeddings q CROSS JOIN embeddings e WHERE q.vec_id < $nQueries),
+         |cand_lsh AS (
+         | SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         |  ${dotDuck("q.embedding", "e.embedding")} AS score
+         | FROM b q JOIN b e ON q.bucket = e.bucket WHERE q.vec_id < $nQueries),
+         |probes AS (
+         | SELECT vec_id AS query_id, embedding AS q_emb,
+         |  unnest([bucket, ${flips.mkString(", ")}]) AS bucket
+         | FROM b WHERE vec_id < $nQueries),
+         |cand_multiprobe AS (
+         | SELECT p.query_id, e.vec_id AS vec_id,
+         |  ${dotDuck("p.q_emb", "e.embedding")} AS score
+         | FROM probes p JOIN b e ON p.bucket = e.bucket),
+         |cand_ivf AS (
+         | SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         |  ${dotDuck("q.embedding", "e.embedding")} AS score
+         | FROM b q JOIN b e ON q.cluster = e.cluster WHERE q.vec_id < $nQueries),
+         |cand_pq_adc AS (
+         | SELECT q.query_id, e.vec_id AS vec_id, $adc AS score
+         | FROM qt q CROSS JOIN b e),
+         |${top("brute")}, ${top("lsh")}, ${top("multiprobe")},
+         |${top("ivf")}, ${top("pq_adc")},
+         |${rep("brute")}, ${rep("lsh")}, ${rep("multiprobe")},
+         |${rep("ivf")}, ${rep("pq_adc")}
+         |SELECT * FROM rep_brute
+         |UNION ALL SELECT * FROM rep_lsh
+         |UNION ALL SELECT * FROM rep_multiprobe
+         |UNION ALL SELECT * FROM rep_ivf
+         |UNION ALL SELECT * FROM rep_pq_adc
+         |ORDER BY family, query_id""".stripMargin
+    },
 
     "q107_random_projection" ->
       s"""WITH pr AS (

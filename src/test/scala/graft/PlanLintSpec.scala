@@ -72,6 +72,7 @@ class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
     */
   private val classification: Map[String, Set[String]] = Map(
     "q191_bmp_roundtrip" -> strict,
+    "q192_ann_frontier" -> Set(OracleCross),
     "q01_enriched_tstamp" -> strict,
     "q02_sdj_bad" -> strict,
     "q02_sdj_good" -> strict,

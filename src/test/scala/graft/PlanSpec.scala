@@ -589,4 +589,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(full.collect { case f: FileSourceScanExec => f }.isEmpty,
       s"water-fill stage re-read a table:\n$full")
   }
+
+  test("q192: the ANN frontier reads the embedding table exactly once (checkpointed)") {
+    // every family branch + the exact pass must consume the ONE
+    // checkpointed projection that carries all probe keys — a parquet
+    // scan in the final plan would mean a family re-read the table
+    val p = plan("q192_ann_frontier")
+    val scans = p.collect { case f: FileSourceScanExec => f }
+    assert(scans.isEmpty,
+      s"expected zero parquet scans (single checkpointed base), got ${scans.size}")
+    // five family reports unioned: five bounded-heap top-k aggregates
+    assert(p.toString.contains("graft_topk"))
+  }
 }
