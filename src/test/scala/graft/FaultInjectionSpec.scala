@@ -127,6 +127,14 @@ class FaultInjectionSpec extends AnyFunSuite with BeforeAndAfterAll {
       if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) :+ f else Seq(f)
     assert(!walk(new java.io.File(dir)).exists(_.getName.contains(".mpu")),
       "multipart staging leaked")
+    // part-listing sweep (r8 verdict #7): after retry converges, the
+    // FULL recursive listing holds final objects only — an orphan
+    // part-NNNNN anywhere means an aborted upload leaked storage that
+    // S3 would bill forever (real S3: AbortIncompleteMultipartUpload
+    // lifecycle; here: the retry's staging delete)
+    val orphans = walk(new java.io.File(dir)).filter(f =>
+      f.isFile && (f.getName.startsWith("part-") || f.getName.contains(".mpu")))
+    assert(orphans.isEmpty, s"orphan part objects survived: $orphans")
     assert(metrics.count.get() == lines.size)
   }
 
@@ -151,6 +159,13 @@ class FaultInjectionSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = Files.readAllBytes(java.nio.file.Paths.get(s"$dir/big.bin"))
     assert(java.util.Arrays.equals(got, bytes), "assembled content differs")
     assert(!new java.io.File(s"$dir/big.bin.mpu").exists(), "staging leaked")
+    // exhaustive part listing: the converged store holds the final
+    // object and NOTHING else — the aborted first attempt's parts 0-2
+    // must all be gone, not just the staging dir node
+    def walkAll(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walkAll) else Seq(f)
+    val listing = walkAll(new java.io.File(dir)).map(_.getName).sorted
+    assert(listing == Seq("big.bin"), s"unexpected objects: $listing")
   }
 
   test("the same batch replayed end-to-end after a fault overwrites, never duplicates") {
