@@ -1042,6 +1042,77 @@ object TextAnalysis {
         .limit(20)
     },
 
+    // Gopher-style quality-rule battery (Rae et al. 2021 §A1.1 shape) —
+    // the per-rule FUNNEL AUDIT a pretraining pipeline publishes before
+    // committing a filter config: q21 scores docs, this shows which RULE
+    // kills how many docs per source, so a rule that nukes a whole
+    // source is visible before the corpus ships. Seven gates, each an
+    // exact integer predicate (mean word length in [2,12] as
+    // 2·nw ≤ chars ≤ 12·nw — no division): word count, mean word
+    // length, symbol ratio ≤ 10%, ≥ 80% alphabetic words, ≥ 2 distinct
+    // stopwords, top-token frequency ≤ 20% (the native one-pass
+    // graft_gram_stats at n=1), distinct ratio ≥ 20%. One map pass +
+    // one #sources-row aggregation — at 100 TB this is scan speed.
+    "q193_gopher_rules" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val d = Synth.documents(s, dir).select(
+        col("source"),
+        expr(s"size($toks)").as("nw"),
+        length(regexp_replace(col("text"), "\\s+", "")).as("nc"),
+        expr(s"size(filter($toks, t -> t rlike '[a-zA-Z]'))").as("nalpha"),
+        expr(s"size(array_intersect(array_distinct($toks), " +
+          s"array('the','a','of','and','to','in')))").as("nstopd"),
+        expr(s"size(array_distinct($toks))").as("ndist"),
+        regexp_count(col("text"), lit("[#@%*=<>]")).as("nsym"),
+        expr(s"graft_gram_stats($toks, 1).top_cnt").as("topcnt"))
+      val rules = Seq(
+        "nw >= 3 and nw <= 100000",
+        "nc >= 2 * nw and nc <= 12 * nw",
+        "nsym * 10 <= nw",
+        "nalpha * 5 >= 4 * nw",
+        "nstopd >= 2",
+        "topcnt * 5 <= nw",
+        "ndist * 5 >= nw")
+      val flagged = rules.zipWithIndex.foldLeft(d) { case (df, (r, i)) =>
+        df.withColumn(s"r${i + 1}", expr(r)) }
+      val aggs = (1 to rules.size).map(i =>
+        sum(when(!col(s"r$i"), 1L).otherwise(0L)).as(s"fail_r$i")) :+
+        sum(when(expr((1 to rules.size).map(i => s"r$i").mkString(" and ")),
+          1L).otherwise(0L)).as("n_pass_all")
+      flagged.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), aggs: _*)
+        .orderBy("source")
+    },
+
+    // N-gram NOVELTY scoring — q36's graded sibling (q36 flags any
+    // 3-gram hit against the eval set; training-data curation also
+    // wants the memorization-risk SPECTRUM): per non-reference doc, the
+    // fraction of its distinct 5-grams absent from the reference slice
+    // (doc_id ≡ 0 mod 7 stands in for the earlier snapshot / reference
+    // corpus), in integer millionths. Low novelty ⇒ the doc restates
+    // reference content (near-copy risk); the report feeds both dedup
+    // review and eval-leakage triage. Shape: one distinct pass over
+    // reference grams, one explode + left join + per-doc count — the
+    // gram join is the only shuffle, AQE free to broadcast the
+    // reference side when it is KB-scale (a benchmark) and shuffle it
+    // when it is corpus-scale (a snapshot).
+    "q194_ngram_novelty" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val isRef = col("doc_id") % 7 === 0
+      val sh = Synth.documents(s, dir)
+        .select(col("doc_id"), expr(s"graft_shingles($toks, 5)").as("g"))
+      val refGrams = sh.filter(isRef)
+        .select(explode(col("g")).as("gram")).distinct()
+      sh.filter(!isRef)
+        .select(col("doc_id"), explode(col("g")).as("gram"))
+        .join(refGrams.withColumn("hit", lit(1)), Seq("gram"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_seen"))
+        .withColumn("novelty_ppm",
+          expr("(n_grams - n_seen) * 1000000L div n_grams"))
+        .orderBy("doc_id")
+    },
+
     // Document length histogram (100-char buckets) — corpus shape stats.
     "q27_length_hist" -> { (s, dir) =>
       Synth.documents(s, dir)
@@ -1331,6 +1402,59 @@ object TextAnalysis {
          |  cast(len(list_distinct($dToks)) as double) / len($dToks) AS uniq_ratio
          | FROM documents)
          |ORDER BY doc_id""".stripMargin,
+
+    "q193_gopher_rules" -> {
+      val rules = Seq(
+        "nw >= 3 AND nw <= 100000",
+        "nc >= 2 * nw AND nc <= 12 * nw",
+        "nsym * 10 <= nw",
+        "nalpha * 5 >= 4 * nw",
+        "nstopd >= 2",
+        "topcnt * 5 <= nw",
+        "ndist * 5 >= nw")
+      val rCols = rules.zipWithIndex
+        .map { case (r, i) => s"($r) AS r${i + 1}" }.mkString(",\n  ")
+      val fails = (1 to rules.size)
+        .map(i => s"cast(sum(CASE WHEN NOT r$i THEN 1 ELSE 0 END) as bigint) AS fail_r$i")
+        .mkString(",\n ")
+      val allPass = (1 to rules.size).map(i => s"r$i").mkString(" AND ")
+      s"""WITH f AS (
+         | SELECT source,
+         |  cast(len($dToks) as int) AS nw,
+         |  cast(length(regexp_replace(text, '\\s+', '', 'g')) as int) AS nc,
+         |  cast(len(list_filter($dToks, t -> regexp_matches(t, '[a-zA-Z]'))) as int) AS nalpha,
+         |  cast(len(list_intersect(list_distinct($dToks),
+         |    ['the','a','of','and','to','in'])) as int) AS nstopd,
+         |  cast(len(list_distinct($dToks)) as int) AS ndist,
+         |  cast(len(regexp_extract_all(text, '[#@%*=<>]')) as int) AS nsym,
+         |  cast(list_max(list_transform(list_distinct($dToks),
+         |    t -> len(list_filter($dToks, x -> x = t)))) as int) AS topcnt
+         | FROM documents),
+         |r AS (SELECT source, $rCols FROM f)
+         |SELECT source, cast(count(*) as bigint) AS n_docs,
+         | $fails,
+         | cast(sum(CASE WHEN $allPass THEN 1 ELSE 0 END) as bigint) AS n_pass_all
+         |FROM r GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    "q194_ngram_novelty" -> {
+      val g5 = s"list_distinct(list_transform(" +
+        s"generate_series(1, greatest(len($dToks) - 4, 1)), " +
+        s"i -> array_to_string(list_slice($dToks, i, i + 4), ' ')))"
+      s"""WITH sh AS (
+         | SELECT doc_id, $g5 AS g FROM documents),
+         |ref AS (
+         | SELECT DISTINCT unnest(g) AS gram FROM sh WHERE doc_id % 7 = 0),
+         |ex AS (
+         | SELECT doc_id, unnest(g) AS gram FROM sh WHERE doc_id % 7 <> 0)
+         |SELECT ex.doc_id AS doc_id,
+         | cast(count(*) as bigint) AS n_grams,
+         | cast(count(ref.gram) as bigint) AS n_seen,
+         | (cast(count(*) as bigint) - count(ref.gram)) * 1000000
+         |   // cast(count(*) as bigint) AS novelty_ppm
+         |FROM ex LEFT JOIN ref ON ref.gram = ex.gram
+         |GROUP BY ex.doc_id ORDER BY doc_id""".stripMargin
+    },
 
     "q22_langid" ->
       s"""SELECT doc_id, v_en, v_es, v_de,

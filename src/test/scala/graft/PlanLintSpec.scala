@@ -73,6 +73,8 @@ class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val classification: Map[String, Set[String]] = Map(
     "q191_bmp_roundtrip" -> strict,
     "q192_ann_frontier" -> Set(OracleCross),
+    "q193_gopher_rules" -> strict,
+    "q194_ngram_novelty" -> strict,
     "q01_enriched_tstamp" -> strict,
     "q02_sdj_bad" -> strict,
     "q02_sdj_good" -> strict,
