@@ -398,4 +398,22 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
           s"doc $id: only the last chunk may run short")
     }
   }
+
+  test("BMP codec: decode inverts encode for arbitrary dimensions and pixel planes") {
+    val dimGen = for {
+      w <- Gen.chooseNum(1, 17) // crosses every stride-padding residue
+      h <- Gen.chooseNum(1, 13)
+      seed <- Gen.chooseNum(0, 1000)
+    } yield (w, h, seed)
+    samples(dimGen, 60).foreach { case (_, (w, h, seed)) =>
+      val pixels = Array.tabulate(w * h * 3)(i => ((i * 31 + seed) % 256).toByte)
+      val decoded = graft.operators.BmpCodec.decode(
+        graft.operators.BmpCodec.encode(pixels, w, h))
+      assert(decoded.isDefined, s"decode failed at ${w}x$h")
+      val d = decoded.get
+      assert(d.width == w && d.height == h && d.channels == 3,
+        s"dims ${d.width}x${d.height} != ${w}x$h")
+      assert(d.pixels.sameElements(pixels), s"pixel plane differs at ${w}x$h")
+    }
+  }
 }
