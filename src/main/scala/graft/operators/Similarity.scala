@@ -320,6 +320,49 @@ object Similarity {
         .orderBy("family", "query_id")
     },
 
+    // SemDeDup-style SEMANTIC dedup (Abbas et al. 2023 shape) — the
+    // embedding-space sibling of q61's MinHash pipeline: cluster the
+    // corpus (the IVF cells stand in for the paper's k-means), call a
+    // WITHIN-CELL pair a semantic duplicate when cosine ≥ τ, close the
+    // dup relation with connected components, keep one doc per group
+    // (min-id canonical — q61's convention; the paper keeps the
+    // farthest-from-centroid member, a one-line swap on the same
+    // machinery). Cross-cell pairs are ignored BY DESIGN — that is the
+    // approximation that makes SemDeDup linear-ish, and the oracle
+    // mirrors the same blocking, so the hash match verifies the
+    // closure, not a lucky recall. At 100 TB the cell count grows with
+    // the corpus (finer k-means) to keep within-cell pair work bounded;
+    // CC contracts to touched vertices only, exactly as q187.
+    "q195_semantic_dedup" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val tau = 0.35 // the synthetic table's dup band (max pairwise 0.51)
+      val e = Synth.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("cell", expr(clusterExprSpark("embedding")))
+        .localCheckpoint() // feeds both pair sides + the final attach
+      // pair generation via the checkpointed self-join (the measured
+      // ReusedExchange shape — bucketPairs would collect embedding
+      // arrays into per-cell lists; see COVERAGE.md bench notes r9)
+      val a = e.select(col("cell"), col("vec_id").as("id_a"),
+        col("embedding").as("emb_a"))
+      val b = e.select(col("cell"), col("vec_id").as("id_b"),
+        col("embedding").as("emb_b"))
+      val edges = a.join(b.hint("shuffle_hash"), Seq("cell"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cos", expr(Dedup.dot("emb_a", "emb_b")))
+        .filter(col("cos") >= tau)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val touched = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id"))).distinct()
+      val comp = ConnectedComponents.run(touched, edges)
+      e.select(col("vec_id"), col("cell").cast("int").as("cell"))
+        .join(comp.toDF("vec_id", "comp"), Seq("vec_id"), "left")
+        .withColumn("sem_group", coalesce(col("comp"), col("vec_id")))
+        .withColumn("keep", col("vec_id") === col("sem_group"))
+        .select("vec_id", "cell", "sem_group", "keep")
+        .orderBy("vec_id")
+    },
+
     // Johnson–Lindenstrauss random-projection ANN: project the 64-dim
     // embeddings to 16 dims with a deterministic ±1 sign matrix (the
     // Achlioptas construction — ±1 entries preserve pairwise dots in
@@ -750,6 +793,26 @@ object Similarity {
          |FROM ex LEFT JOIN ap
          |  ON ap.query_id = ex.query_id AND ap.vec_id = ex.vec_id
          |GROUP BY ex.query_id ORDER BY query_id""".stripMargin,
+
+    "q195_semantic_dedup" ->
+      s"""WITH RECURSIVE b AS (
+         | SELECT vec_id, embedding,
+         |  ${clusterExprDuck("embedding")} AS cell
+         | FROM embeddings),
+         |edges AS (
+         | SELECT a.vec_id AS src, bb.vec_id AS dst
+         | FROM b a JOIN b bb ON a.cell = bb.cell AND a.vec_id < bb.vec_id
+         | WHERE ${dotDuck("a.embedding", "bb.embedding")} >= 0.35),
+         |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+         |reach(src, dst) AS (
+         | SELECT src, dst FROM sym
+         | UNION
+         | SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
+         |SELECT e.vec_id AS vec_id, cast(e.cell as int) AS cell,
+         | least(e.vec_id, coalesce(min(r.dst), e.vec_id)) AS sem_group,
+         | e.vec_id = least(e.vec_id, coalesce(min(r.dst), e.vec_id)) AS keep
+         |FROM b e LEFT JOIN reach r ON r.src = e.vec_id
+         |GROUP BY e.vec_id, e.cell ORDER BY vec_id""".stripMargin,
 
     "q192_ann_frontier" -> {
       import ProductQuantization.{nSub => pqSub}

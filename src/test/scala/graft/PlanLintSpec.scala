@@ -75,6 +75,7 @@ class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q192_ann_frontier" -> Set(OracleCross),
     "q193_gopher_rules" -> strict,
     "q194_ngram_novelty" -> strict,
+    "q195_semantic_dedup" -> strict,
     "q01_enriched_tstamp" -> strict,
     "q02_sdj_bad" -> strict,
     "q02_sdj_good" -> strict,
