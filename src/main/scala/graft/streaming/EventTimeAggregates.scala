@@ -301,6 +301,29 @@ object EventTimeAggregates {
       .agg(expr("max_by(cluster_id, ver)").as("cluster_id"))
   }
 
+  /** Streaming n-gram novelty — the streaming twin of batch q194: each
+    * arriving doc is scored for the fraction of its distinct 5-grams
+    * absent from the PRECOMPUTED reference gram table (stream-static
+    * left join — the reference is an earlier snapshot or a benchmark
+    * suite, refreshed offline exactly like the q62b band index). State
+    * is one counter pair per in-flight doc (each doc_id arrives once);
+    * everything else is stateless per micro-batch. Update mode.
+    *
+    * `docs` (streaming): doc_id, text. `refGrams` (static): gram.
+    */
+  def streamingNovelty(docs: DataFrame, refGrams: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), explode(
+        expr(s"graft_shingles(${graft.operators.Dedup.toks}, 5)")).as("gram"))
+      .join(refGrams.select(col("gram")).withColumn("hit", lit(1)),
+        Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_seen"))
+      .withColumn("novelty_ppm",
+        expr("(n_grams - n_seen) * 1000000L div n_grams"))
+  }
+
   /** Streaming count-min sketch — the batch q102 sketch maintained
     * incrementally: the (row, bucket) counts are a streaming aggregation
     * whose state is the FIXED d×W integer grid regardless of stream

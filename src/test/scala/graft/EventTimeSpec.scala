@@ -373,6 +373,50 @@ class EventTimeSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming novelty equals batch q194 point-for-point across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    def run(a: Int, b: Int) = (a to b).map(i => s"t$i").mkString(" ")
+    // reference corpus: two docs; their distinct 5-grams are the static side
+    val ref = Seq((1L, run(1, 30)), (2L, run(50, 80))).toDF("doc_id", "text")
+    val refGrams = ref.select(explode(expr(
+      s"graft_shingles(${graft.operators.Dedup.toks}, 5)")).as("gram")).distinct()
+      .localCheckpoint()
+    // arriving docs: a near-copy (low novelty), an overlap, a novel doc
+    val arriving = Seq(
+      (10L, run(1, 30)),          // all grams seen -> novelty 0
+      (11L, run(20, 45)),         // partial overlap
+      (12L, run(100, 130)))       // fully novel -> novelty 1e6
+    val mem = MemoryStream[(Long, String)]
+    val out = EventTimeAggregates.streamingNovelty(
+      mem.toDF().toDF("doc_id", "text"), refGrams)
+    val q = out.writeStream.format("memory").queryName("snov")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(arriving(0), arriving(1))
+      q.processAllAvailable()
+      mem.addData(arriving(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql(
+      "select doc_id, n_grams, n_seen, novelty_ppm from snov")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).map { case (k, v) => k -> v.last._2 } // Update mode: last wins
+    // batch truth: the same computation over a static frame
+    val batch = arriving.toDF("doc_id", "text")
+      .select(col("doc_id"), explode(expr(
+        s"graft_shingles(${graft.operators.Dedup.toks}, 5)")).as("gram"))
+      .join(refGrams.withColumn("hit", lit(1)), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_seen"))
+      .withColumn("novelty_ppm", expr("(n_grams - n_seen) * 1000000L div n_grams"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == batch, s"stream $got != batch $batch")
+    assert(got(10L)._3 == 0L && got(12L)._3 == 1000000L,
+      s"novelty extremes wrong: $got")
+  }
+
   test("streaming drift monitor: per-window TV against the broadcast reference histogram") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
