@@ -504,6 +504,53 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // The funnel ATTRITION REPORT per source — q60 executes the funnel
+    // and emits survivors; operators also publish WHERE the corpus went
+    // (the FineWeb-style stage table): per source, docs surviving each
+    // stage — exact dedup (q60's canonical window), quality floor,
+    // language gate, then a NEAR-DUP canonical stage q60 doesn't have
+    // (min-id survivor per q61 cluster AMONG the docs still alive at
+    // that stage — the memoized cluster map joins in, nothing is
+    // re-signatured) — plus the surviving token mass. Flags are
+    // computed once in a single pass (two windows + one map-probe
+    // join + one #sources-row aggregation); a stage that nukes a whole
+    // source is visible here before the corpus ships.
+    "q196_funnel_report" -> { (s, dir) =>
+      val wHash = Window.partitionBy("content_hash")
+      val wCluster = Window.partitionBy("cluster_id")
+      val base = Synth.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+        .withColumn("content_hash", md5(col("text").cast("binary")))
+        .withColumn("s1", col("doc_id") === min(col("doc_id")).over(wHash))
+        .withColumn("n_tokens", expr(s"size($toks)"))
+        .withColumn("n_stop", expr(s"size(filter($toks, t -> t in $EnSet))"))
+        .withColumn("n_distinct", expr(s"size(array_distinct($toks))"))
+        .withColumn("quality_score",
+          least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.3
+            + (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) * 0.3
+            + col("n_distinct").cast("double") / col("n_tokens") * 0.4)
+        .withColumn("s2", col("s1") && col("quality_score") > 0.5)
+        .withColumn("v_es", expr(s"size(filter($toks, t -> t in $EsSet))"))
+        .withColumn("v_de", expr(s"size(filter($toks, t -> t in $DeSet))"))
+        .withColumn("s3", col("s2") &&
+          col("n_stop") + col("v_es") + col("v_de") > 0 &&
+          col("n_stop") >= col("v_es") && col("n_stop") >= col("v_de"))
+      base.join(Dedup.clusterMap(s, dir), "doc_id")
+        .withColumn("min_surv",
+          min(when(col("s3"), col("doc_id"))).over(wCluster))
+        .withColumn("s4", col("s3") && col("doc_id") === col("min_surv"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_in"),
+          sum(when(col("s1"), 1L).otherwise(0L)).as("n_post_exact"),
+          sum(when(col("s2"), 1L).otherwise(0L)).as("n_post_quality"),
+          sum(when(col("s3"), 1L).otherwise(0L)).as("n_post_lang"),
+          sum(when(col("s4"), 1L).otherwise(0L)).as("n_post_neardup"),
+          sum(when(col("s4"), col("n_tokens").cast("long")).otherwise(0L))
+            .as("tokens_kept"))
+        .orderBy("source")
+    },
+
     // Deterministic stratified sampling — reproducible corpus downsampling
     // by source: keep a doc iff the md5 of its SALTED id falls below the
     // stratum's hex threshold. Unlike rand()/TABLESAMPLE this is stable
@@ -1567,6 +1614,42 @@ object TextAnalysis {
          |  AND v_en + v_es + v_de > 0 AND v_en >= v_es AND v_en >= v_de
          |  AND substring(md5('sample:' || cast(doc_id as varchar)), 1, 4) < 'cccc'
          |ORDER BY doc_id""".stripMargin,
+
+    "q196_funnel_report" ->
+      s"""${graft.operators.Dedup.duckQ61Reach},
+         |clusters AS (
+         |  SELECT d.doc_id,
+         |    least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS cluster_id
+         |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+         |  GROUP BY d.doc_id),
+         |f AS (
+         |  SELECT d.doc_id, d.source, c.cluster_id,
+         |    cast(len($dToks) as int) AS n_tokens,
+         |    (d.doc_id = min(d.doc_id) OVER (PARTITION BY md5(d.text))) AS s1,
+         |    least(cast(len($dToks) as double) / 100.0, 1.0) * 0.3
+         |      + (1.0 - cast(len(list_filter($dToks, t -> t in $EnSet)) as double)
+         |          / len($dToks)) * 0.3
+         |      + cast(len(list_distinct($dToks)) as double) / len($dToks) * 0.4
+         |      AS quality_score,
+         |    cast(len(list_filter($dToks, t -> t in $EnSet)) as int) AS v_en,
+         |    cast(len(list_filter($dToks, t -> t in $EsSet)) as int) AS v_es,
+         |    cast(len(list_filter($dToks, t -> t in $DeSet)) as int) AS v_de
+         |  FROM documents d JOIN clusters c ON c.doc_id = d.doc_id),
+         |g AS (
+         |  SELECT *, (s1 AND quality_score > 0.5) AS s2 FROM f),
+         |h AS (
+         |  SELECT *, (s2 AND v_en + v_es + v_de > 0
+         |    AND v_en >= v_es AND v_en >= v_de) AS s3 FROM g),
+         |i AS (
+         |  SELECT *, (s3 AND doc_id = min(CASE WHEN s3 THEN doc_id END)
+         |    OVER (PARTITION BY cluster_id)) AS s4 FROM h)
+         |SELECT source, cast(count(*) as bigint) AS n_in,
+         |  cast(sum(CASE WHEN s1 THEN 1 ELSE 0 END) as bigint) AS n_post_exact,
+         |  cast(sum(CASE WHEN s2 THEN 1 ELSE 0 END) as bigint) AS n_post_quality,
+         |  cast(sum(CASE WHEN s3 THEN 1 ELSE 0 END) as bigint) AS n_post_lang,
+         |  cast(sum(CASE WHEN s4 THEN 1 ELSE 0 END) as bigint) AS n_post_neardup,
+         |  cast(sum(CASE WHEN s4 THEN n_tokens ELSE 0 END) as bigint) AS tokens_kept
+         |FROM i GROUP BY source ORDER BY source""".stripMargin,
 
     "q29_stratified_sample" ->
       """SELECT doc_id, source,

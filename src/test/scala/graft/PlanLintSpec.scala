@@ -76,6 +76,7 @@ class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q193_gopher_rules" -> strict,
     "q194_ngram_novelty" -> strict,
     "q195_semantic_dedup" -> strict,
+    "q196_funnel_report" -> strict,
     "q01_enriched_tstamp" -> strict,
     "q02_sdj_bad" -> strict,
     "q02_sdj_good" -> strict,
