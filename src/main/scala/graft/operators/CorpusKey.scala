@@ -88,10 +88,20 @@ object CorpusKey {
     val wh = new Path(s.conf.get("spark.sql.warehouse.dir"))
     val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
     val stem = table.substring(0, table.lastIndexOf('_') + 1)
+    // One-time migration (r9 advice): artifacts memoized before the
+    // `_p<pathhash>` stem segment existed are named `<stem'>_<fp>` where
+    // stem' lacks the p-segment — invisible to the sweep below, so each
+    // would orphan forever. Sweep that legacy stem too; the p-segment is
+    // always the stem's final component, so stripping it is unambiguous.
+    // (A legacy name can only be this corpus family's: the fp suffix is
+    // bare hex, which the `p...` segment of any new-scheme name is not.)
+    val legacyStem = stem.replaceFirst("_p[0-9a-f]{1,8}_$", "_")
+    val stems = Seq(stem) ++ (if (legacyStem != stem) Seq(legacyStem) else Nil)
     if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
       val n = st.getPath.getName
-      if (n != table && n.startsWith(stem) &&
-          n.substring(stem.length).matches("[0-9a-f]+")) {
+      val superseded = stems.exists(sm => n != table && n.startsWith(sm) &&
+        n.substring(sm.length).matches("[0-9a-f]+"))
+      if (superseded) {
         if (s.catalog.tableExists(n)) s.sql(s"DROP TABLE `$n`")
         if (fs.exists(st.getPath)) fs.delete(st.getPath, true)
       }

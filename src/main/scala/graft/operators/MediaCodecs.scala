@@ -51,13 +51,21 @@ object BmpCodec extends MediaCodec {
     val rawHeight = le32(b, 22)
     val bpp = le16(b, 28)
     val compression = le32(b, 30)
+    // rawHeight == Int.MinValue survives math.abs as negative, and a
+    // width near 2^30 overflows `width * 3` — both must reject here, in
+    // LONG arithmetic, or a crafted header throws instead of degrading
+    // to None (r9 advice)
     if (dibSize < 40 || width <= 0 || rawHeight == 0 ||
-        bpp != 24 || compression != 0) return None
+        rawHeight == Int.MinValue || bpp != 24 || compression != 0) return None
     val height = math.abs(rawHeight)
     val bottomUp = rawHeight > 0
-    val rowBytes = width * 3
-    val stride = (rowBytes + 3) & ~3
-    if (offBits < 0 || height.toLong * stride + offBits > b.length) return None
+    val rowBytesL = 3L * width
+    val strideL = (rowBytesL + 3L) & ~3L
+    if (offBits < 0 || rowBytesL > Int.MaxValue ||
+        height.toLong * strideL + offBits > b.length) return None
+    // both fit Int now: height*stride + offBits <= b.length <= 2^31-1
+    val rowBytes = rowBytesL.toInt
+    val stride = strideL.toInt
     val out = new Array[Byte](rowBytes * height)
     var r = 0
     while (r < height) {

@@ -235,7 +235,10 @@ object EventTimeAggregates {
           out.result().iterator
         })
       .toDF("src", "dst")
-    val selfEdges = bands.select(col("doc_id").as("src"),
+    // from the PRE-banding doc stream — `bands` has one row per
+    // (doc, band), which would emit nBands duplicate self-edges per doc
+    // and tax every consumer's shuffle (r9 advice)
+    val selfEdges = docs.select(col("doc_id").as("src"),
       col("doc_id").as("dst"))
     newOld.unionByName(newNew).unionByName(selfEdges)
   }
@@ -305,23 +308,42 @@ object EventTimeAggregates {
     * arriving doc is scored for the fraction of its distinct 5-grams
     * absent from the PRECOMPUTED reference gram table (stream-static
     * left join — the reference is an earlier snapshot or a benchmark
-    * suite, refreshed offline exactly like the q62b band index). State
-    * is one counter pair per in-flight doc (each doc_id arrives once);
-    * everything else is stateless per micro-batch. Update mode.
+    * suite, refreshed offline exactly like the q62b band index). Update
+    * mode.
     *
-    * `docs` (streaming): doc_id, text. `refGrams` (static): gram.
+    * State: without `eventTime`, the counter pair per doc_id is kept
+    * FOREVER — a streaming aggregation only evicts keyed state past a
+    * watermark, and doc_id alone has no event time. That unbounded
+    * growth (one small row per doc ever seen) is acceptable for bounded
+    * replays/tests only (r9 advice). For a production stream pass
+    * `eventTime` = the arrival-timestamp column: docs are grouped under
+    * their arrival window and the watermark evicts each window's state
+    * `delay` past its close. A doc's grams all arrive in one row, so
+    * windowing never splits a doc and the scores are identical.
+    *
+    * `docs` (streaming): doc_id, text [, eventTime col].
+    * `refGrams` (static): gram.
     */
-  def streamingNovelty(docs: DataFrame, refGrams: DataFrame): DataFrame = {
+  def streamingNovelty(docs: DataFrame, refGrams: DataFrame,
+      eventTime: Option[String] = None,
+      windowDur: String = "10 minutes",
+      delay: String = "10 minutes"): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    docs
-      .select(col("doc_id"), explode(
-        expr(s"graft_shingles(${graft.operators.Dedup.toks}, 5)")).as("gram"))
+    val src = eventTime.fold(docs)(c => docs.withWatermark(c, delay))
+    val grams = src.select(
+      col("doc_id") +: eventTime.map(col).toSeq :+ explode(
+        expr(s"graft_shingles(${graft.operators.Dedup.toks}, 5)")).as("gram"): _*)
       .join(refGrams.select(col("gram")).withColumn("hit", lit(1)),
         Seq("gram"), "left")
-      .groupBy("doc_id")
+    val grouped = eventTime match {
+      case Some(c) => grams.groupBy(col("doc_id"), window(col(c), windowDur))
+      case None    => grams.groupBy(col("doc_id"))
+    }
+    grouped
       .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_seen"))
       .withColumn("novelty_ppm",
         expr("(n_grams - n_seen) * 1000000L div n_grams"))
+      .select("doc_id", "n_grams", "n_seen", "novelty_ppm")
   }
 
   /** Streaming count-min sketch — the batch q102 sketch maintained

@@ -104,4 +104,27 @@ class CorpusRebuildSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n2 == n1)
     assert(!Files.exists(loc.toPath.resolve("orphan.bin")))
   }
+
+  test("legacy pre-p-segment artifact names are swept by the first new-scheme build (r9 advice)") {
+    val dir = Files.createTempDirectory("rebuild_corpus3").toString
+    writeCorpus(dir, "legacy-migration", 8)
+    // fabricate an artifact memoized under the r7-era naming
+    // <prefix>_<dirSuffix>_<fp> — no `_p<pathhash>` segment — which the
+    // stem-anchored sibling sweep alone would never match
+    val newName =
+      graft.operators.CorpusKey.tableName(spark, "graft_suffix_ranks", dir)
+    val stem = newName.substring(0, newName.lastIndexOf('_') + 1)
+    val legacyStem = stem.replaceFirst("_p[0-9a-f]{1,8}_$", "_")
+    assert(legacyStem != stem, s"p-segment missing from $newName")
+    val legacy = legacyStem + "deadbeef"
+    spark.range(3).write.saveAsTable(legacy)
+    assert(new java.io.File(warehouse, legacy).exists)
+
+    val n = SuffixRank.queries("q111_suffix_ranks")(spark, dir).collect().length
+    assert(n > 0)
+    assert(!spark.catalog.tableExists(legacy),
+      "legacy catalog entry not swept")
+    assert(!new java.io.File(warehouse, legacy).exists,
+      "legacy warehouse location not swept")
+  }
 }

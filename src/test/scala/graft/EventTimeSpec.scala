@@ -417,6 +417,45 @@ class EventTimeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"novelty extremes wrong: $got")
   }
 
+  test("watermarked streaming novelty: identical scores, closed-window state evicted (r9 advice)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    def run(a: Int, b: Int) = (a to b).map(i => s"t$i").mkString(" ")
+    val refGrams = Seq((1L, run(1, 30))).toDF("doc_id", "text")
+      .select(explode(expr(
+        s"graft_shingles(${graft.operators.Dedup.toks}, 5)")).as("gram"))
+      .distinct().localCheckpoint()
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val out = EventTimeAggregates.streamingNovelty(
+      mem.toDF().toDF("ts", "doc_id", "text"), refGrams,
+      eventTime = Some("ts"))
+    val q = out.writeStream.format("memory").queryName("snovw")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // window [10:00,10:10): three docs
+      mem.addData((t(10, 1), 20L, run(1, 30)),
+        (t(10, 2), 21L, run(20, 45)), (t(10, 3), 22L, run(100, 130)))
+      q.processAllAvailable()
+      // 11:00 advances the watermark to 10:50 — far past the first
+      // window's close+delay, so its three state rows must evict
+      mem.addData((t(11, 0), 23L, run(1, 30)))
+      q.processAllAvailable()
+      mem.addData((t(11, 1), 24L, run(200, 220)))
+      q.processAllAvailable()
+      val got = spark.sql("select doc_id, novelty_ppm from snovw").collect()
+        .groupBy(_.getLong(0)).map { case (k, v) => k -> v.last.getLong(1) }
+      assert(got(20L) == 0L && got(22L) == 1000000L && got(23L) == 0L &&
+        got(24L) == 1000000L, s"scores wrong: $got")
+      assert(got(21L) > 0L && got(21L) < 1000000L, s"partial overlap: $got")
+      // eviction: only the live 11:xx windows' rows remain in state
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 2,
+        s"closed-window novelty state not evicted: $stateRows rows")
+    } finally q.stop()
+  }
+
   test("streaming drift monitor: per-window TV against the broadcast reference histogram") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

@@ -66,6 +66,25 @@ class MediaCodecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(BmpCodec.decode(short).isEmpty)
   }
 
+  test("crafted headers degrade to None, never throw (r9 advice: Long-validated sizes)") {
+    val good = BmpCodec.encode(px(8 * 3), 8, 1)
+    def withLe32(off: Int, v: Int): Array[Byte] = {
+      val c = good.clone()
+      c(off) = v.toByte; c(off + 1) = (v >> 8).toByte
+      c(off + 2) = (v >> 16).toByte; c(off + 3) = (v >> 24).toByte
+      c
+    }
+    // width near 2^30: width*3 overflows Int negative, bounds check must
+    // not pass and the pixel alloc must not throw NegativeArraySize
+    assert(BmpCodec.decode(withLe32(18, 0x40000000)).isEmpty)
+    // 3*width just past Int.MaxValue
+    assert(BmpCodec.decode(withLe32(18, 715827883)).isEmpty)
+    // Int.MinValue height survives math.abs as negative
+    assert(BmpCodec.decode(withLe32(22, Int.MinValue)).isEmpty)
+    // offBits pushing the Long extent past the payload
+    assert(BmpCodec.decode(withLe32(10, Int.MaxValue)).isEmpty)
+  }
+
   test("decodeAndExtract dispatches by mime: decoded plane for BMP, stand-in else, fallback on corrupt") {
     val pixels = px(8 * 3 * 4) // 8x4 plane
     val bmp = BmpCodec.encode(pixels, 8, 4)
