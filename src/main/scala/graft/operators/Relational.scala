@@ -23,6 +23,27 @@ object Relational {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
 
+  /** Rank-guarantee verdict for a GK quantile sketch value (the r9
+    * verdict's approx-vs-exact-twin gate): `approx_percentile(x, p, acc)`
+    * returns an ELEMENT whose rank error is ≤ n/acc — a HARD worst-case
+    * bound of the Greenwald–Khanna summary, deterministic under any
+    * partition/merge order, not a probabilistic one. The verdict mirrors
+    * SketchErrorSpec.assertRank: the element's rank span [#(x<v), #(x≤v)]
+    * must cover the continuous target index p·(n−1)+1 within 3·n/acc + 1
+    * ranks (3× the guarantee; +1 absorbs the interpolation convention).
+    * Emitted as an int column the DuckDB oracle asserts ≡ 1 — a violated
+    * bound hash-mismatches and fails the correctness gate.
+    */
+  private def rankOk(p: Double, acc: Double,
+      rlo: org.apache.spark.sql.Column, rhi: org.apache.spark.sql.Column,
+      n: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val nd = n.cast("double")
+    val target = lit(p) * (nd - 1) + 1
+    val slack = lit(3.0 / acc) * nd + 1
+    when(rhi > rlo && target >= rlo.cast("double") - slack &&
+      target <= rhi.cast("double") + 1 + slack, 1).otherwise(0)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-style pricing summary: the canonical partial-agg shape
     // (map-side combine → final agg; no shuffle of raw rows).
@@ -449,19 +470,40 @@ object Relational {
     // aggregation state) swap for approx_percentile — a mergeable sketch
     // with state bounded by the accuracy parameter, independent of data
     // volume — at the IDENTICAL two-pass + broadcast shape. Estimates
-    // are engine-specific ⇒ rows-only check; q97 stays the exact twin.
+    // are engine-specific, so the output is the exact q97 twin row plus
+    // med_ok/mad_ok [[rankOk]] verdicts the oracle asserts ≡ 1 (r9
+    // verdict #2). The MAD sketch consumed |value − approx_med|, so its
+    // rank verdict runs over THAT deviation distribution — the one the
+    // guarantee actually applies to — not the exact-median deviations.
     "q97b_robust_outliers_approx" -> { (s, dir) =>
       val ev = Synth.events(s, dir).select(col("event_type"), col("value"))
+      val medsA = ev.groupBy("event_type")
+        .agg(expr("approx_percentile(value, 0.5, 10000)").as("med_a"))
+      val devA = ev.join(broadcast(medsA), "event_type")
+        .withColumn("dev_a", abs(col("value") - col("med_a")))
+      val madsA = devA.groupBy("event_type")
+        .agg(expr("approx_percentile(dev_a, 0.5, 10000)").as("mad_a"))
+      val ranks = devA.join(broadcast(madsA), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") < col("med_a"), 1L).otherwise(0L)).as("rloM"),
+          sum(when(col("value") <= col("med_a"), 1L).otherwise(0L)).as("rhiM"),
+          sum(when(col("dev_a") < col("mad_a"), 1L).otherwise(0L)).as("rloD"),
+          sum(when(col("dev_a") <= col("mad_a"), 1L).otherwise(0L)).as("rhiD"))
       val meds = ev.groupBy("event_type")
-        .agg(expr("approx_percentile(value, 0.5, 10000)").as("med"))
+        .agg(expr("percentile(value, 0.5)").as("med"))
       val dev = ev.join(broadcast(meds), "event_type")
         .withColumn("dev", abs(col("value") - col("med")))
       val mads = dev.groupBy("event_type")
-        .agg(expr("approx_percentile(dev, 0.5, 10000)").as("mad"))
-      dev.join(broadcast(mads), "event_type")
+        .agg(expr("percentile(dev, 0.5)").as("mad"))
+      val exact = dev.join(broadcast(mads), "event_type")
         .groupBy("event_type")
         .agg(first(col("med")).as("med"), first(col("mad")).as("mad"),
           sum(when(col("dev") > col("mad") * 3, 1L).otherwise(0L)).as("n_outliers"))
+      exact.join(ranks, "event_type")
+        .select(col("event_type"), col("med"), col("mad"), col("n_outliers"),
+          rankOk(0.5, 10000, col("rloM"), col("rhiM"), col("n")).as("med_ok"),
+          rankOk(0.5, 10000, col("rloD"), col("rhiD"), col("n")).as("mad_ok"))
         .orderBy("event_type")
     },
 
@@ -496,19 +538,39 @@ object Relational {
     // KB regardless of cardinality, and sketches union losslessly inside
     // the window frame (hll_union_agg — DataSketches HLL, the same
     // mergeability contract q44 exercises). Estimates are
-    // engine-specific ⇒ rows-only correctness check, with q96 kept as
-    // the exact oracle-checked twin.
+    // engine-specific, so the output is the EXACT day row (the q96 twin,
+    // computed alongside) plus dau_ok/wau_ok verdicts that each HLL
+    // estimate sits within 3 standard errors (3·1.04/√2^12 for the
+    // default lgConfigK = 12) of the exact count — asserted ≡ 1 by the
+    // oracle (r9 verdict #2). HLL registers are max-merged, so the
+    // estimate is a deterministic function of the user SET, partition
+    // order included — the verdict is stable, not flaky.
     "q96b_rolling_dau_hll" -> { (s, dir) =>
-      val daySk = Synth.events(s, dir)
+      val du = Synth.events(s, dir)
         .select(to_date(col("ts")).as("d"), col("user_id"))
-        .groupBy("d")
-        .agg(hll_sketch_agg(col("user_id")).as("sk"))
       val w = Window.orderBy(col("dn")).rangeBetween(-6, 0)
-      daySk
+      val est = du.groupBy("d")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
         .withColumn("dn", datediff(col("d"), lit("2024-01-01").cast("date")))
-        .withColumn("dau", hll_sketch_estimate(col("sk")))
-        .withColumn("wau", hll_sketch_estimate(hll_union_agg(col("sk")).over(w)))
+        .withColumn("dau_e", hll_sketch_estimate(col("sk")))
+        .withColumn("wau_e",
+          hll_sketch_estimate(hll_union_agg(col("sk")).over(w)))
+        .select("d", "dau_e", "wau_e")
+      val daySets = du.distinct().groupBy("d")
+        .agg(collect_set(col("user_id")).as("us"), count(lit(1)).as("dau"))
+      val exact = daySets
+        .withColumn("dn", datediff(col("d"), lit("2024-01-01").cast("date")))
+        .withColumn("wau",
+          size(array_distinct(flatten(collect_list(col("us")).over(w)))))
         .select("d", "dau", "wau")
+      val eps = 3 * 1.04 / math.sqrt(1 << 12) // ≈ 0.0488
+      def ok(e: org.apache.spark.sql.Column, x: org.apache.spark.sql.Column) =
+        when(abs(e - x.cast("double"))
+          <= greatest(x.cast("double") * eps, lit(3.0)), 1).otherwise(0)
+      exact.join(est, "d")
+        .select(col("d"), col("dau"), col("wau"),
+          ok(col("dau_e"), col("dau")).as("dau_ok"),
+          ok(col("wau_e"), col("wau")).as("wau_ok"))
         .orderBy("d")
     },
 
@@ -758,26 +820,40 @@ object Relational {
 
     // q84 at production scale: boundary quartiles via approx_percentile
     // (mergeable sketch, state bounded by the accuracy parameter — not
-    // O(distinct values)); the downstream bucket-assignment pass is
-    // byte-identical to q84's. Estimates are engine-specific ⇒
-    // rows-only check; q84 stays the exact twin.
+    // O(distinct values)). Estimates are engine-specific, so the output
+    // is one row per quartile: the EXACT boundary (oracle-computable —
+    // the q84 interpolation is bit-identical cross-engine) plus a
+    // [[rankOk]] verdict that the sketch boundary honors the GK n/acc
+    // rank guarantee; the oracle asserts rank_ok ≡ 1 (r9 verdict #2).
+    // The downstream bucket pass lives in q84 — its counts under approx
+    // boundaries shift by ≤ n/acc ranks per edge, exactly the slack the
+    // verdict certifies.
     "q84b_equidepth_approx" -> { (s, dir) =>
-      val ev = Synth.events(s, dir)
-      val bounds = ev.agg(
-        expr("approx_percentile(value, 0.25, 10000)").as("b1"),
-        expr("approx_percentile(value, 0.5, 10000)").as("b2"),
-        expr("approx_percentile(value, 0.75, 10000)").as("b3"))
-      ev.crossJoin(broadcast(bounds))
-        .withColumn("bucket",
-          when(col("value") <= col("b1"), 0)
-            .when(col("value") <= col("b2"), 1)
-            .when(col("value") <= col("b3"), 2)
-            .otherwise(3))
-        .groupBy("bucket")
+      val ev = Synth.events(s, dir).select("value")
+      val est = ev.agg(
+        expr("approx_percentile(value, 0.25, 10000)").as("e1"),
+        expr("approx_percentile(value, 0.5, 10000)").as("e2"),
+        expr("approx_percentile(value, 0.75, 10000)").as("e3"))
+      val exact = ev.agg(
+        expr("percentile(value, 0.25)").as("b1"),
+        expr("percentile(value, 0.5)").as("b2"),
+        expr("percentile(value, 0.75)").as("b3"))
+      ev.crossJoin(broadcast(est))
         .agg(count(lit(1)).as("n"),
-          min(dec(col("value"))).cast("double").as("lo"),
-          max(dec(col("value"))).cast("double").as("hi"))
-        .orderBy("bucket")
+          sum(when(col("value") < col("e1"), 1L).otherwise(0L)).as("rlo1"),
+          sum(when(col("value") <= col("e1"), 1L).otherwise(0L)).as("rhi1"),
+          sum(when(col("value") < col("e2"), 1L).otherwise(0L)).as("rlo2"),
+          sum(when(col("value") <= col("e2"), 1L).otherwise(0L)).as("rhi2"),
+          sum(when(col("value") < col("e3"), 1L).otherwise(0L)).as("rlo3"),
+          sum(when(col("value") <= col("e3"), 1L).otherwise(0L)).as("rhi3"))
+        .crossJoin(broadcast(exact))
+        .select(col("b1"), col("b2"), col("b3"),
+          rankOk(0.25, 10000, col("rlo1"), col("rhi1"), col("n")).as("ok1"),
+          rankOk(0.5, 10000, col("rlo2"), col("rhi2"), col("n")).as("ok2"),
+          rankOk(0.75, 10000, col("rlo3"), col("rhi3"), col("n")).as("ok3"))
+        .selectExpr("stack(3, 0.25d, b1, ok1, 0.5d, b2, ok2, 0.75d, b3, ok3)" +
+          " as (q, exact_b, rank_ok)")
+        .orderBy("q")
     },
 
     // Salted two-phase aggregation — the skew-mitigation pattern for
@@ -1150,16 +1226,36 @@ object Relational {
 
     // Approximate sketches: HLL distinct counts + approximate quantiles —
     // single-pass mergeable state, the 100 TB substitute for exact
-    // distinct/percentile. No SQL-exact oracle (sketch estimates are
-    // engine-specific); the driver records a rows-only check.
+    // distinct/percentile. Sketch estimates are engine-specific, so the
+    // OUTPUT is the exact twin plus integer bound-verdict columns the
+    // oracle asserts ≡ 1 (r9 verdict #2): users_ok = HLL++ estimate
+    // within 3·rsd (rsd = 0.05 default) of the exact distinct count;
+    // p50_ok/p99_ok = the GK rank guarantee via [[rankOk]]. The verdict
+    // join-back is the ACCEPTANCE TEST shape — production runs the
+    // estimate-only first aggregate; the exact twin here is what makes
+    // the estimate hash-checkable at test scale.
     "q44_sketches" -> { (s, dir) =>
-      Synth.events(s, dir)
-        .groupBy(col("event_type"))
+      val ev = Synth.events(s, dir).select("event_type", "user_id", "value")
+      val est = ev.groupBy("event_type").agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_est"),
+        percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99_est"))
+      ev.join(broadcast(est), "event_type")
+        .groupBy("event_type")
         .agg(
-          approx_count_distinct(col("user_id")).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"),
-          percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"),
-          percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99_value"))
+          count(lit(1)).as("n"),
+          first(col("approx_users")).as("au"),
+          sum(when(col("value") < col("p50_est"), 1L).otherwise(0L)).as("rlo50"),
+          sum(when(col("value") <= col("p50_est"), 1L).otherwise(0L)).as("rhi50"),
+          sum(when(col("value") < col("p99_est"), 1L).otherwise(0L)).as("rlo99"),
+          sum(when(col("value") <= col("p99_est"), 1L).otherwise(0L)).as("rhi99"))
+        .select(col("event_type"), col("exact_users"),
+          when(abs(col("au").cast("double") - col("exact_users").cast("double"))
+            <= greatest(col("exact_users").cast("double") * 0.15, lit(2.0)), 1)
+            .otherwise(0).as("users_ok"),
+          rankOk(0.5, 1000, col("rlo50"), col("rhi50"), col("n")).as("p50_ok"),
+          rankOk(0.99, 1000, col("rlo99"), col("rhi99"), col("n")).as("p99_ok"))
         .orderBy("event_type")
     },
 
@@ -1832,6 +1928,52 @@ object Relational {
         | quantile_cont(value, 0.5) AS p50_value,
         | quantile_cont(value, 0.99) AS p99_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the oracle asserts the sketch-bound verdicts hold: estimates are
+    // engine-specific, their published error bounds are not
+    "q44_sketches" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        | 1 AS users_ok, 1 AS p50_ok, 1 AS p99_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q84b_equidepth_approx" ->
+      """WITH b AS (
+        |  SELECT quantile_cont(value, 0.25) AS b1,
+        |         quantile_cont(value, 0.5) AS b2,
+        |         quantile_cont(value, 0.75) AS b3
+        |  FROM events)
+        |SELECT cast(0.25 as double) AS q, b1 AS exact_b, 1 AS rank_ok FROM b
+        |UNION ALL SELECT cast(0.5 as double), b2, 1 FROM b
+        |UNION ALL SELECT cast(0.75 as double), b3, 1 FROM b
+        |ORDER BY q""".stripMargin,
+
+    "q96b_rolling_dau_hll" ->
+      """WITH du AS (
+        |  SELECT DISTINCT cast(ts as date) AS d, user_id FROM events),
+        |days AS (SELECT d, count(*) AS dau FROM du GROUP BY d)
+        |SELECT d, dau,
+        |  cast((SELECT count(DISTINCT u.user_id) FROM du u
+        |        WHERE u.d BETWEEN days.d - 6 AND days.d) as int) AS wau,
+        |  1 AS dau_ok, 1 AS wau_ok
+        |FROM days ORDER BY d""".stripMargin,
+
+    "q97b_robust_outliers_approx" ->
+      """WITH meds AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |dev AS (
+        |  SELECT e.event_type, abs(value - med) AS dev, med
+        |  FROM events e JOIN meds USING (event_type)),
+        |mads AS (
+        |  SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT d.event_type AS event_type, any_value(d.med) AS med,
+        |  any_value(m.mad) AS mad,
+        |  cast(sum(CASE WHEN d.dev > m.mad * 3 THEN 1 ELSE 0 END) as bigint)
+        |    AS n_outliers,
+        |  1 AS med_ok, 1 AS mad_ok
+        |FROM dev d JOIN mads m USING (event_type)
+        |GROUP BY d.event_type ORDER BY event_type""".stripMargin,
 
     "q45_above_brand_avg" ->
       """SELECT p_partkey, p_brand, p_retailprice, avg_price FROM (

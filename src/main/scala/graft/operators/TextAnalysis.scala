@@ -875,27 +875,48 @@ object TextAnalysis {
     // map-side-combinable sketch aggregation (no distinct shuffle —
     // HLL absorbs duplicate inserts natively); the pairwise stage is
     // #sources² unions of KB-sized sketches, independent of corpus
-    // bytes. Estimates are engine-specific by design → rows-only check
-    // (the q44 pattern); q83 is the exact hash-checked twin.
+    // bytes. Estimates are engine-specific, so the output is q83's exact
+    // pair row plus shared_ok/union_ok verdicts the oracle asserts ≡ 1
+    // (r9 verdict #2): at lgK = 14 each sketch estimate is within
+    // ε = 3·1.04/√2^14 of its true cardinality (3 standard errors), so
+    // |union_est − union| ≤ ε·union and the inclusion-exclusion shared
+    // count inherits the triangle bound ε·(na + nb + union) (+2 for
+    // integer rounding). Register max-merge makes both estimates
+    // deterministic functions of the shingle sets — stable verdicts.
     "q83b_source_overlap_hll" -> { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
-      val sk = Synth.documents(s, dir)
+      val ss = Synth.documents(s, dir)
         .select(col("source"), explode(expr(s"graft_shingles($toks, 3)")).as("sh"))
-        .groupBy("source")
+      val sk = ss.groupBy("source")
         .agg(expr("hll_sketch_agg(sh, 14)").as("sk"))
         .withColumn("n_est", expr("hll_sketch_estimate(sk)"))
-      val a = sk.toDF("src_a", "sk_a", "na")
-      val b = sk.toDF("src_b", "sk_b", "nb")
-      a.crossJoin(b)
+      val a = sk.toDF("src_a", "sk_a", "na_e")
+      val b = sk.toDF("src_b", "sk_b", "nb_e")
+      val estPairs = a.crossJoin(b)
         .filter(col("src_a") < col("src_b"))
-        .withColumn("n_union",
-          expr("hll_sketch_estimate(hll_union(sk_a, sk_b))"))
-        .withColumn("n_shared",
-          greatest(round(col("na") + col("nb") - col("n_union")).cast("bigint"),
-            lit(0L)))
+        .withColumn("u_e", expr("hll_sketch_estimate(hll_union(sk_a, sk_b))"))
+        .withColumn("shared_e", col("na_e") + col("nb_e") - col("u_e"))
+        .select("src_a", "src_b", "u_e", "shared_e")
+      // exact twin = the q83 plan
+      val ssd = ss.distinct()
+      val sizes = ssd.groupBy("source").agg(count(lit(1)).as("n_sh"))
+      val exact = ssd.toDF("src_a", "sh")
+        .join(ssd.toDF("src_b", "sh").hint("shuffle_hash"), "sh")
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+        .join(sizes.toDF("src_a", "na"), "src_a")
+        .join(sizes.toDF("src_b", "nb"), "src_b")
         .withColumn("jaccard", col("n_shared").cast("double") /
-          greatest(round(col("n_union")).cast("bigint"), lit(1L)).cast("double"))
-        .select("src_a", "src_b", "n_shared", "jaccard")
+          (col("na") + col("nb") - col("n_shared")).cast("double"))
+      val eps = 3 * 1.04 / math.sqrt(1 << 14) // ≈ 0.0244
+      exact.join(estPairs, Seq("src_a", "src_b"))
+        .withColumn("u_x", (col("na") + col("nb") - col("n_shared")).cast("double"))
+        .select(col("src_a"), col("src_b"), col("n_shared"), col("jaccard"),
+          when(abs(col("shared_e") - col("n_shared").cast("double")) <=
+            ((col("na") + col("nb")).cast("double") + col("u_x")) * eps + 2, 1)
+            .otherwise(0).as("shared_ok"),
+          when(abs(col("u_e") - col("u_x")) <=
+            greatest(col("u_x") * eps, lit(2.0)), 1).otherwise(0).as("union_ok"))
         .orderBy(col("jaccard").desc, col("src_a"), col("src_b"))
         .limit(50)
     },
@@ -1836,6 +1857,27 @@ object TextAnalysis {
          |SELECT src_a, src_b, n_shared,
          |  cast(n_shared as double)
          |    / cast(na.n + nb.n - n_shared as double) AS jaccard
+         |FROM pairs
+         |JOIN sizes na ON na.source = pairs.src_a
+         |JOIN sizes nb ON nb.source = pairs.src_b
+         |ORDER BY jaccard DESC, src_a, src_b LIMIT 50""".stripMargin,
+
+    // the exact q83 pair row + sketch-bound verdicts asserted ≡ 1
+    "q83b_source_overlap_hll" ->
+      s"""WITH ss AS (
+         |  SELECT DISTINCT source, sh FROM (
+         |    SELECT source, unnest(${dNgrams(3)}) AS sh FROM documents)),
+         |sizes AS (
+         |  SELECT source, cast(count(*) as bigint) AS n FROM ss GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.source AS src_a, b.source AS src_b,
+         |    cast(count(*) as bigint) AS n_shared
+         |  FROM ss a JOIN ss b USING (sh)
+         |  WHERE a.source < b.source GROUP BY 1, 2)
+         |SELECT src_a, src_b, n_shared,
+         |  cast(n_shared as double)
+         |    / cast(na.n + nb.n - n_shared as double) AS jaccard,
+         |  1 AS shared_ok, 1 AS union_ok
          |FROM pairs
          |JOIN sizes na ON na.source = pairs.src_a
          |JOIN sizes nb ON nb.source = pairs.src_b

@@ -5,12 +5,18 @@ import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Quantitative error gates for the five rows-only sketch queries
-  * (q44, q83b, q84b, q96b, q97b). Each is an estimate by design — the
-  * driver's DuckDB oracle can't hash-match engine-specific sketch
-  * internals — so each gets the check an estimate CAN make: measured
-  * error against its exact hash-checked twin within the sketch's
-  * published bound.
+/** Quantitative error gates for the five sketch queries (q44, q83b,
+  * q84b, q96b, q97b). Since r10 each of them emits its exact twin plus
+  * integer bound-verdict columns that the DuckDB oracle asserts ≡ 1 —
+  * so the driver's hash gate enforces the bounds at sf0.01. This spec
+  * keeps two protections the oracle row can't give:
+  *
+  *  1. the verdict columns are asserted ≡ 1 here too (at sf0.001, a
+  *     second data scale), and
+  *  2. the bounds are RE-DERIVED independently — estimates computed
+  *     inline, exact values collected — so a bug in the queries'
+  *     verdict plumbing (e.g. a slack term that accidentally always
+  *     passes) cannot silently mask a real sketch-error regression.
   *
   * Bounds used (all at 3 standard errors, i.e. ~99.7% per test):
   *  - HLL++ (approx_count_distinct, rsd = 0.05 default): rel err ≤ 3·rsd.
@@ -41,6 +47,23 @@ class SketchErrorSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def run(q: String): DataFrame = SparkEntry.queries(q)(spark, sf)
 
+  test("every bound-verdict column of the five sketch queries is 1") {
+    val verdictCols = Map(
+      "q44_sketches" -> Seq("users_ok", "p50_ok", "p99_ok"),
+      "q83b_source_overlap_hll" -> Seq("shared_ok", "union_ok"),
+      "q84b_equidepth_approx" -> Seq("rank_ok"),
+      "q96b_rolling_dau_hll" -> Seq("dau_ok", "wau_ok"),
+      "q97b_robust_outliers_approx" -> Seq("med_ok", "mad_ok"))
+    for ((q, cols) <- verdictCols) {
+      val df = run(q)
+      assert(df.count() > 0, s"$q returned no rows")
+      for (c <- cols) {
+        val bad = df.filter(col(c) =!= 1).count()
+        assert(bad == 0, s"$q: $bad rows violate $c")
+      }
+    }
+  }
+
   /** Rank-space percentile assertion: the returned sketch value `v` must
     * be an order statistic whose rank span [#(x < v), #(x ≤ v)] lies
     * within 3·ε·n + 1 ranks of the continuous target index p·(n−1) + 1.
@@ -63,10 +86,11 @@ class SketchErrorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .groupBy(_.getString(0))
       .map { case (t, rows) => t -> rows.map(_.getDouble(1)).sorted }
 
-  test("q44: HLL distinct-user estimate within 3·rsd of the exact count") {
-    // q44 carries approx and exact side by side — compare in place.
-    val rows = run("q44_sketches")
-      .select("event_type", "approx_users", "exact_users").collect()
+  test("q44 bound re-derived: HLL distinct-user estimate within 3·rsd of exact") {
+    val rows = graft.operators.Synth.events(spark, sf)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("est"),
+        countDistinct(col("user_id")).as("exact")).collect()
     assert(rows.nonEmpty)
     for (r <- rows) {
       val (est, exact) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
@@ -75,10 +99,13 @@ class SketchErrorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("q44: approx percentiles within the 3·n/accuracy rank guarantee") {
+  test("q44 bound re-derived: approx percentiles honor the 3·n/accuracy rank guarantee") {
     val byType = eventValuesByType()
-    val rows = run("q44_sketches")
-      .select("event_type", "p50_value", "p99_value").collect()
+    val rows = graft.operators.Synth.events(spark, sf)
+      .groupBy("event_type")
+      .agg(percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50"),
+        percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99"))
+      .collect()
     assert(rows.nonEmpty)
     for (r <- rows) {
       val t = r.getString(0)
@@ -126,49 +153,65 @@ class SketchErrorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("q84b: equi-depth buckets within the ±3/accuracy rank error of N/4") {
-    // each of the 3 boundaries may be off by ≤ N/accuracy ranks, so each
-    // bucket count may be off by ≤ 2·N/accuracy; assert at 3× per side.
-    val n = graft.operators.Synth.events(spark, sf).count().toDouble
+  test("q84b bound re-derived: approx equi-depth buckets within ±3·N/accuracy of N/4") {
+    // the production bucket pass under approx boundaries: each of the 3
+    // boundaries may be off by ≤ N/accuracy ranks, so each bucket count
+    // may be off by ≤ 2·N/accuracy; assert at 3× per side.
+    val ev = graft.operators.Synth.events(spark, sf)
+    val n = ev.count().toDouble
     val slack = math.max(6 * n / 10000.0, 4.0)
-    val rows = run("q84b_equidepth_approx").select("bucket", "n").collect()
+    val bounds = ev.agg(
+      expr("approx_percentile(value, 0.25, 10000)").as("b1"),
+      expr("approx_percentile(value, 0.5, 10000)").as("b2"),
+      expr("approx_percentile(value, 0.75, 10000)").as("b3"))
+    val rows = ev.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        when(col("value") <= col("b1"), 0)
+          .when(col("value") <= col("b2"), 1)
+          .when(col("value") <= col("b3"), 2)
+          .otherwise(3))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .collect()
     assert(rows.length == 4, s"expected 4 buckets, got ${rows.length}")
     for (r <- rows)
       assert(math.abs(r.getLong(1) - n / 4) <= slack,
         s"bucket ${r.getInt(0)}: n=${r.getLong(1)} vs N/4=${n / 4} ± $slack")
   }
 
-  test("q96b: per-day DAU/WAU HLL(lgK=12 default) within 3·1.04/√2^12 of exact") {
+  test("q96b bound re-derived: per-day DAU HLL(lgK=12 default) within 3·1.04/√2^12") {
     val eps = 3 * 1.04 / math.sqrt(1 << 12) // ≈ 0.0488
-    val exact = run("q96_rolling_dau")
-      .selectExpr("d", "cast(dau as double) as dau_x", "cast(wau as double) as wau_x")
-    val est = run("q96b_rolling_dau_hll")
-      .selectExpr("d", "cast(dau as double) as dau_e", "cast(wau as double) as wau_e")
-    val joined = exact.join(est, "d").collect()
-    assert(joined.nonEmpty)
-    for (r <- joined) {
-      val (dx, wx) = (r.getAs[Double]("dau_x"), r.getAs[Double]("wau_x"))
-      val (de, we) = (r.getAs[Double]("dau_e"), r.getAs[Double]("wau_e"))
-      assert(math.abs(de - dx) <= math.max(eps * dx, 3.0),
-        s"${r.get(0)}: dau est=$de exact=$dx")
-      assert(math.abs(we - wx) <= math.max(eps * wx, 3.0),
-        s"${r.get(0)}: wau est=$we exact=$wx")
+    val rows = graft.operators.Synth.events(spark, sf)
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+      .groupBy("d")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))
+        .cast("double").as("est"),
+        countDistinct(col("user_id")).cast("double").as("exact"))
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (est, exact) = (r.getAs[Double]("est"), r.getAs[Double]("exact"))
+      assert(math.abs(est - exact) <= math.max(eps * exact, 3.0),
+        s"${r.get(0)}: dau est=$est exact=$exact")
     }
   }
 
-  test("q97b: approx median and MAD within their 3·n/accuracy rank guarantees") {
+  test("q97b bound re-derived: approx median and MAD within their rank guarantees") {
     val byType = eventValuesByType()
-    val rows = run("q97b_robust_outliers_approx")
-      .select("event_type", "med", "mad").collect()
-    assert(rows.nonEmpty)
-    for (r <- rows) {
-      val t = r.getString(0)
-      val med = r.getDouble(1)
-      assertRank(s"$t med", byType(t), med, 0.5, 1.0 / 10000)
+    val medsA = graft.operators.Synth.events(spark, sf)
+      .groupBy("event_type")
+      .agg(expr("approx_percentile(value, 0.5, 10000)").as("med_a"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(medsA.nonEmpty)
+    for ((t, medA) <- medsA) {
+      assertRank(s"$t med", byType(t), medA, 0.5, 1.0 / 10000)
       // the MAD sketch consumed |value − approx_med|, so its rank check
       // runs over THAT distribution (not the exact-median deviations)
-      val devs = byType(t).map(v => math.abs(v - med)).sorted
-      assertRank(s"$t mad", devs, r.getDouble(2), 0.5, 1.0 / 10000)
+      val devs = byType(t).map(v => math.abs(v - medA)).sorted
+      val madA = graft.operators.Synth.events(spark, sf)
+        .filter(col("event_type") === t)
+        .select(abs(col("value") - lit(medA)).as("dev"))
+        .agg(expr("approx_percentile(dev, 0.5, 10000)")).collect()(0).getDouble(0)
+      assertRank(s"$t mad", devs, madA, 0.5, 1.0 / 10000)
     }
   }
 }
