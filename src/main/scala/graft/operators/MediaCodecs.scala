@@ -110,10 +110,119 @@ object BmpCodec extends MediaCodec {
   }
 }
 
-/** mime → codec registry. Formats without a pure-JVM decoder in this
-  * container (JPEG/PNG/audio/video) are absent and take the byte-level
+/** Shared javax.imageio plumbing for the PNG and JPEG codecs (r9
+  * verdict #1: `ImageIO` is pure-JDK and headless-safe — no native
+  * codec libraries involved, so these formats were never actually
+  * environment-blocked). Decoded planes are BGR top-down
+  * (TYPE_3BYTE_BGR raster order), matching [[BmpCodec]]'s convention so
+  * every downstream consumer is codec-agnostic.
+  */
+private[operators] object ImageIoCodec {
+
+  def readPlane(payload: Array[Byte]): Option[DecodedImage] =
+    // degrade-don't-fail: any reader error on a corrupt payload is a
+    // None, never a partition failure
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        // normalize whatever raster type the reader produced to a
+        // 3-byte BGR plane; for 8-bit RGB sources this is an exact
+        // channel reorder (BufferedImage drawImage is headless-safe)
+        val out = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        val g = out.createGraphics()
+        try g.drawImage(img, 0, 0, null) finally g.dispose()
+        val data = out.getRaster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferByte].getData
+        Some(DecodedImage(w, h, 3, data.clone()))
+      }
+    } catch { case _: Exception => None }
+
+  /** Encode a top-down BGR plane via the named ImageIO writer. */
+  def encode(pixels: Array[Byte], width: Int, height: Int,
+      format: String): Array[Byte] = {
+    require(width > 0 && height > 0 && pixels.length >= width * height * 3,
+      s"need ${width * height * 3} pixel bytes, got ${pixels.length}")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val buf = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    System.arraycopy(pixels, 0, buf, 0, width * height * 3)
+    val baos = new java.io.ByteArrayOutputStream()
+    val ok = javax.imageio.ImageIO.write(img, format, baos)
+    require(ok, s"no ImageIO writer for $format")
+    baos.toByteArray
+  }
+}
+
+/** PNG via the JDK reader. Lossless, so encode∘decode = id and the q197
+  * round-trip is oracle-checkable exactly like BMP's q191. The magic
+  * check keeps content honest: a payload labeled image/png that is
+  * really another format ImageIO happens to sniff does NOT decode here.
+  */
+object PngCodec extends MediaCodec {
+  private val Magic =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  def decode(payload: Array[Byte]): Option[DecodedImage] =
+    if (payload.length < 8 || !payload.take(8).sameElements(Magic)) None
+    else ImageIoCodec.readPlane(payload)
+
+  def encode(pixels: Array[Byte], width: Int, height: Int): Array[Byte] =
+    ImageIoCodec.encode(pixels, width, height, "png")
+}
+
+/** JPEG via the JDK reader/writer. Lossy — encode∘decode is NOT the
+  * identity, so its correctness gate (q198) is the bound-verdict
+  * pattern: decoded dimensions match exactly, reconstruction error
+  * stays under an empirical bound, and the oracle asserts the verdict.
+  */
+object JpegCodec extends MediaCodec {
+
+  def decode(payload: Array[Byte]): Option[DecodedImage] =
+    if (payload.length < 3 || payload(0) != 0xff.toByte ||
+        payload(1) != 0xd8.toByte || payload(2) != 0xff.toByte) None
+    else ImageIoCodec.readPlane(payload)
+
+  /** Encode at an explicit quality (default 0.9) — the writer-param
+    * path, not `ImageIO.write`'s defaults, so the loss level is pinned.
+    */
+  def encode(pixels: Array[Byte], width: Int, height: Int,
+      quality: Float = 0.9f): Array[Byte] = {
+    require(width > 0 && height > 0 && pixels.length >= width * height * 3,
+      s"need ${width * height * 3} pixel bytes, got ${pixels.length}")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val buf = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    System.arraycopy(pixels, 0, buf, 0, width * height * 3)
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    } finally { ios.close(); writer.dispose() }
+    baos.toByteArray
+  }
+}
+
+/** mime → codec registry: BMP (hand-rolled, zero-dependency), PNG and
+  * JPEG (pure-JDK javax.imageio). Formats with no pure-JVM decoder in
+  * this container (audio/video) are absent and take the byte-level
   * stand-in path in [[Multimodal.decodeAndExtract]].
   */
 object MediaCodecs {
-  val registry: Map[String, MediaCodec] = Map("image/bmp" -> BmpCodec)
+  val registry: Map[String, MediaCodec] = Map(
+    "image/bmp" -> BmpCodec,
+    "image/png" -> PngCodec,
+    "image/jpeg" -> JpegCodec)
 }

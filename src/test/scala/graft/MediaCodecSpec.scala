@@ -85,6 +85,56 @@ class MediaCodecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(BmpCodec.decode(withLe32(10, Int.MaxValue)).isEmpty)
   }
 
+  test("PNG codec: round-trips, rejects wrong magic / corrupt payloads (r9 verdict #1)") {
+    val pixels = px(5 * 3 * 4) // 5x4, odd width exercises raster strides
+    val png = PngCodec.encode(pixels, 5, 4)
+    assert(png.take(4).sameElements(Array[Byte](0x89.toByte, 'P', 'N', 'G')))
+    val d = PngCodec.decode(png).get
+    assert(d.width == 5 && d.height == 4 && d.channels == 3)
+    assert(d.pixels.sameElements(pixels))
+    // a BMP under the PNG codec: magic check refuses content mislabeling
+    assert(PngCodec.decode(BmpCodec.encode(pixels, 5, 4)).isEmpty)
+    // corrupt body: valid magic, garbage chunks — degrade to None
+    val corrupt = png.take(16) ++ Array.fill[Byte](32)(0x5a)
+    assert(PngCodec.decode(corrupt).isEmpty)
+    assert(PngCodec.decode(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("JPEG codec: exact dimensions, bounded reconstruction error, magic rejection") {
+    val pixels = px(8 * 3 * 6) // 8x6
+    val jpg = JpegCodec.encode(pixels, 8, 6)
+    assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8)
+    val d = JpegCodec.decode(jpg).get
+    assert(d.width == 8 && d.height == 6 && d.channels == 3)
+    val mae = d.pixels.zip(pixels)
+      .map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }.sum.toDouble /
+      pixels.length
+    assert(mae <= 48.0, s"JPEG q0.9 MAE $mae above the empirical bound")
+    assert(JpegCodec.decode(PngCodec.encode(pixels, 8, 6)).isEmpty)
+    val corrupt = jpg.take(8) ++ Array.fill[Byte](16)(0x11)
+    assert(JpegCodec.decode(corrupt).isEmpty)
+  }
+
+  test("registry dispatches image/png and image/jpeg through the real decoders") {
+    val pixels = px(8 * 3 * 4) // 8x4 plane
+    val png = PngCodec.encode(pixels, 8, 4)
+    val fromPng = Multimodal.decodeAndExtract(
+      MediaRecord(1L, png, "image/png"))
+    // features computed over the DECODED plane, not the png bytes
+    val overPlane = Multimodal.decodeAndExtract(
+      MediaRecord(1L, pixels, "application/octet-stream"))
+    assert(fromPng.frame_sum == overPlane.frame_sum)
+    assert(fromPng.head_hex == overPlane.head_hex)
+    assert(fromPng.n_bytes == png.length) // metadata stays payload-level
+    // jpeg: decoded plane differs from the raw bytes (lossy) but must
+    // dispatch without error and be plane-sized, not payload-sized
+    val jpg = JpegCodec.encode(pixels, 8, 4)
+    val fromJpg = Multimodal.decodeAndExtract(
+      MediaRecord(2L, jpg, "image/jpeg"))
+    assert(fromJpg.frame_hex.length / 2 == (pixels.length + 63) / 64,
+      "jpeg features not computed over the decoded plane")
+  }
+
   test("decodeAndExtract dispatches by mime: decoded plane for BMP, stand-in else, fallback on corrupt") {
     val pixels = px(8 * 3 * 4) // 8x4 plane
     val bmp = BmpCodec.encode(pixels, 8, 4)

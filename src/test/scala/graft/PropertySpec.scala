@@ -416,4 +416,22 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(d.pixels.sameElements(pixels), s"pixel plane differs at ${w}x$h")
     }
   }
+
+  test("PNG codec: decode inverts encode for arbitrary dimensions (lossless javax.imageio path)") {
+    val dimGen = for {
+      w <- Gen.chooseNum(1, 17)
+      h <- Gen.chooseNum(1, 13)
+      seed <- Gen.chooseNum(0, 1000)
+    } yield (w, h, seed)
+    samples(dimGen, 40).foreach { case (_, (w, h, seed)) =>
+      val pixels = Array.tabulate(w * h * 3)(i => ((i * 31 + seed) % 256).toByte)
+      val decoded = graft.operators.PngCodec.decode(
+        graft.operators.PngCodec.encode(pixels, w, h))
+      assert(decoded.isDefined, s"decode failed at ${w}x$h")
+      val d = decoded.get
+      assert(d.width == w && d.height == h && d.channels == 3,
+        s"dims ${d.width}x${d.height} != ${w}x$h")
+      assert(d.pixels.sameElements(pixels), s"pixel plane differs at ${w}x$h")
+    }
+  }
 }
