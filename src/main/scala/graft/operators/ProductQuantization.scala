@@ -284,6 +284,60 @@ object ProductQuantization {
         .filter(col("rk") <= topK)
         .select("query_id", "rk", "vec_id", "pq_dist")
         .orderBy("query_id", "rk")
+    },
+
+    // Incremental ANN index maintenance (r9 verdict #6): q48c memoizes
+    // trained codebooks per corpus fingerprint, so any append retrains
+    // from scratch. This is the append path: new vectors (the simulated
+    // arriving batch, vec_id ≥ 16 ∧ vec_id % 10 = 9 — the ≥ 16 guard
+    // keeps the Lloyd seeds in the base) are ASSIGNED against the
+    // codebooks trained on the base WITHOUT retraining — map-only, the
+    // codebooks broadcast as literals — and the output is the
+    // quantization-drift signal that tells the operator when retraining
+    // is due: per subspace, fixed-point residual mass of base (training
+    // residual) vs appended vectors, their ratio in ppm, and an
+    // assignment fingerprint Σ(vec_id·1024 + code) over the batch. The
+    // oracle replays base training as unrolled CTEs and assigns the
+    // batch itself, so the hash match proves append-assignment ≡
+    // full-rebuild assignment under fixed codebooks AND pins the drift
+    // arithmetic. At 100 TB: assignment streams (no shuffle), the
+    // residual aggregation is map-side combinable into 8 rows.
+    "q199_pq_append" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val e = Synth.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val isApp = col("vec_id") >= 16 && col("vec_id") % 10 === 9
+      val base = e.filter(!isApp)
+      val cb = cbCache.computeIfAbsent(
+        CorpusKey.tableName(s, "graft_pq_cb_base", dir),
+        _ => trainedCodebooks(base))
+      val perSub = (0 until nSub).map { m =>
+        val ds = distsSpark(cb, "embedding", m)
+        val xn = Dedup.dot(subSpark("embedding", m), subSpark("embedding", m))
+        org.apache.spark.sql.functions.struct(
+          lit(m).as("m"),
+          expr(argminSpark(cb, "embedding", m)).cast("long").as("code"),
+          expr(s"floor((array_min($ds) + $xn) * 1000000D)")
+            .cast("long").as("rfp"))
+      }
+      e.select(col("vec_id"), isApp.as("is_app"),
+          org.apache.spark.sql.functions.explode(
+            array(perSub: _*)).as("sub"))
+        .select(col("vec_id"), col("is_app"), col("sub.m").as("m"),
+          col("sub.code").as("code"), col("sub.rfp").as("rfp"))
+        .groupBy("m")
+        .agg(
+          sum(expr("if(is_app, 0L, 1L)")).as("n_base"),
+          sum(expr("if(is_app, 1L, 0L)")).as("n_app"),
+          sum(expr("if(is_app, 0L, rfp)")).as("base_resid_fp"),
+          sum(expr("if(is_app, rfp, 0L)")).as("app_resid_fp"),
+          sum(expr("if(is_app, vec_id * 1024L + code, 0L)")).as("code_sum"))
+        .withColumn("drift_ppm", expr(
+          "cast(floor((cast(app_resid_fp as double) * cast(n_base as double))" +
+            " / (cast(greatest(base_resid_fp, 1L) as double)" +
+            " * cast(n_app as double)) * 1000000D) as long)"))
+        .select("m", "n_base", "n_app", "base_resid_fp", "app_resid_fp",
+          "code_sum", "drift_ppm")
+        .orderBy("m")
     }
   )
 
@@ -421,6 +475,80 @@ object ProductQuantization {
          |  FROM qt q CROSS JOIN enc e2
          |    $cbJoins)
          |WHERE rk <= $topK ORDER BY query_id, rk""".stripMargin
+    },
+
+    // q48c's training replay restricted to the BASE (appends excluded),
+    // then every vector — base and appended alike — is assigned against
+    // the trained-on-base codebooks and the per-subspace residual masses
+    // aggregate. Matching Spark's output proves the incremental
+    // assignment and the drift arithmetic end-to-end.
+    "q199_pq_append" -> {
+      def sub(c: String, m: Int) =
+        s"list_slice($c, ${m * subDim + 1}, ${(m + 1) * subDim})"
+      def assignCte(name: String, cbTable: String, m: Int) =
+        s"""$name AS MATERIALIZED (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT v.vec_id, c.cid, row_number() OVER (PARTITION BY v.vec_id
+           |      ORDER BY (-2 * ${dotDuck(sub("v.embedding", m), "c.embedding")}
+           |        + ${dotDuck("c.embedding", "c.embedding")}), c.cid) AS rn
+           |    FROM b v CROSS JOIN $cbTable c) WHERE rn = 1)""".stripMargin
+      val perSubspace = (0 until nSub).map { m =>
+        val distExpr = s"(-2 * ${dotDuck(sub("v.embedding", m), "c.embedding")}" +
+          s" + ${dotDuck("c.embedding", "c.embedding")})"
+        s"""c0_$m AS MATERIALIZED (
+           |  SELECT vec_id + 1 AS cid,
+           |    list_transform(${sub("embedding", m)}, x -> CAST(x AS DOUBLE)) AS embedding
+           |  FROM embeddings WHERE vec_id < $nCodes),
+           |${assignCte(s"a0_$m", s"c0_$m", m)},
+           |m_c1_$m AS MATERIALIZED (
+           |  SELECT a.cid, r.d,
+           |    cast(sum(cast(floor(CAST(v.embedding[${m * subDim} + r.d] AS DOUBLE)
+           |        * $trainScale) as bigint)) as double)
+           |      / count(*) / $trainScale AS val
+           |  FROM a0_$m a JOIN b v USING (vec_id)
+           |  CROSS JOIN range(1, ${subDim + 1}) r(d)
+           |  GROUP BY a.cid, r.d),
+           |c1_$m AS MATERIALIZED (
+           |  SELECT p.cid, coalesce(mm.emb, p.embedding) AS embedding
+           |  FROM c0_$m p LEFT JOIN (
+           |    SELECT cid, list(val ORDER BY d) AS emb FROM m_c1_$m GROUP BY cid) mm
+           |  USING (cid)),
+           |ax_$m AS MATERIALIZED (
+           |  SELECT vec_id, cid,
+           |    cast(floor((dist + xn) * 1000000) as bigint) AS rfp FROM (
+           |    SELECT v.vec_id, c.cid, $distExpr AS dist,
+           |      ${dotDuck(sub("v.embedding", m), sub("v.embedding", m))} AS xn,
+           |      row_number() OVER (PARTITION BY v.vec_id
+           |        ORDER BY $distExpr, c.cid) AS rn
+           |    FROM e v CROSS JOIN c1_$m c) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val unionAll = (0 until nSub)
+        .map(m => s"SELECT $m AS m, vec_id, cid, rfp FROM ax_$m")
+        .mkString("\nUNION ALL ")
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+         |b AS MATERIALIZED (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE NOT (vec_id >= 16 AND vec_id % 10 = 9)),
+         |$perSubspace,
+         |allm AS (
+         |$unionAll),
+         |flagged AS (
+         |  SELECT m, vec_id, cid, rfp,
+         |    (vec_id >= 16 AND vec_id % 10 = 9) AS app
+         |  FROM allm),
+         |agg AS (
+         |  SELECT m,
+         |    cast(sum(CASE WHEN app THEN 0 ELSE 1 END) as bigint) AS n_base,
+         |    cast(sum(CASE WHEN app THEN 1 ELSE 0 END) as bigint) AS n_app,
+         |    cast(sum(CASE WHEN app THEN 0 ELSE rfp END) as bigint) AS base_resid_fp,
+         |    cast(sum(CASE WHEN app THEN rfp ELSE 0 END) as bigint) AS app_resid_fp,
+         |    cast(sum(CASE WHEN app THEN vec_id * 1024 + cid ELSE 0 END) as bigint) AS code_sum
+         |  FROM flagged GROUP BY m)
+         |SELECT m, n_base, n_app, base_resid_fp, app_resid_fp, code_sum,
+         |  cast(floor((cast(app_resid_fp as double) * cast(n_base as double))
+         |    / (cast(greatest(base_resid_fp, 1) as double)
+         |    * cast(n_app as double)) * 1000000) as bigint) AS drift_ppm
+         |FROM agg ORDER BY m""".stripMargin
     }
   )
 }
