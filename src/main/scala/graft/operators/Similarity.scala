@@ -83,8 +83,11 @@ object Similarity {
   private def centroidArrayDuck(c: Int): String =
     centroids(c).mkString("[", ", ", "]")
 
-  /** 1-based index of the max-dot centroid (first occurrence on ties). */
-  private[operators] def clusterExprSpark(col: String): String = {
+  /** 1-based index of the max-dot centroid (first occurrence on ties).
+    * private[graft]: the q195 streaming twin assigns arriving vectors
+    * with the SAME expression so batch and stream agree cell-for-cell.
+    */
+  private[graft] def clusterExprSpark(col: String): String = {
     val ds = (0 until nCentroids)
       .map(c => Dedup.dot(col, centroidArraySpark(c)))
       .mkString("array(", ", ", ")")

@@ -243,6 +243,89 @@ object EventTimeAggregates {
     newOld.unionByName(newNew).unionByName(selfEdges)
   }
 
+  final case class CellVec(vec_id: Long, cell: Int, emb: Seq[Float])
+
+  final case class SeenVec(id: Long, emb: Seq[Float])
+
+  final case class CellState(vecs: Seq[SeenVec])
+
+  /** Streaming twin of q195 semantic dedup (r9 verdict #5) — the
+    * embedding-space sibling of [[streamingClusterEdges]]: arriving
+    * vectors are assigned their IVF cell with the SAME centroid-argmax
+    * expression batch q195 uses (cells agree by construction), then
+    *
+    *  - new↔corpus edges come from a stream-static join against the
+    *    cell-indexed corpus projection (refreshed offline like the band
+    *    index) — within-cell only, cosine ≥ τ, the q195 blocking;
+    *  - new↔new edges (same cell, possibly across micro-batches) come
+    *    from per-cell `flatMapGroupsWithState`: bounded state of the
+    *    cell's arrived vectors (≤ `cellCap`), the verify mirroring the
+    *    batch dot exactly — index-order double accumulation, the
+    *    [[graft.functions.VectorDot]] contract;
+    *  - one self-edge per arriving vector seeds singleton clusters.
+    *
+    * Feed the output to [[mergeClusterBatch]] — the LSM cluster-map
+    * maintenance is shared with the q187 twin unchanged. State is
+    * O(cells touched × cellCap × dim floats); at 100 TB the cell count
+    * grows with the corpus (finer k-means) so per-cell occupancy stays
+    * bounded — the same argument as batch q195's pair work.
+    *
+    * `vecs` (streaming): vec_id, embedding. `corpus` (static): vec_id,
+    * cell, embedding.
+    */
+  def streamingSemanticEdges(
+      vecs: DataFrame,
+      corpus: DataFrame,
+      tau: Double = 0.35,
+      cellCap: Int = 4096): DataFrame = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val assigned = vecs.select(col("vec_id"), col("embedding"),
+      expr(graft.operators.Similarity.clusterExprSpark("embedding"))
+        .cast("int").as("cell"))
+    val newOld = assigned
+      .join(corpus.select(col("vec_id").as("id_old"), col("cell"),
+        col("embedding").as("emb_old")), Seq("cell"))
+      .withColumn("cos", expr(graft.operators.Dedup.dot("embedding", "emb_old")))
+      .filter(col("cos") >= tau)
+      .select(col("vec_id").as("src"), col("id_old").as("dst"))
+    val newNew = assigned
+      .select(col("vec_id"), col("cell"), col("embedding").as("emb"))
+      .as[CellVec]
+      .groupByKey(_.cell)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (_: Int, rows: Iterator[CellVec],
+            state: GroupState[CellState]) => {
+          var seen = state.getOption.map(_.vecs).getOrElse(Seq.empty)
+          val out = Seq.newBuilder[ClusterEdge]
+          // vec_id order keeps emission deterministic within a batch
+          rows.toSeq.sortBy(_.vec_id).foreach { v =>
+            if (!seen.exists(_.id == v.vec_id)) {
+              seen.foreach { o =>
+                if (o.emb.length == v.emb.length) {
+                  var acc = 0.0
+                  var i = 0
+                  while (i < v.emb.length) {
+                    acc += v.emb(i).toDouble * o.emb(i).toDouble
+                    i += 1
+                  }
+                  if (acc >= tau) out += ClusterEdge(v.vec_id, o.id)
+                }
+              }
+              if (seen.size < cellCap) seen = seen :+ SeenVec(v.vec_id, v.emb)
+            }
+          }
+          state.update(CellState(seen))
+          out.result().iterator
+        })
+      .toDF("src", "dst")
+    val selfEdges = vecs.select(col("vec_id").as("src"),
+      col("vec_id").as("dst"))
+    newOld.unionByName(newNew).unionByName(selfEdges)
+  }
+
   /** Streaming twin of q187, stage 2 — the foreachBatch sink that folds
     * one micro-batch of verified edges into the maintained cluster map.
     * The map is an LSM-style pair: `baseTable` (the corpus map, seeded

@@ -256,4 +256,131 @@ class RocksDbStateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(expected(3L) == 1L && expected(13L) == 1L,
       s"the bridge must merge corpus cluster 3 into 1: $expected")
   }
+
+  test("streaming semantic dedup equals the batch q195 closure across 3 micro-batches, RocksDB + restart") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val ctx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val tau = 0.35
+    val dim = 64
+
+    def basis(d: Int, scale: Float): Array[Float] =
+      Array.tabulate(dim)(i => if (i == d) scale else 0f)
+    def scalaDot(a: Seq[Float], b: Seq[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def cellsOf(vs: Seq[(Long, Array[Float])]): Map[Long, Int] =
+      vs.toDF("vec_id", "embedding")
+        .withColumn("cell", expr(graft.operators.Similarity
+          .clusterExprSpark("embedding")).cast("int"))
+        .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+
+    // the bridge scenario needs two orthogonal vectors in the SAME IVF
+    // cell whose mix also lands in that cell — search the (deterministic
+    // md5 centroid) geometry for such a dim pair; 64 dims over 16 cells
+    // pigeonhole plenty of same-cell pairs
+    val basisCells = cellsOf((0 until dim).map(d => (d.toLong, basis(d, 0.7f))))
+    val bridgePick = (for {
+      d1 <- 0 until dim; d2 <- d1 + 1 until dim
+      if basisCells(d1) == basisCells(d2)
+      x = Array.tabulate(dim)(i => if (i == d1 || i == d2) 0.6f else 0f)
+      cx = cellsOf(Seq((0L, x)))(0L)
+      if cx == basisCells(d1)
+    } yield (d1, d2, x)).headOption
+    assert(bridgePick.isDefined, "no same-cell bridge geometry found")
+    val (d1, d2, bridge) = bridgePick.get
+    val freeDims = (0 until dim).filterNot(d => d == d1 || d == d2)
+    val a1 = basis(d1, 0.7f)            // corpus cluster {1, 2}
+    val b3 = basis(d2, 0.7f)            // corpus singleton, SAME cell as a1
+    val other = basis(freeDims.head, 0.7f)
+    val novel = basis(freeDims.last, 0.8f)
+    // dot(a1,a1)=0.49 ≥ τ; dot(a1,b3)=0 < τ (same cell, verify rejects);
+    // dot(bridge,a1)=dot(bridge,b3)=0.42 ≥ τ — the merge edge pair
+    assert(scalaDot(bridge, a1) >= tau && scalaDot(bridge, b3) >= tau)
+
+    val corpusVecs = Seq((1L, a1), (2L, a1), (3L, b3), (4L, other))
+    val corpusCells = cellsOf(corpusVecs)
+    val corpus = corpusVecs.toDF("vec_id", "embedding")
+      .withColumn("cell", expr(graft.operators.Similarity
+        .clusterExprSpark("embedding")).cast("int"))
+      .localCheckpoint()
+
+    // full-rebuild truth: within-cell pairs at cosine ≥ τ (the q195
+    // blocking), then union-find — the theorem batch q195's oracle checks
+    def fullRebuild(vs: Seq[(Long, Array[Float])]): Map[Long, Long] = {
+      val cells = cellsOf(vs)
+      val pairs = for {
+        (ia, va) <- vs; (ib, vb) <- vs
+        if ia < ib && cells(ia) == cells(ib) && scalaDot(va, vb) >= tau
+      } yield (ia, ib)
+      val root = scala.collection.mutable.Map(vs.map(_._1 -> 0L).map {
+        case (id, _) => id -> id }.toSeq: _*)
+      def find(x: Long): Long =
+        if (root(x) == x) x else { val r = find(root(x)); root(x) = r; r }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { val m = math.min(ra, rb); root(ra) = m; root(rb) = m }
+      }
+      vs.map { case (id, _) => id -> find(id) }.toMap
+    }
+
+    val baseTable = "sem_base_map"
+    spark.sql(s"DROP TABLE IF EXISTS $baseTable")
+    val loc = new java.io.File(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir") + s"/$baseTable"))
+    if (loc.exists) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    fullRebuild(corpusVecs).toSeq.toDF("doc_id", "cluster_id")
+      .write.saveAsTable(baseTable)
+    val updatesDir =
+      java.nio.file.Files.createTempDirectory("sem-updates").toString + "/log"
+    val ckpt = java.nio.file.Files.createTempDirectory("sem-ckpt").toString
+
+    val mem = MemoryStream[(Long, Array[Float])]
+    val edges = EventTimeAggregates.streamingSemanticEdges(
+      mem.toDF().toDF("vec_id", "embedding"), corpus, tau)
+    def start() = edges.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        EventTimeAggregates.mergeClusterBatch(b, baseTable, updatesDir, id)
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+
+    var q = start()
+    val streamed = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+    try {
+      // batch 1: a dup of corpus cluster {1,2} + a novel singleton
+      streamed ++= Seq((10L, a1), (11L, novel))
+      mem.addData((10L, a1), (11L, novel))
+      q.processAllAvailable()
+      // batch 2: cross-batch new-new (12 matches 11 from batch 1)
+      streamed += ((12L, novel))
+      mem.addData((12L, novel))
+      q.processAllAvailable()
+      q.stop()
+      // restart from the checkpoint: cell state (novel's cell occupancy)
+      // must come back from RocksDB
+      q = start()
+      // batch 3: the bridge merges corpus clusters {1,2,10} and {3}
+      streamed += ((13L, bridge))
+      mem.addData((13L, bridge))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val maintained = EventTimeAggregates
+      .currentClusterMap(spark, baseTable, updatesDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = fullRebuild(corpusVecs ++ streamed)
+    assert(maintained == expected,
+      s"maintained $maintained\nexpected $expected")
+    assert(expected(10L) == 1L, "batch dup must join the corpus cluster")
+    assert(expected(12L) == 11L, "cross-batch new-new must cluster")
+    assert(expected(3L) == 1L && expected(13L) == 1L,
+      s"the bridge must merge corpus cluster 3 into 1: $expected")
+    // the same-cell-but-dissimilar corpus pair must NOT merge: blocking
+    // admits (a1, b3) as a candidate, the cosine verify rejects it
+    assert(corpusCells(1L) == corpusCells(3L))
+  }
 }
