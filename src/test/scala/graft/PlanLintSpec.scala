@@ -72,6 +72,9 @@ class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
     */
   private val classification: Map[String, Set[String]] = Map(
     "q191_bmp_roundtrip" -> strict,
+    "q197_png_roundtrip" -> strict,
+    "q198_jpeg_decode" -> strict,
+    "q199_pq_append" -> strict,
     "q192_ann_frontier" -> Set(OracleCross),
     "q193_gopher_rules" -> strict,
     "q194_ngram_novelty" -> strict,
