@@ -251,10 +251,10 @@ object Bench {
     // a SHORT all-scalar totals line that always survives and parses,
     // (3) the complete single-object artifact goes to a file for full
     // fidelity regardless of tail size.
-    def chunks(es: Seq[String]): Seq[String] = {
+    def chunks(es: Seq[String], cap: Int = 1800): Seq[String] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[StringBuilder]
       es.foreach { e =>
-        if (out.isEmpty || out.last.length + e.length + 1 > 1800)
+        if (out.isEmpty || out.last.length + e.length + 1 > cap)
           out += new StringBuilder(e)
         else out.last.append(',').append(e)
       }
@@ -284,12 +284,23 @@ object Bench {
     }
     emitChunked("spread", "spread", spEntries)
     emitChunked("queries", "queries", qEntries)
-    // Tail-proof compact rendering (r8 verdict #6): the driver keeps only
-    // the process TAIL (~4 KB), and 213 full-name timings are ~6.5 KB —
-    // chunk 1 was lost in r7 AND r8. Query names are unique up to their
-    // first '_' ("q131_weighted_jaccard" → "q131"), so a short-key copy
-    // of every timing fits ~2.5 KB and is printed LAST before the totals
-    // line; full names live in the chunks above and in the artifact.
+    // sentinel + top5 print BEFORE the tail block below: they are
+    // diagnostics, not the record — anything after this point is sized
+    // to survive the driver's real capture window
+    println(s"""{"metric":"sentinel","series":$sentinelJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"top5_isolated","queries":$top5Json,"sf":"$sfDir"}""")
+    // Tail-proof rendering, round 3 (r9 verdict #4): the driver's REAL
+    // capture window measured 2000 chars (r9 artifact) — including sbt's
+    // "[info] " prefixes and its trailing "[success] ..." line (~75
+    // chars), so the short-key name:value copy (~2.5 KB) could never
+    // fully fit and chunk 1of2 was truncated in r7, r8 AND r9. What DOES
+    // fit: a POSITIONAL centisecond array over the canonical entry order
+    // (query names sorted ascending, loader_batch_sink last — the same
+    // order as every map in this output and the artifact) is ~1 KB for
+    // 220 entries. It prints immediately before the totals line, so the
+    // last ~1.3 KB of the log reconstructs every entry exactly; the
+    // name-keyed chunks above and the artifact file carry the names.
+    // -1 centiseconds marks a failed query (never a timing).
     val shortOf: Map[String, String] = {
       val cands = all.map { case (k, _, _, _, _) => k -> k.takeWhile(_ != '_') }
       val collide = cands.groupBy(_._2).filter(_._2.size > 1).keySet
@@ -298,8 +309,15 @@ object Bench {
     val qShort = all.map { case (k, v, ok, _, _) =>
       "\"" + shortOf(k) + "\":" + (if (ok) num(v) else "\"failed\"") }
     val nChunks = emitChunked("queries_short", "queries", qShort)
-    println(s"""{"metric":"sentinel","series":$sentinelJson,"sf":"$sfDir"}""")
-    println(s"""{"metric":"top5_isolated","queries":$top5Json,"sf":"$sfDir"}""")
+    val qcs = all.map { case (_, v, ok, _, _) =>
+      if (ok) math.round(v * 100).toString else "-1" }
+    // 900-char cap: even at double today's query count the qcs block +
+    // totals line + sbt's success line stay inside a 2000-char capture
+    val csChunks = chunks(qcs, cap = 900)
+    csChunks.zipWithIndex.foreach { case (c, i) =>
+      println(s"""{"metric":"qcs_${i + 1}of${csChunks.size}","unit":"centisec",""" +
+        s""""order":"name-sorted+loader","v":[$c]}""")
+    }
     println(s"""{"metric":"total","value":${num(total)},"unit":"sec","failed":$failed,""" +
       s""""runs_per_query":$runsPerQuery,"n_queries":${all.size},""" +
       s""""query_chunks":$nChunks,"full_artifact":"$fullPath","sf":"$sfDir"}""")
