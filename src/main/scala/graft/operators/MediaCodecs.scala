@@ -215,14 +215,105 @@ object JpegCodec extends MediaCodec {
   }
 }
 
-/** mime → codec registry: BMP (hand-rolled, zero-dependency), PNG and
-  * JPEG (pure-JDK javax.imageio). Formats with no pure-JVM decoder in
-  * this container (audio/video) are absent and take the byte-level
+/** WAV (RIFF) PCM — the audio modality's real codec, hand-rolled like
+  * BMP (the format is a pure chunk walk; no JDK audio stack needed, so
+  * no javax.sound headless caveats). Decodes 16-bit integer PCM, any
+  * channel count: the returned "plane" is the raw interleaved sample
+  * bytes with the media geometry mapped onto [[DecodedImage]]'s
+  * contract — width = frames, height = 1, channels = BYTES per frame
+  * (nChannels · 2), pixels.length = width · channels exactly. Chunk
+  * walk: RIFF/WAVE magic, then chunks at 2-byte alignment until `fmt `
+  * (must declare PCM=1, 16-bit) and `data` are both seen; unknown
+  * chunks (LIST, fact, …) are skipped by their declared size. All
+  * sizes validated in Long — crafted headers degrade to None.
+  */
+object WavCodec extends MediaCodec {
+
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  private def tag(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "US-ASCII")
+
+  def decode(payload: Array[Byte]): Option[DecodedImage] = {
+    val b = payload
+    if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
+    var pos = 12L
+    var channels = -1
+    var dataOff = -1L
+    var dataLen = -1L
+    while (pos + 8 <= b.length && (channels < 0 || dataOff < 0)) {
+      val id = tag(b, pos.toInt)
+      val size = le32(b, pos.toInt + 4) & 0xffffffffL
+      val body = pos + 8
+      if (body + size > b.length) return None
+      id match {
+        case "fmt " =>
+          if (size < 16) return None
+          val fmt = le16(b, body.toInt)
+          val bits = le16(b, body.toInt + 14)
+          if (fmt != 1 || bits != 16) return None // integer PCM 16-bit only
+          channels = le16(b, body.toInt + 2)
+          if (channels <= 0 || channels > 64) return None
+        case "data" =>
+          dataOff = body
+          dataLen = size
+        case _ => // skip LIST/fact/...
+      }
+      pos = body + size + (size & 1) // chunks are 2-byte aligned
+    }
+    if (channels < 0 || dataOff < 0) return None
+    val frameBytes = channels * 2
+    val nFrames = (dataLen / frameBytes).toInt
+    if (nFrames <= 0) return None
+    val out = new Array[Byte](nFrames * frameBytes)
+    System.arraycopy(b, dataOff.toInt, out, 0, out.length)
+    Some(DecodedImage(nFrames, 1, frameBytes, out))
+  }
+
+  /** Encode interleaved 16-bit LE PCM frames as a canonical 44-byte
+    * RIFF/WAVE file — the inverse of [[decode]] for the q200 round-trip.
+    */
+  def encode(samples: Array[Byte], nFrames: Int, channels: Int,
+      sampleRate: Int = 16000): Array[Byte] = {
+    val frameBytes = channels * 2
+    require(nFrames > 0 && channels > 0 &&
+      samples.length >= nFrames * frameBytes,
+      s"need ${nFrames * frameBytes} sample bytes, got ${samples.length}")
+    val dataLen = nFrames * frameBytes
+    val b = new Array[Byte](44 + dataLen)
+    def w32(off: Int, v: Int): Unit = {
+      b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+      b(off + 2) = (v >> 16).toByte; b(off + 3) = (v >> 24).toByte
+    }
+    def w16(off: Int, v: Int): Unit = {
+      b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+    }
+    def wtag(off: Int, t: String): Unit =
+      t.getBytes("US-ASCII").copyToArray(b, off)
+    wtag(0, "RIFF"); w32(4, 36 + dataLen); wtag(8, "WAVE")
+    wtag(12, "fmt "); w32(16, 16); w16(20, 1); w16(22, channels)
+    w32(24, sampleRate); w32(28, sampleRate * frameBytes)
+    w16(32, frameBytes); w16(34, 16)
+    wtag(36, "data"); w32(40, dataLen)
+    System.arraycopy(samples, 0, b, 44, dataLen)
+    b
+  }
+}
+
+/** mime → codec registry: BMP and WAV (hand-rolled, zero-dependency),
+  * PNG and JPEG (pure-JDK javax.imageio). Formats with no pure-JVM
+  * decoder in this container (video) are absent and take the byte-level
   * stand-in path in [[Multimodal.decodeAndExtract]].
   */
 object MediaCodecs {
   val registry: Map[String, MediaCodec] = Map(
     "image/bmp" -> BmpCodec,
     "image/png" -> PngCodec,
-    "image/jpeg" -> JpegCodec)
+    "image/jpeg" -> JpegCodec,
+    "audio/wav" -> WavCodec)
 }

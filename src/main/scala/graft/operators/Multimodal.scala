@@ -216,6 +216,42 @@ object Multimodal {
         }
         .toDF("doc_id", "width", "height", "err_ok")
         .orderBy("doc_id")
+    },
+
+    // WAV round-trip (r10) — the AUDIO modality's real codec, same
+    // contract as q191/q197: each document's bytes become interleaved
+    // 16-bit stereo PCM frames (4 bytes/frame), encoded as a RIFF/WAVE
+    // file and decoded back through the registry (chunk walk, fmt/data
+    // parse). PCM is lossless, so the oracle recomputes frame counts and
+    // per-channel SIGNED sample sums straight from the source bytes — a
+    // hash match proves decode inverts encode including int16
+    // sign/endianness handling. Map-only, the q50 scale shape.
+    "q200_wav_roundtrip" -> { (s, dir) =>
+      import s.implicits._
+      Synth.documents(s, dir)
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .flatMap { case (id, bytes) =>
+          val nFrames = bytes.length / 4
+          if (nFrames == 0) None
+          else {
+            val wav = WavCodec.encode(bytes, nFrames, channels = 2)
+            val d = MediaCodecs.registry("audio/wav").decode(wav).get
+            var s0 = 0L; var s1 = 0L
+            var i = 0
+            while (i < d.width) {
+              val off = i * 4
+              s0 += ((d.pixels(off) & 0xff) |
+                (d.pixels(off + 1) << 8)).toShort.toLong
+              s1 += ((d.pixels(off + 2) & 0xff) |
+                (d.pixels(off + 3) << 8)).toShort.toLong
+              i += 1
+            }
+            Some((id, d.width, d.channels / 2, s0, s1))
+          }
+        }
+        .toDF("doc_id", "n_frames", "n_channels", "sum_ch0", "sum_ch1")
+        .orderBy("doc_id")
     }
   )
 
@@ -357,7 +393,35 @@ object Multimodal {
         |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
         |SELECT doc_id, 8 AS width, cast(n // 24 as int) AS height,
         |  1 AS err_ok
-        |FROM h WHERE n >= 24 ORDER BY doc_id""".stripMargin
+        |FROM h WHERE n >= 24 ORDER BY doc_id""".stripMargin,
+
+    // signed-int16 LE samples recomputed straight from the source bytes
+    // (frame i channel c = bytes 4i+2c, 4i+2c+1) — a hash match proves
+    // the WAV chunk walk + PCM extraction inverts the encoder exactly
+    "q200_wav_roundtrip" -> {
+      val hexVal = (pos: String) =>
+        s"(strpos('0123456789ABCDEF', substring(hx, $pos, 1)) - 1) * 16" +
+          s" + strpos('0123456789ABCDEF', substring(hx, ($pos) + 1, 1)) - 1"
+      def chanSum(c: Int) =
+        s"""cast(list_sum(list_transform(generate_series(0, nf - 1), i -> (
+           |  CASE WHEN ${hexVal(s"(4 * i + ${2 * c}) * 2 + 1")}
+           |     + 256 * (${hexVal(s"(4 * i + ${2 * c + 1}) * 2 + 1")}) >= 32768
+           |  THEN ${hexVal(s"(4 * i + ${2 * c}) * 2 + 1")}
+           |     + 256 * (${hexVal(s"(4 * i + ${2 * c + 1}) * 2 + 1")}) - 65536
+           |  ELSE ${hexVal(s"(4 * i + ${2 * c}) * 2 + 1")}
+           |     + 256 * (${hexVal(s"(4 * i + ${2 * c + 1}) * 2 + 1")}) END)))
+           | as bigint)""".stripMargin.replace("\n", " ")
+      s"""WITH h AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx,
+         |    octet_length(encode(text)) AS n
+         |  FROM documents),
+         |d AS (
+         |  SELECT doc_id, hx, n // 4 AS nf FROM h WHERE n >= 4)
+         |SELECT doc_id, cast(nf as int) AS n_frames, 2 AS n_channels,
+         |  ${chanSum(0)} AS sum_ch0,
+         |  ${chanSum(1)} AS sum_ch1
+         |FROM d ORDER BY doc_id""".stripMargin
+    }
   )
 
   private lazy val losslessRoundTripOracle: String = {

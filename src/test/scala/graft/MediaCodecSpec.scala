@@ -115,6 +115,30 @@ class MediaCodecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(JpegCodec.decode(corrupt).isEmpty)
   }
 
+  test("WAV codec: PCM round-trip, chunk skipping, crafted/truncated headers degrade to None") {
+    val samples = px(10 * 4) // 10 stereo int16 frames
+    val wav = WavCodec.encode(samples, 10, channels = 2)
+    val d = WavCodec.decode(wav).get
+    assert(d.width == 10 && d.height == 1 && d.channels == 4)
+    assert(d.pixels.sameElements(samples))
+    // an inserted unknown chunk (LIST) before data must be skipped
+    val withList = wav.take(36) ++
+      "LIST".getBytes ++ Array[Byte](4, 0, 0, 0, 1, 2, 3, 4) ++ wav.drop(36)
+    // fix RIFF size field (bytes 4-7): += 12
+    val riffSz = ((withList(4) & 0xff) | ((withList(5) & 0xff) << 8)) + 12
+    withList(4) = riffSz.toByte; withList(5) = (riffSz >> 8).toByte
+    val d2 = WavCodec.decode(withList).get
+    assert(d2.pixels.sameElements(samples), "LIST chunk not skipped")
+    // rejections: wrong magic, truncated data, non-PCM, crafted size
+    assert(WavCodec.decode("RIFFxxxxWEBP".getBytes ++ wav.drop(12)).isEmpty)
+    assert(WavCodec.decode(wav.take(50)).isEmpty)
+    val bits8 = wav.clone(); bits8(34) = 8
+    assert(WavCodec.decode(bits8).isEmpty)
+    val huge = wav.clone(); huge(40) = -1; huge(41) = -1
+    huge(42) = -1; huge(43) = 0x7f // data size past the payload
+    assert(WavCodec.decode(huge).isEmpty)
+  }
+
   test("registry dispatches image/png and image/jpeg through the real decoders") {
     val pixels = px(8 * 3 * 4) // 8x4 plane
     val png = PngCodec.encode(pixels, 8, 4)

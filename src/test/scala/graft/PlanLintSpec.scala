@@ -75,6 +75,7 @@ class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q197_png_roundtrip" -> strict,
     "q198_jpeg_decode" -> strict,
     "q199_pq_append" -> strict,
+    "q200_wav_roundtrip" -> strict,
     "q192_ann_frontier" -> Set(OracleCross),
     "q193_gopher_rules" -> strict,
     "q194_ngram_novelty" -> strict,
