@@ -1,0 +1,147 @@
+package graft.operators
+
+/** Container-level metadata of an ISO base-media file (MP4/MOV family):
+  * what a 100 TB video-ingest pipeline reads BEFORE any frame decode —
+  * duration, timescale, track count, brand — to partition, filter and
+  * route payloads. Sample decode needs a native codec stack and stays
+  * the byte-level stand-in; the CONTAINER walk below is pure JVM and
+  * real.
+  */
+final case class Mp4Meta(
+    brand: String, timescale: Int, duration: Long, nTracks: Int)
+
+/** ISO/IEC 14496-12 box walker + minimal writer.
+  *
+  * Box = [size: u32 BE][type: 4cc][payload]; size == 1 switches to a
+  * 64-bit extended size after the type, size == 0 means "to end of
+  * file". `moov` children are walked one level for `mvhd` (version 0:
+  * 32-bit timescale/duration; version 1: 64-bit duration) and `trak`
+  * counting. All offsets/sizes validated in Long — truncated or crafted
+  * headers degrade to None, never throw (the MediaCodec contract).
+  */
+object Mp4Boxes {
+
+  private def be32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  private def be64(b: Array[Byte], off: Int): Long =
+    (be32(b, off) << 32) | be32(b, off + 4)
+
+  private def tag(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "US-ASCII")
+
+  /** (payloadStart, payloadEnd, nextBoxStart) or None on a bad header. */
+  private def boxBounds(b: Array[Byte], start: Long, limit: Long)
+      : Option[(String, Long, Long)] = {
+    if (start + 8 > limit) return None
+    val size0 = be32(b, start.toInt)
+    val id = tag(b, start.toInt + 4)
+    val (payload, end) =
+      if (size0 == 1) {
+        if (start + 16 > limit) return None
+        (start + 16, start + be64(b, start.toInt + 8))
+      } else if (size0 == 0) (start + 8, limit)
+      else (start + 8, start + size0)
+    if (end < payload || end > limit) None else Some((id, payload, end))
+  }
+
+  def parse(payload: Array[Byte]): Option[Mp4Meta] = {
+    val b = payload
+    val n = b.length.toLong
+    var pos = 0L
+    var brand: String = null
+    var timescale = -1
+    var duration = -1L
+    var nTracks = 0
+    var sawMoov = false
+    while (pos < n) {
+      boxBounds(b, pos, n) match {
+        case None => return None
+        case Some((id, p, end)) =>
+          id match {
+            case "ftyp" =>
+              if (p + 4 > end) return None
+              brand = tag(b, p.toInt)
+            case "moov" =>
+              sawMoov = true
+              var cp = p
+              while (cp < end) {
+                boxBounds(b, cp, end) match {
+                  case None => return None
+                  case Some((cid, cpay, cend)) =>
+                    cid match {
+                      case "mvhd" =>
+                        if (cpay + 4 > cend) return None
+                        val version = b(cpay.toInt) & 0xff
+                        if (version == 0) {
+                          // fullbox(4) + creation(4) + modification(4)
+                          if (cpay + 20 > cend) return None
+                          timescale = be32(b, cpay.toInt + 12).toInt
+                          duration = be32(b, cpay.toInt + 16)
+                        } else if (version == 1) {
+                          // fullbox(4) + creation(8) + modification(8)
+                          if (cpay + 32 > cend) return None
+                          timescale = be32(b, cpay.toInt + 20).toInt
+                          duration = be64(b, cpay.toInt + 24)
+                        } else return None
+                      case "trak" => nTracks += 1
+                      case _ => // udta, iods, ... skipped by size
+                    }
+                    cp = cend
+                }
+              }
+            case _ => // mdat, free, ... skipped by size
+          }
+          pos = end
+      }
+    }
+    if (brand == null || !sawMoov || timescale <= 0 || duration < 0) None
+    else Some(Mp4Meta(brand, timescale, duration, nTracks))
+  }
+
+  /** Minimal well-formed file: ftyp(isom) + moov(mvhd v0 + nTracks ×
+    * trak(tkhd v0)) — the inverse of [[parse]] for the q202 round-trip.
+    */
+  def build(timescale: Int, duration: Long, nTracks: Int): Array[Byte] = {
+    require(timescale > 0 && duration >= 0 && duration <= 0xffffffffL &&
+      nTracks >= 0, s"bad mvhd fields: $timescale/$duration/$nTracks")
+    def w32(b: Array[Byte], off: Int, v: Long): Unit = {
+      b(off) = (v >> 24).toByte; b(off + 1) = (v >> 16).toByte
+      b(off + 2) = (v >> 8).toByte; b(off + 3) = v.toByte
+    }
+    def wtag(b: Array[Byte], off: Int, t: String): Unit =
+      t.getBytes("US-ASCII").copyToArray(b, off)
+    val ftyp = new Array[Byte](24)
+    w32(ftyp, 0, 24); wtag(ftyp, 4, "ftyp"); wtag(ftyp, 8, "isom")
+    w32(ftyp, 12, 0x200); wtag(ftyp, 16, "isom"); wtag(ftyp, 20, "mp41")
+    val mvhd = new Array[Byte](108)
+    w32(mvhd, 0, 108); wtag(mvhd, 4, "mvhd") // v0 + flags = 0
+    w32(mvhd, 20, timescale); w32(mvhd, 24, duration)
+    w32(mvhd, 28, 0x00010000); mvhd(32) = 0x01 // rate 1.0, volume 1.0
+    // unity matrix at offset 8+4+4+4+4+4+4+2+2+8 = 44 (+8 header = 52)
+    w32(mvhd, 44, 0x00010000); w32(mvhd, 60, 0x00010000)
+    w32(mvhd, 76, 0x40000000)
+    w32(mvhd, 104, nTracks + 1) // next_track_id
+    val traks = (1 to nTracks).map { tid =>
+      val tkhd = new Array[Byte](92)
+      w32(tkhd, 0, 92); wtag(tkhd, 4, "tkhd")
+      tkhd(11) = 0x07 // v0, flags = enabled|in-movie|in-preview
+      w32(tkhd, 20, tid.toLong); w32(tkhd, 28, duration)
+      w32(tkhd, 48, 0x00010000); w32(tkhd, 64, 0x00010000)
+      w32(tkhd, 80, 0x40000000) // unity matrix
+      val trak = new Array[Byte](8 + tkhd.length)
+      w32(trak, 0, trak.length.toLong); wtag(trak, 4, "trak")
+      tkhd.copyToArray(trak, 8)
+      trak
+    }
+    val moovLen = 8 + mvhd.length + traks.map(_.length).sum
+    val moov = new Array[Byte](moovLen)
+    w32(moov, 0, moovLen.toLong); wtag(moov, 4, "moov")
+    mvhd.copyToArray(moov, 8)
+    traks.foldLeft(8 + mvhd.length) { (off, t) =>
+      t.copyToArray(moov, off); off + t.length
+    }
+    ftyp ++ moov
+  }
+}

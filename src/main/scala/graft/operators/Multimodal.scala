@@ -252,6 +252,35 @@ object Multimodal {
         }
         .toDF("doc_id", "n_frames", "n_channels", "sum_ch0", "sum_ch1")
         .orderBy("doc_id")
+    },
+
+    // MP4/ISO-BMFF container metadata (r10) — the VIDEO modality's real
+    // layer: a 100 TB video pipeline reads container metadata (brand,
+    // timescale, duration, track count) to partition/filter/route long
+    // before any frame decode, and THAT walk is pure JVM
+    // (`operators/Mp4Boxes.scala`: big-endian sizes, 64-bit extended
+    // sizes, nested moov children, mvhd v0/v1). Each doc derives
+    // deterministic mvhd fields, builds a well-formed minimal file, and
+    // parses it back; the oracle recomputes the fields from the doc
+    // columns, so the hash match proves build∘parse = id on the box
+    // tree. Sample decode stays the byte stand-in (native codec stacks
+    // are genuinely absent here) — stated, not hidden.
+    "q202_mp4_metadata" -> { (s, dir) =>
+      import s.implicits._
+      Synth.documents(s, dir)
+        .select(col("doc_id"), octet_length(encode(col("text"), "utf-8")).as("n"))
+        .as[(Long, Int)]
+        .map { case (id, n) =>
+          val timescale = 1000 + n % 9000
+          val duration = n.toLong * 40
+          val nTracks = (id % 3 + 1).toInt
+          val m = Mp4Boxes.parse(
+            Mp4Boxes.build(timescale, duration, nTracks)).get
+          (id, m.brand, m.timescale,
+            m.duration * 1000L / m.timescale, m.nTracks)
+        }
+        .toDF("doc_id", "brand", "timescale", "duration_ms", "n_tracks")
+        .orderBy("doc_id")
     }
   )
 
@@ -421,7 +450,18 @@ object Multimodal {
          |  ${chanSum(0)} AS sum_ch0,
          |  ${chanSum(1)} AS sum_ch1
          |FROM d ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    // mvhd fields recomputed from the doc columns; integer div on both
+    // sides — a hash match proves the box walker inverts the writer
+    "q202_mp4_metadata" ->
+      """WITH h AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+        |SELECT doc_id, 'isom' AS brand,
+        |  cast(1000 + n % 9000 as int) AS timescale,
+        |  cast((n * 40 * 1000) // (1000 + n % 9000) as bigint) AS duration_ms,
+        |  cast(doc_id % 3 + 1 as int) AS n_tracks
+        |FROM h ORDER BY doc_id""".stripMargin
   )
 
   private lazy val losslessRoundTripOracle: String = {

@@ -96,6 +96,24 @@ object ProductQuantization {
         c.map(w => s"${w}D").mkString("array(", ", ", ")"))} + ${norm2}D"
     }.mkString("array(", ", ", ")")
 
+  /** Per-subspace (m, code, fixed-point residual) struct columns over an
+    * `embedding` column for a CONCRETE codebook — the assignment +
+    * quantization-residual kernel shared by q199's batch append path and
+    * [[graft.streaming.EventTimeAggregates.streamingQuantDrift]], so
+    * batch and stream agree code-for-code and millionths-for-millionths.
+    */
+  private[graft] def residStructs(
+      cb: Array[Array[Array[Double]]]): Seq[org.apache.spark.sql.Column] =
+    (0 until nSub).map { m =>
+      val ds = distsSpark(cb, "embedding", m)
+      val xn = Dedup.dot(subSpark("embedding", m), subSpark("embedding", m))
+      org.apache.spark.sql.functions.struct(
+        lit(m).as("m"),
+        expr(argminSpark(cb, "embedding", m)).cast("long").as("code"),
+        expr(s"floor((array_min($ds) + $xn) * 1000000D)")
+          .cast("long").as("rfp"))
+    }
+
   /** 1-based argmin code (first-min tiebreak = smallest code id). */
   private def argminSpark(
       cb: Array[Array[Array[Double]]], colName: String, m: Int): String = {
@@ -310,18 +328,9 @@ object ProductQuantization {
       val cb = cbCache.computeIfAbsent(
         CorpusKey.tableName(s, "graft_pq_cb_base", dir),
         _ => trainedCodebooks(base))
-      val perSub = (0 until nSub).map { m =>
-        val ds = distsSpark(cb, "embedding", m)
-        val xn = Dedup.dot(subSpark("embedding", m), subSpark("embedding", m))
-        org.apache.spark.sql.functions.struct(
-          lit(m).as("m"),
-          expr(argminSpark(cb, "embedding", m)).cast("long").as("code"),
-          expr(s"floor((array_min($ds) + $xn) * 1000000D)")
-            .cast("long").as("rfp"))
-      }
       e.select(col("vec_id"), isApp.as("is_app"),
           org.apache.spark.sql.functions.explode(
-            array(perSub: _*)).as("sub"))
+            array(residStructs(cb): _*)).as("sub"))
         .select(col("vec_id"), col("is_app"), col("sub.m").as("m"),
           col("sub.code").as("code"), col("sub.rfp").as("rfp"))
         .groupBy("m")

@@ -1181,6 +1181,50 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // Bigram language-model quality scoring — the CCNet shape (Wenzek et
+    // al. 2020): score each candidate doc by how well a language model
+    // TRAINED ON THE REFERENCE SLICE predicts it, then filter/bucket by
+    // the score (their KenLM perplexity tiers). Model: add-1-smoothed
+    // bigram probabilities p(b|a) = (c(a,b)+1)/(c_head(a)+V) over the
+    // reference (doc_id % 7 = 0, the q194 split); score = per-doc MEAN
+    // bigram probability in integer millionths — every step exact
+    // integer arithmetic (counts, ·10⁶, integer div), so unlike a
+    // log-space perplexity the score is bit-identical cross-engine and
+    // hash-checkable. Monotone in the same direction as perplexity for
+    // ranking/filtering. Scale shape: count tables are map-side
+    // combinable aggregations; the score pass shuffles on gram keys
+    // (hot heads — stopwords — are exactly what AQE skew handling and
+    // a broadcast-able vocab-sized head table absorb); one 1-row
+    // broadcast carries V.
+    "q201_lm_score" -> { (s, dir) =>
+      val d = Synth.documents(s, dir)
+        .select(col("doc_id"), expr(toks).as("tk"))
+        .filter(expr("size(tk) >= 2"))
+      val isRef = col("doc_id") % 7 === 0
+      def pairs(df: DataFrame) = df
+        .select(col("doc_id"),
+          explode(expr("sequence(1, size(tk) - 1)")).as("i"),
+          col("tk"))
+        .select(col("doc_id"), expr("element_at(tk, i)").as("a"),
+          expr("element_at(tk, i + 1)").as("b"))
+      val refP = pairs(d.filter(isRef))
+      val big = refP.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+      val head = refP.groupBy("a").agg(count(lit(1)).as("ca"))
+      val vocab = d.filter(isRef)
+        .select(explode(col("tk")).as("tok"))
+        .agg(countDistinct(col("tok")).as("vocab"))
+      pairs(d.filter(!isRef))
+        .join(big, Seq("a", "b"), "left")
+        .join(head, Seq("a"), "left")
+        .crossJoin(broadcast(vocab))
+        .withColumn("p_ppm", expr(
+          "(coalesce(cab, 0L) + 1L) * 1000000L div (coalesce(ca, 0L) + vocab)"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("sum(p_ppm) div count(1)").as("mean_p_ppm"))
+        .orderBy("doc_id")
+    },
+
     // Document length histogram (100-char buckets) — corpus shape stats.
     "q27_length_hist" -> { (s, dir) =>
       Synth.documents(s, dir)
@@ -1523,6 +1567,32 @@ object TextAnalysis {
          |FROM ex LEFT JOIN ref ON ref.gram = ex.gram
          |GROUP BY ex.doc_id ORDER BY doc_id""".stripMargin
     },
+
+    "q201_lm_score" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $dToks AS t FROM documents
+         |  WHERE len($dToks) >= 2),
+         |refp AS (
+         |  SELECT t[i] AS a, t[i + 1] AS b
+         |  FROM d, unnest(generate_series(1, len(t) - 1)) u(i)
+         |  WHERE doc_id % 7 = 0),
+         |big AS (SELECT a, b, count(*) AS cab FROM refp GROUP BY 1, 2),
+         |hd AS (SELECT a, count(*) AS ca FROM refp GROUP BY 1),
+         |voc AS (
+         |  SELECT count(DISTINCT tok) AS v FROM (
+         |    SELECT unnest(t) AS tok FROM d WHERE doc_id % 7 = 0)),
+         |sc AS (
+         |  SELECT doc_id, t[i] AS a, t[i + 1] AS b
+         |  FROM d, unnest(generate_series(1, len(t) - 1)) u(i)
+         |  WHERE doc_id % 7 <> 0)
+         |SELECT doc_id, cast(count(*) as bigint) AS n_bigrams,
+         |  cast(sum((coalesce(cab, 0) + 1) * 1000000
+         |    // (coalesce(ca, 0) + v)) // count(*) as bigint) AS mean_p_ppm
+         |FROM sc
+         |LEFT JOIN big USING (a, b)
+         |LEFT JOIN hd USING (a)
+         |CROSS JOIN voc
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q22_langid" ->
       s"""SELECT doc_id, v_en, v_es, v_de,

@@ -429,6 +429,44 @@ object EventTimeAggregates {
       .select("doc_id", "n_grams", "n_seen", "novelty_ppm")
   }
 
+  /** Streaming twin of q199's quantization-drift signal — ANN index
+    * maintenance as a live monitor: arriving vectors are assigned
+    * against the FIXED base-trained codebooks (the same
+    * [[graft.operators.ProductQuantization.residStructs]] kernel as the
+    * batch append path, map-only with the codebooks broadcast as
+    * literals) and the per-subspace running residual mass updates a
+    * streaming aggregation whose state is the fixed 8-row counter grid
+    * regardless of stream volume (the streamingCms mergeable-state
+    * argument — no watermark needed because the state cannot grow).
+    * Each micro-batch emits the refreshed drift_ppm per subspace; the
+    * alert rule "drift_ppm > SLO ⇒ retrain" runs downstream. Update
+    * mode.
+    *
+    * `vecs` (streaming): embedding. `base` (static): m, n_base,
+    * base_resid_fp — the training-time residual masses from the batch
+    * q199 run (or any snapshot of it).
+    */
+  def streamingQuantDrift(vecs: DataFrame,
+      cb: Array[Array[Array[Double]]], base: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    vecs
+      .select(explode(array(
+        graft.operators.ProductQuantization.residStructs(cb): _*)).as("sub"))
+      .select(col("sub.m").as("m"), col("sub.rfp").as("rfp"))
+      .join(base.select(col("m"), col("n_base"), col("base_resid_fp")),
+        Seq("m"))
+      .groupBy("m")
+      .agg(count(lit(1)).as("n_app"), sum(col("rfp")).as("app_resid_fp"),
+        first(col("n_base")).as("n_base"),
+        first(col("base_resid_fp")).as("base_resid_fp"))
+      .withColumn("drift_ppm", expr(
+        "cast(floor((cast(app_resid_fp as double) * cast(n_base as double))" +
+          " / (cast(greatest(base_resid_fp, 1L) as double)" +
+          " * cast(n_app as double)) * 1000000D) as long)"))
+      .select("m", "n_base", "n_app", "base_resid_fp", "app_resid_fp",
+        "drift_ppm")
+  }
+
   /** Streaming count-min sketch — the batch q102 sketch maintained
     * incrementally: the (row, bucket) counts are a streaming aggregation
     * whose state is the FIXED d×W integer grid regardless of stream

@@ -456,6 +456,56 @@ class EventTimeSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming quantization drift equals the batch q199 computation across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    // deterministic codebook + vectors (the op takes the codebook as a
+    // parameter, so the test controls the geometry end to end)
+    val cb = Array.tabulate(8, 16, 8)((m, k, d) =>
+      (((m * 131 + k * 17 + d * 7) % 23) - 11) / 8.0)
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(i => (((seed * 31 + i * 13) % 17) - 8) / 4.0f)
+    // base snapshot: training-time residual masses, batch-computed with
+    // the SAME residStructs kernel
+    val base = (0 until 20).map(s => Tuple1(vec(s))).toDF("embedding")
+      .select(explode(array(
+        graft.operators.ProductQuantization.residStructs(cb): _*)).as("sub"))
+      .groupBy(col("sub.m").as("m"))
+      .agg(count(lit(1)).as("n_base"), sum(col("sub.rfp")).as("base_resid_fp"))
+      .localCheckpoint()
+    val arriving = (100 until 110).map(vec)
+    val mem = MemoryStream[Array[Float]]
+    val out = EventTimeAggregates.streamingQuantDrift(
+      mem.toDF().toDF("embedding"), cb, base)
+    val q = out.writeStream.format("memory").queryName("qdrift")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(arriving.take(5): _*)
+      q.processAllAvailable()
+      mem.addData(arriving.drop(5): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // latest row per subspace = the one with the largest n_app (the
+    // counter is monotone across Update-mode emissions)
+    val got = spark.sql(
+      "select m, n_base, n_app, base_resid_fp, app_resid_fp, drift_ppm from qdrift")
+      .collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))))
+      .groupBy(_._1).map { case (m, v) => m -> v.map(_._2).maxBy(_._2) }
+    // batch truth: the op is pure DataFrame algebra, so running it over
+    // a STATIC frame of everything that arrived IS the q199 semantics
+    val expected = EventTimeAggregates.streamingQuantDrift(
+      arriving.map(Tuple1(_)).toDF("embedding"), cb, base)
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got.size == 8 && expected.size == 8)
+    assert(got == expected, s"stream $got\nbatch $expected")
+    assert(got.values.forall(_._2 == 10L), "all 10 arrivals counted per subspace")
+  }
+
   test("streaming drift monitor: per-window TV against the broadcast reference histogram") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

@@ -139,6 +139,31 @@ class MediaCodecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(WavCodec.decode(huge).isEmpty)
   }
 
+  test("MP4 box walker: build/parse round-trip, extended sizes, crafted headers degrade to None") {
+    val mp4 = Mp4Boxes.build(timescale = 90000, duration = 123456L, nTracks = 2)
+    val m = Mp4Boxes.parse(mp4).get
+    assert(m == Mp4Meta("isom", 90000, 123456L, 2))
+    // a skippable top-level box (free) between ftyp and moov
+    val free = Array[Byte](0, 0, 0, 12) ++ "free".getBytes ++
+      Array[Byte](9, 9, 9, 9)
+    val withFree = mp4.take(24) ++ free ++ mp4.drop(24)
+    assert(Mp4Boxes.parse(withFree).get == m)
+    // 64-bit extended size on the free box (size=1 + u64)
+    val ext = Array[Byte](0, 0, 0, 1) ++ "free".getBytes ++
+      Array[Byte](0, 0, 0, 0, 0, 0, 0, 20) ++ Array.fill[Byte](4)(7)
+    assert(Mp4Boxes.parse(mp4.take(24) ++ ext ++ mp4.drop(24)).get == m)
+    // size=0 means to-EOF: legal only as the last box
+    val toEof = mp4.clone()
+    toEof(24) = 0; toEof(25) = 0; toEof(26) = 0; toEof(27) = 0 // moov size
+    assert(Mp4Boxes.parse(toEof).get == m)
+    // rejections: truncation, box size past the payload, no moov
+    assert(Mp4Boxes.parse(mp4.take(30)).isEmpty)
+    val bad = mp4.clone(); bad(27) = -1 // moov size huge
+    assert(Mp4Boxes.parse(bad).isEmpty)
+    assert(Mp4Boxes.parse(mp4.take(24)).isEmpty)
+    assert(Mp4Boxes.parse("not a container at all!!".getBytes).isEmpty)
+  }
+
   test("registry dispatches image/png and image/jpeg through the real decoders") {
     val pixels = px(8 * 3 * 4) // 8x4 plane
     val png = PngCodec.encode(pixels, 8, 4)

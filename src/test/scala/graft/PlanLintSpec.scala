@@ -76,6 +76,8 @@ class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q198_jpeg_decode" -> strict,
     "q199_pq_append" -> strict,
     "q200_wav_roundtrip" -> strict,
+    "q201_lm_score" -> strict,
+    "q202_mp4_metadata" -> strict,
     "q192_ann_frontier" -> Set(OracleCross),
     "q193_gopher_rules" -> strict,
     "q194_ngram_novelty" -> strict,
