@@ -215,6 +215,20 @@ object JpegCodec extends MediaCodec {
   }
 }
 
+/** GIF via the JDK reader — decode-only in practice: the GIF writer
+  * palette-quantizes (≤ 256 colors), so arbitrary planes don't
+  * round-trip losslessly and there is no q191-style oracle query; the
+  * registry entry still gives `decodeAndExtract` a real pixel plane for
+  * GIF payloads (spec-tested on palette-sized images, where the JDK
+  * writer IS exact).
+  */
+object GifCodec extends MediaCodec {
+  def decode(payload: Array[Byte]): Option[DecodedImage] =
+    if (payload.length < 6 ||
+        !new String(payload, 0, 6, "US-ASCII").matches("GIF8[79]a")) None
+    else ImageIoCodec.readPlane(payload)
+}
+
 /** WAV (RIFF) PCM — the audio modality's real codec, hand-rolled like
   * BMP (the format is a pure chunk walk; no JDK audio stack needed, so
   * no javax.sound headless caveats). Decodes 16-bit integer PCM, any
@@ -315,5 +329,6 @@ object MediaCodecs {
     "image/bmp" -> BmpCodec,
     "image/png" -> PngCodec,
     "image/jpeg" -> JpegCodec,
+    "image/gif" -> GifCodec,
     "audio/wav" -> WavCodec)
 }

@@ -467,6 +467,52 @@ object EventTimeAggregates {
         "drift_ppm")
   }
 
+  /** Streaming twin of q201's bigram-LM quality scoring — the CCNet
+    * filter where it actually runs in production: at INGESTION, each
+    * arriving doc scored against count tables trained offline on the
+    * reference corpus (stream-static joins on the gram keys, the
+    * refreshed-offline contract of the band index / refGrams). Same
+    * all-integer arithmetic as batch q201, so stream and batch agree
+    * millionths-for-millionths. State follows [[streamingNovelty]]'s
+    * contract exactly: unbounded one-counter-pair-per-doc without
+    * `eventTime` (bounded replays/tests only), watermark-evicted
+    * arrival windows with it.
+    *
+    * `docs` (streaming): doc_id, text [, eventTime col]. `bigrams`
+    * (static): a, b, cab. `heads` (static): a, ca. `vocab`: |V| from
+    * training.
+    */
+  def streamingLmScore(docs: DataFrame, bigrams: DataFrame,
+      heads: DataFrame, vocab: Long,
+      eventTime: Option[String] = None,
+      windowDur: String = "10 minutes",
+      delay: String = "10 minutes"): DataFrame = {
+    val src = eventTime.fold(docs)(c => docs.withWatermark(c, delay))
+    val et = eventTime.map(col).toSeq
+    val pairs = src
+      .select(col("doc_id") +: et :+
+        expr(graft.operators.Dedup.toks).as("tk"): _*)
+      .filter(expr("size(tk) >= 2"))
+      .select(col("doc_id") +: et :+ col("tk") :+
+        explode(expr("sequence(1, size(tk) - 1)")).as("i"): _*)
+      .select(col("doc_id") +: et :+
+        expr("element_at(tk, i)").as("a") :+
+        expr("element_at(tk, i + 1)").as("b"): _*)
+      .join(bigrams.select(col("a"), col("b"), col("cab")),
+        Seq("a", "b"), "left")
+      .join(heads.select(col("a"), col("ca")), Seq("a"), "left")
+      .withColumn("p_ppm", expr(
+        s"(coalesce(cab, 0L) + 1L) * 1000000L div (coalesce(ca, 0L) + ${vocab}L)"))
+    val grouped = eventTime match {
+      case Some(c) => pairs.groupBy(col("doc_id"), window(col(c), windowDur))
+      case None    => pairs.groupBy(col("doc_id"))
+    }
+    grouped
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(p_ppm) div count(1)").as("mean_p_ppm"))
+      .select("doc_id", "n_bigrams", "mean_p_ppm")
+  }
+
   /** Streaming count-min sketch — the batch q102 sketch maintained
     * incrementally: the (row, bucket) counts are a streaming aggregation
     * whose state is the FIXED d×W integer grid regardless of stream

@@ -456,6 +456,53 @@ class EventTimeSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming LM scoring equals batch q201 point-for-point across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    def run(a: Int, b: Int) = (a to b).map(i => s"w${i % 40}").mkString(" ")
+    // offline training on the reference corpus (the batch q201 recipe)
+    val ref = Seq((1L, run(1, 60)), (2L, run(20, 90))).toDF("doc_id", "text")
+      .select(col("doc_id"), expr(graft.operators.Dedup.toks).as("tk"))
+      .filter(expr("size(tk) >= 2"))
+    val refP = ref
+      .select(explode(expr("sequence(1, size(tk) - 1)")).as("i"), col("tk"))
+      .select(expr("element_at(tk, i)").as("a"),
+        expr("element_at(tk, i + 1)").as("b"))
+    val big = refP.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+      .localCheckpoint()
+    val heads = refP.groupBy("a").agg(count(lit(1)).as("ca"))
+      .localCheckpoint()
+    val vocab = ref.select(explode(col("tk")).as("t"))
+      .agg(countDistinct(col("t"))).collect()(0).getLong(0)
+    val arriving = Seq(
+      (10L, run(1, 60)),    // in-distribution → high mean p
+      (11L, run(200, 230)), // wraps to w0..w39 but different bigram mix
+      (12L, "zzz yyy xxx www vvv")) // fully OOV → add-1 floor
+    val mem = MemoryStream[(Long, String)]
+    val out = EventTimeAggregates.streamingLmScore(
+      mem.toDF().toDF("doc_id", "text"), big, heads, vocab)
+    val q = out.writeStream.format("memory").queryName("slm")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(arriving(0), arriving(1))
+      q.processAllAvailable()
+      mem.addData(arriving(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql("select doc_id, n_bigrams, mean_p_ppm from slm")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).map { case (k, v) => k -> v.last._2 }
+    // batch truth: the same op over a static frame of everything arrived
+    val batch = EventTimeAggregates.streamingLmScore(
+      arriving.toDF("doc_id", "text"), big, heads, vocab)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == batch, s"stream $got != batch $batch")
+    assert(got(10L)._2 > got(12L)._2,
+      "in-distribution doc must outscore the OOV doc")
+  }
+
   test("streaming quantization drift equals the batch q199 computation across micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

@@ -139,6 +139,42 @@ class MediaCodecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(WavCodec.decode(huge).isEmpty)
   }
 
+  test("GIF codec: decode-only registry entry is exact on palette images, rejects non-GIF") {
+    // GIF is palette-indexed; the JDK writer is lossless only when the
+    // source image IS indexed (a truecolor source gets quantized to the
+    // default web palette) — so the fixture builds an explicit 4-entry
+    // IndexColorModel, exactly a real GIF producer's shape. h = 8, not
+    // smaller: the JDK GIF WRITER has a last-row LZW-flush bug at tiny
+    // heights (h = 4 measurably zeroes row 3; h ≥ 5 is exact) — a
+    // writer quirk, not a decode-path property, so the fixture avoids it
+    val reds = Array[Byte](0, -1, 0, 0)
+    val greens = Array[Byte](0, 0, -1, 0)
+    val blues = Array[Byte](0, 0, 0, -1)
+    val icm = new java.awt.image.IndexColorModel(2, 4, reds, greens, blues)
+    val (w, h) = (8, 8)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, (y * w + x) % 4)
+    // expected BGR plane after readPlane's normalization
+    val plane = Array.tabulate(w * h * 3) { i =>
+      val c = (i / 3) % 4
+      (i % 3) match {
+        case 0 => blues(c); case 1 => greens(c); case _ => reds(c)
+      }
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", baos))
+    val gif = baos.toByteArray
+    assert(new String(gif, 0, 6, "US-ASCII").matches("GIF8[79]a"))
+    val d = GifCodec.decode(gif).get
+    assert(d.width == w && d.height == h && d.channels == 3)
+    assert(d.pixels.sameElements(plane))
+    // magic check: a PNG under the GIF codec refuses
+    assert(GifCodec.decode(PngCodec.encode(plane, w, h)).isEmpty)
+    assert(GifCodec.decode(gif.take(20)).isEmpty)
+  }
+
   test("MP4 box walker: build/parse round-trip, extended sizes, crafted headers degrade to None") {
     val mp4 = Mp4Boxes.build(timescale = 90000, duration = 123456L, nTracks = 2)
     val m = Mp4Boxes.parse(mp4).get
