@@ -298,18 +298,23 @@ object Bench {
           catch { case e: Throwable => System.err.println(
             s"[bench] scaling warm x$f failed: ${e.getMessage}") }
           scalingFamilies.map { name =>
-            val t0 = System.nanoTime()
-            val ok =
+            // min-of-2 like the main sweep: a single-run point showed
+            // 1.7× contention noise (r10: q31b 8× measured 8.51 s and
+            // 14.17 s for identical work across two runs)
+            def once(): Double = {
+              val t0 = System.nanoTime()
               try {
                 SparkEntry.queries(name)(spark, dir)
                   .write.format("noop").mode("overwrite").save()
-                true
+                (System.nanoTime() - t0) / 1e9
               } catch { case e: Throwable =>
                 System.err.println(
                   s"[bench] scaling $name x$f failed: ${e.getMessage}")
-                false
+                -1.0
               }
-            name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+            }
+            val (a, b) = (once(), once())
+            name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
           }.toMap
         }
         scalingFamilies.map(n => n -> perDir.map(_(n)))

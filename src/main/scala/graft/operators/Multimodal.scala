@@ -35,12 +35,14 @@ object Multimodal {
   private val HeadBytes = 8
 
   /** Decode dispatch: a mime with a registered pure-JVM codec
-    * ([[MediaCodecs.registry]] — BMP, PNG, JPEG) is REALLY decoded and
-    * the features computed over the decoded pixel plane; every other
-    * format (audio/video — no pure-JVM codec in this container) takes
-    * the deterministic byte-level stand-in ("frames" are the bytes at
-    * every FrameStride-th offset), as does a registered mime whose
-    * payload fails to parse (degrade, don't fail the partition).
+    * ([[MediaCodecs.registry]] — BMP/PNG/JPEG/GIF images, WAV audio) is
+    * REALLY decoded and the features computed over the decoded plane
+    * (pixels or PCM frames); every other format (video samples — no
+    * pure-JVM codec stack in this container; the MP4 CONTAINER walk is
+    * real, see [[Mp4Boxes]]) takes the deterministic byte-level
+    * stand-in ("frames" are the bytes at every FrameStride-th offset),
+    * as does a registered mime whose payload fails to parse (degrade,
+    * don't fail the partition).
     */
   def decodeAndExtract(m: MediaRecord): MediaFeatures = {
     val plane = MediaCodecs.registry.get(m.mime)
