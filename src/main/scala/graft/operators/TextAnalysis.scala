@@ -1197,32 +1197,38 @@ object TextAnalysis {
     // a broadcast-able vocab-sized head table absorb); one 1-row
     // broadcast carries V.
     "q201_lm_score" -> { (s, dir) =>
-      val d = Synth.documents(s, dir)
-        .select(col("doc_id"), expr(toks).as("tk"))
-        .filter(expr("size(tk) >= 2"))
+      val d = lmDocs(s, dir)
       val isRef = col("doc_id") % 7 === 0
-      def pairs(df: DataFrame) = df
-        .select(col("doc_id"),
-          explode(expr("sequence(1, size(tk) - 1)")).as("i"),
-          col("tk"))
-        .select(col("doc_id"), expr("element_at(tk, i)").as("a"),
-          expr("element_at(tk, i + 1)").as("b"))
-      val refP = pairs(d.filter(isRef))
-      val big = refP.groupBy("a", "b").agg(count(lit(1)).as("cab"))
-      val head = refP.groupBy("a").agg(count(lit(1)).as("ca"))
-      val vocab = d.filter(isRef)
-        .select(explode(col("tk")).as("tok"))
-        .agg(countDistinct(col("tok")).as("vocab"))
-      pairs(d.filter(!isRef))
-        .join(big, Seq("a", "b"), "left")
-        .join(head, Seq("a"), "left")
-        .crossJoin(broadcast(vocab))
-        .withColumn("p_ppm", expr(
-          "(coalesce(cab, 0L) + 1L) * 1000000L div (coalesce(ca, 0L) + vocab)"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          expr("sum(p_ppm) div count(1)").as("mean_p_ppm"))
+      lmMeanScore(d, trainOn = isRef, scoreOn = !isRef)
         .orderBy("doc_id")
+    },
+
+    // DSIR-style importance selection (Xie et al. 2023 shape) — the
+    // data-selection op one tier above q201's single-model filter:
+    // importance of a candidate ∝ p_target(x)/p_raw(x), i.e. "looks
+    // like the curated target domain, not just like the raw pool".
+    // Two add-1 bigram models share the q201 machinery — target
+    // trained on the reference slice, raw trained on the candidate
+    // pool itself — and the importance surrogate is the DIFFERENCE of
+    // mean bigram probabilities in millionths (exact integers, same
+    // hash-exactness argument as q201; the paper's log-ratio and this
+    // difference induce similar selections at equal smoothing). Top
+    // 100 by (importance desc, doc_id) via orderBy+limit —
+    // TakeOrderedAndProject, never a single-partition window. Scale:
+    // twice q201's count tables (both map-side combinable), one
+    // bounded top-k.
+    "q203_dsir_select" -> { (s, dir) =>
+      val d = lmDocs(s, dir)
+      val isRef = col("doc_id") % 7 === 0
+      val target = lmMeanScore(d, trainOn = isRef, scoreOn = !isRef)
+        .withColumnRenamed("mean_p_ppm", "p_target_ppm")
+      val raw = lmMeanScore(d, trainOn = !isRef, scoreOn = !isRef)
+        .select(col("doc_id"), col("mean_p_ppm").as("p_raw_ppm"))
+      target.join(raw, "doc_id")
+        .withColumn("imp_ppm", col("p_target_ppm") - col("p_raw_ppm"))
+        .select("doc_id", "n_bigrams", "p_target_ppm", "p_raw_ppm", "imp_ppm")
+        .orderBy(col("imp_ppm").desc, col("doc_id"))
+        .limit(100)
     },
 
     // Document length histogram (100-char buckets) — corpus shape stats.
@@ -1336,6 +1342,43 @@ object TextAnalysis {
       .drop("_mp")
 
   private[operators] val dToks = "regexp_split_to_array(trim(text), '\\s+')"
+
+  /** Tokenized docs with ≥ 2 tokens — the bigram-LM working set. */
+  private def lmDocs(s: SparkSession, dir: String): DataFrame =
+    Synth.documents(s, dir)
+      .select(col("doc_id"), expr(toks).as("tk"))
+      .filter(expr("size(tk) >= 2"))
+
+  /** Add-1-smoothed bigram-LM mean-probability scores (q201/q203 kernel):
+    * model trained on `trainOn` docs, every `scoreOn` doc scored by its
+    * mean bigram probability in integer millionths. Count tables are
+    * map-side combinable; the score pass shuffles on gram keys; V rides
+    * one 1-row broadcast. Output: doc_id, n_bigrams, mean_p_ppm.
+    */
+  private def lmMeanScore(d: DataFrame, trainOn: org.apache.spark.sql.Column,
+      scoreOn: org.apache.spark.sql.Column): DataFrame = {
+    def pairs(df: DataFrame) = df
+      .select(col("doc_id"),
+        explode(expr("sequence(1, size(tk) - 1)")).as("i"),
+        col("tk"))
+      .select(col("doc_id"), expr("element_at(tk, i)").as("a"),
+        expr("element_at(tk, i + 1)").as("b"))
+    val refP = pairs(d.filter(trainOn))
+    val big = refP.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+    val head = refP.groupBy("a").agg(count(lit(1)).as("ca"))
+    val vocab = d.filter(trainOn)
+      .select(explode(col("tk")).as("tok"))
+      .agg(countDistinct(col("tok")).as("vocab"))
+    pairs(d.filter(scoreOn))
+      .join(big, Seq("a", "b"), "left")
+      .join(head, Seq("a"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("p_ppm", expr(
+        "(coalesce(cab, 0L) + 1L) * 1000000L div (coalesce(ca, 0L) + vocab)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(p_ppm) div count(1)").as("mean_p_ppm"))
+  }
 
   /** DuckDB rendering of [[hybridShortlist]] (srk carried into `rr`) —
     * shared CTE prefix of the q54 and q54b oracles.
@@ -1593,6 +1636,40 @@ object TextAnalysis {
          |LEFT JOIN hd USING (a)
          |CROSS JOIN voc
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q203_dsir_select" -> {
+      def lm(tag: String, trainPred: String) =
+        s"""refp_$tag AS (
+           |  SELECT t[i] AS a, t[i + 1] AS b
+           |  FROM d, unnest(generate_series(1, len(t) - 1)) u(i)
+           |  WHERE $trainPred),
+           |big_$tag AS (SELECT a, b, count(*) AS cab FROM refp_$tag GROUP BY 1, 2),
+           |hd_$tag AS (SELECT a, count(*) AS ca FROM refp_$tag GROUP BY 1),
+           |voc_$tag AS (
+           |  SELECT count(DISTINCT tok) AS v FROM (
+           |    SELECT unnest(t) AS tok FROM d WHERE $trainPred)),
+           |score_$tag AS (
+           |  SELECT doc_id, cast(count(*) as bigint) AS n_bigrams,
+           |    cast(sum((coalesce(cab, 0) + 1) * 1000000
+           |      // (coalesce(ca, 0) + v)) // count(*) as bigint) AS mean_$tag
+           |  FROM sc LEFT JOIN big_$tag USING (a, b)
+           |  LEFT JOIN hd_$tag USING (a) CROSS JOIN voc_$tag
+           |  GROUP BY doc_id)""".stripMargin
+      s"""WITH d AS (
+         |  SELECT doc_id, $dToks AS t FROM documents
+         |  WHERE len($dToks) >= 2),
+         |sc AS (
+         |  SELECT doc_id, t[i] AS a, t[i + 1] AS b
+         |  FROM d, unnest(generate_series(1, len(t) - 1)) u(i)
+         |  WHERE doc_id % 7 <> 0),
+         |${lm("t", "doc_id % 7 = 0")},
+         |${lm("r", "doc_id % 7 <> 0")}
+         |SELECT st.doc_id AS doc_id, st.n_bigrams AS n_bigrams,
+         |  st.mean_t AS p_target_ppm, sr.mean_r AS p_raw_ppm,
+         |  st.mean_t - sr.mean_r AS imp_ppm
+         |FROM score_t st JOIN score_r sr USING (doc_id)
+         |ORDER BY imp_ppm DESC, doc_id LIMIT 100""".stripMargin
+    },
 
     "q22_langid" ->
       s"""SELECT doc_id, v_en, v_es, v_de,

@@ -78,6 +78,7 @@ class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q200_wav_roundtrip" -> strict,
     "q201_lm_score" -> strict,
     "q202_mp4_metadata" -> strict,
+    "q203_dsir_select" -> strict,
     "q192_ann_frontier" -> Set(OracleCross),
     "q193_gopher_rules" -> strict,
     "q194_ngram_novelty" -> strict,
