@@ -80,8 +80,14 @@ def main() -> int:
     if bad:
         print(f"FAIL: {len(bad)} mismatches, e.g. {bad[:5]}")
         return 1
+    # r10 verdict #5: the totals line must carry the contention stamp so a
+    # tail-only reader sees self-labeled contamination.
+    if "contended" not in totals:
+        print("FAIL: totals line missing the 'contended' stamp")
+        return 1
+    flag = " [CONTENDED]" if totals["contended"] else ""
     print(f"OK: all {len(values)} entries reconstructed from a {cap}-char tail"
-          f" (total={totals['value']}s failed={totals['failed']})")
+          f" (total={totals['value']}s failed={totals['failed']}){flag}")
     return 0
 
 
