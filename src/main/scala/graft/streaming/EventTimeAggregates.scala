@@ -272,7 +272,27 @@ object EventTimeAggregates {
     *
     * `vecs` (streaming): vec_id, embedding. `corpus` (static): vec_id,
     * cell, embedding.
+    *
+    * Cap-overflow semantics (r10 advice): when a cell's state is already
+    * at `cellCap`, an arriving vector STILL emits edges against the
+    * stored vectors but is NOT added to state — every LATER same-cell
+    * arrival misses its edge to the overflow vector, so stream output
+    * diverges from batch q195 beyond the cap. That asymmetry is the
+    * deliberate bound (unbounded state is the alternative), and it is
+    * now observable: each overflow increments [[semanticCellOverflows]]
+    * and logs the (cell, vec_id) once per vector, so an operator watching
+    * the counter knows to grow the cell count (finer clustering) before
+    * divergence accumulates. RocksDbStateSpec pins the semantics with a
+    * cellCap=2 case.
     */
+  /** Count of vectors that arrived at a full cell and were dropped from
+    * state (edges already emitted are kept). Per-JVM diagnostic — in
+    * local mode the spec reads it directly; on a cluster each executor
+    * logs its own drops and a production deployment wires this to a
+    * metrics sink.
+    */
+  val semanticCellOverflows = new java.util.concurrent.atomic.AtomicLong(0)
+
   def streamingSemanticEdges(
       vecs: DataFrame,
       corpus: DataFrame,
@@ -315,6 +335,13 @@ object EventTimeAggregates {
                 }
               }
               if (seen.size < cellCap) seen = seen :+ SeenVec(v.vec_id, v.emb)
+              else {
+                semanticCellOverflows.incrementAndGet()
+                System.err.println(
+                  s"[graft] semantic-dedup cell state at cap ($cellCap): " +
+                    s"vec ${v.vec_id} not stored — later same-cell arrivals " +
+                    "will miss edges to it (grow the cell count)")
+              }
             }
           }
           state.update(CellState(seen))

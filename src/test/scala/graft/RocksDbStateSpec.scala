@@ -383,4 +383,49 @@ class RocksDbStateSpec extends AnyFunSuite with BeforeAndAfterAll {
     // admits (a1, b3) as a candidate, the cosine verify rejects it
     assert(corpusCells(1L) == corpusCells(3L))
   }
+
+  test("semantic dedup cellCap overflow: edges emitted, vector dropped from state, counter observable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val ctx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    // one direction, four ids: every pair lands in the same IVF cell with
+    // cosine 0.49 >= tau, so absent a cap all six edges would emit
+    val dim = 64
+    val v = Array.tabulate(dim)(i => if (i == 0) 0.7f else 0f)
+    val corpus = Seq.empty[(Long, Int, Array[Float])]
+      .toDF("vec_id", "cell", "embedding")
+    val ckpt = java.nio.file.Files.createTempDirectory("cap-ckpt").toString
+    val mem = MemoryStream[(Long, Array[Float])]
+    val edges = EventTimeAggregates.streamingSemanticEdges(
+      mem.toDF().toDF("vec_id", "embedding"), corpus, tau = 0.35, cellCap = 2)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val before = EventTimeAggregates.semanticCellOverflows.get()
+    val q = edges.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= b.collect().map(r => (r.getLong(0), r.getLong(1)))
+        }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: ids 1,2 fill the cap; 3 overflows — it still emits
+      // (3,1),(3,2) against stored state but is NOT stored
+      mem.addData((1L, v), (2L, v), (3L, v))
+      q.processAllAvailable()
+      // batch 2: 4 overflows too — edges to the STORED 1,2 only; the
+      // edge to the dropped 3 is the documented divergence from batch
+      mem.addData((4L, v))
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = got.filterNot(e => e._1 == e._2).toSet // drop self-edges
+    assert(pairs == Set((2L, 1L), (3L, 1L), (3L, 2L), (4L, 1L), (4L, 2L)),
+      s"got $pairs")
+    assert(!pairs.contains((4L, 3L)),
+      "edge to the overflow-dropped vector must be missing (pinned divergence)")
+    assert(EventTimeAggregates.semanticCellOverflows.get() - before == 2,
+      "ids 3 and 4 each overflow the cap once")
+  }
 }
