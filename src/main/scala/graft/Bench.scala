@@ -85,7 +85,9 @@ object Bench {
         ("copurchase", GraphCore.queries.keySet ++ Triangles.queries.keySet,
           () => GraphCore.warmArtifacts(spark, sfDir)),
         ("wordcooc", TextRank.queries.keySet,
-          () => TextRank.warmArtifacts(spark, sfDir)))
+          () => TextRank.warmArtifacts(spark, sfDir)),
+        ("anngraph", AnnGraph.queries.keySet,
+          () => AnnGraph.warmArtifacts(spark, sfDir)))
       families.foreach { case (fam, consumers, warm) =>
         if (consumers.intersect(selectedNames).nonEmpty)
           try warm() catch { case e: Throwable =>

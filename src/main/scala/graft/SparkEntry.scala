@@ -29,7 +29,8 @@ object SparkEntry {
       ProductQuantization.queries ++ PageRank.queries ++ ZOrder.queries ++
       Triangles.queries ++ Perceptron.queries ++ SuffixRank.queries ++
       Drift.queries ++ Spectral.queries ++ TextRank.queries ++ LabelProp.queries ++ CorpusStats.queries ++ Series.queries ++
-      GraphCore.queries ++ Frontier.queries ++ Placement.queries
+      GraphCore.queries ++ Frontier.queries ++ Placement.queries ++
+      AnnGraph.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -41,5 +42,6 @@ object SparkEntry {
       ProductQuantization.oracle ++ PageRank.oracle ++ ZOrder.oracle ++
       Triangles.oracle ++ Perceptron.oracle ++ SuffixRank.oracle ++
       Drift.oracle ++ Spectral.oracle ++ TextRank.oracle ++ LabelProp.oracle ++ CorpusStats.oracle ++ Series.oracle ++
-      GraphCore.oracle ++ Frontier.oracle ++ Placement.oracle
+      GraphCore.oracle ++ Frontier.oracle ++ Placement.oracle ++
+      AnnGraph.oracle
 }

@@ -79,6 +79,10 @@ class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q201_lm_score" -> strict,
     "q202_mp4_metadata" -> strict,
     "q203_dsir_select" -> strict,
+    // exact-truth pass (5 queries × corpus) + 5×8 medoid seeding are the
+    // bounded broadcast nested-loops; the index build and beam rounds are
+    // key-joins
+    "q204_knn_graph_beam" -> Set(OracleCross),
     "q192_ann_frontier" -> Set(OracleCross),
     "q193_gopher_rules" -> strict,
     "q194_ngram_novelty" -> strict,
