@@ -87,12 +87,77 @@ object Similarity {
     * private[graft]: the q195 streaming twin assigns arriving vectors
     * with the SAME expression so batch and stream agree cell-for-cell.
     */
-  private[graft] def clusterExprSpark(col: String): String = {
-    val ds = (0 until nCentroids)
-      .map(c => Dedup.dot(col, centroidArraySpark(c)))
+  private[graft] def clusterExprSpark(col: String): String =
+    clusterExprSparkK(col, nCentroids)
+
+  /** Corpus-size-derived IVF cell count (r10 verdict #2): cells grow
+    * with the corpus — ⌈n/256⌉ clamped to [8, 4096] — so within-cell
+    * pair work (q195's quadratic term, q42's candidate set) stays
+    * bounded per cell as the corpus scales, BY CONSTRUCTION rather than
+    * by a documented intention. At every driver scale factor (n ≤ 2000)
+    * this derives exactly the historical 8; the bench's derived 2×/4×/8×
+    * corpora get 16/32/63 cells. Deterministic from cardinality alone,
+    * so the DuckDB oracle re-derives it from count(*)
+    * ([[cellAssignCtesDuck]]) and both engines emit it as the `n_cells`
+    * column. The 4096 clamp is where the literal-argmax expression stops
+    * being reasonable (4096·64 literals); past it a production build
+    * joins against a centroid TABLE instead (the oracle's shape).
+    */
+  private[graft] def cellCountFor(n: Long): Int =
+    math.max(8L, math.min(4096L, math.ceil(n / 256.0).toLong)).toInt
+
+  /** Memoized corpus cardinality → cell count, keyed on corpus content
+    * like every index artifact (a parquet count(*) is metadata-only but
+    * the bench probes repeatedly; the CorpusKey fingerprint also makes
+    * regenerated data re-count).
+    */
+  private val cellCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]
+  private[graft] def corpusCells(s: SparkSession, dir: String): Int =
+    cellCountCache.computeIfAbsent(
+      CorpusKey.tableName(s, "graft_embn", dir),
+      _ => cellCountFor(Synth.embeddings(s, dir).count()))
+
+  /** Centroid c beyond the fixed-8 prefix: same md5 derivation, open
+    * index range. c < 8 returns the identical historical vectors.
+    */
+  private[graft] def centroidK(c: Int): Array[Double] =
+    if (c < nCentroids) centroids(c)
+    else Array.tabulate(dim)(d =>
+      Integer.parseInt(md5hex(s"centroid$c:$d").substring(0, 1), 16) - 7.5)
+
+  /** [[clusterExprSpark]] generalized over the centroid count. */
+  private[graft] def clusterExprSparkK(col: String, k: Int): String = {
+    val ds = (0 until k)
+      .map(c => Dedup.dot(col,
+        centroidK(c).map(w => s"${w}D").mkString("array(", ", ", ")")))
       .mkString("array(", ", ", ")")
     s"array_position($ds, array_max($ds))"
   }
+
+  /** DuckDB CTE block that re-derives the cell count from count(*) and
+    * assigns every vector its cell GENERICALLY — centroid weights are
+    * computed in SQL from the same md5 derivation (strpos of the first
+    * hex digit − 8.5 ≡ parseInt(hex,16) − 7.5, exact doubles both
+    * ways), the dot folds in the same d-ascending order, and the argmax
+    * tie-break (lowest c on equal dots) mirrors array_position-of-max.
+    * Emits CTEs: params(k), cgrid, cent, cdots, cassign(vec_id, cell).
+    */
+  private[operators] def cellAssignCtesDuck(table: String = "embeddings"): String =
+    s"""params AS (SELECT greatest(8, least(4096,
+       |  cast(ceil(count(*) / 256.0) as bigint))) AS k FROM $table),
+       |cgrid AS (SELECT cs.c, ds.d,
+       |  cast(strpos('0123456789abcdef', substring(md5(concat('centroid',
+       |    cast(cs.c as varchar), ':', cast(ds.d as varchar))), 1, 1))
+       |    as double) - 8.5 AS w
+       |  FROM (SELECT unnest(range(0, (SELECT k FROM params))) AS c) cs,
+       |       (SELECT unnest(range(0, 64)) AS d) ds),
+       |cent AS (SELECT c, list(w ORDER BY d) AS cw FROM cgrid GROUP BY c),
+       |cdots AS (SELECT e.vec_id, ct.c, ${dotDuck("e.embedding", "ct.cw")} AS dt
+       |  FROM $table e CROSS JOIN cent ct),
+       |cassign AS (SELECT vec_id, c + 1 AS cell FROM (
+       |  SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY dt DESC, c) AS rk FROM cdots) WHERE rk = 1)""".stripMargin
   private[operators] def clusterExprDuck(col: String): String = {
     val ds = (0 until nCentroids)
       .map(c => dotDuck(col, centroidArrayDuck(c)))
@@ -333,15 +398,19 @@ object Similarity {
     // machinery). Cross-cell pairs are ignored BY DESIGN — that is the
     // approximation that makes SemDeDup linear-ish, and the oracle
     // mirrors the same blocking, so the hash match verifies the
-    // closure, not a lucky recall. At 100 TB the cell count grows with
-    // the corpus (finer k-means) to keep within-cell pair work bounded;
-    // CC contracts to touched vertices only, exactly as q187.
+    // closure, not a lucky recall. At 100 TB the cell count GROWS WITH
+    // THE CORPUS by construction — [[cellCountFor]] (r10 verdict #2):
+    // ⌈n/256⌉ clamped, re-derived by the oracle from count(*) and
+    // emitted as n_cells — so within-cell pair work stays bounded per
+    // cell as the corpus scales; CC contracts to touched vertices only,
+    // exactly as q187.
     "q195_semantic_dedup" -> { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
       val tau = 0.35 // the synthetic table's dup band (max pairwise 0.51)
+      val k = corpusCells(s, dir)
       val e = Synth.embeddings(s, dir)
         .select(col("vec_id"), col("embedding"))
-        .withColumn("cell", expr(clusterExprSpark("embedding")))
+        .withColumn("cell", expr(clusterExprSparkK("embedding", k)))
         .localCheckpoint() // feeds both pair sides + the final attach
       // pair generation via the checkpointed self-join (the measured
       // ReusedExchange shape — bucketPairs would collect embedding
@@ -362,7 +431,8 @@ object Similarity {
         .join(comp.toDF("vec_id", "comp"), Seq("vec_id"), "left")
         .withColumn("sem_group", coalesce(col("comp"), col("vec_id")))
         .withColumn("keep", col("vec_id") === col("sem_group"))
-        .select("vec_id", "cell", "sem_group", "keep")
+        .withColumn("n_cells", lit(k).cast("int"))
+        .select("vec_id", "cell", "sem_group", "keep", "n_cells")
         .orderBy("vec_id")
     },
 
@@ -508,16 +578,21 @@ object Similarity {
     },
 
     // IVF-style ANN: assign every vector to its nearest pseudo-centroid
-    // (map-only argmax over 8 dot products), then search only the query's
+    // (map-only argmax over k dot products), then search only the query's
     // cluster. With real (trained) centroids this is the standard IVF
     // index shape: candidate set shrinks by ~n/k, assignment is a narrow
     // scan, and the cluster column doubles as the partitioning key for
-    // co-located search at scale.
+    // co-located search at scale. k is corpus-derived ([[cellCountFor]],
+    // r10 verdict #2) and emitted as n_cells — both engines compute it,
+    // so the derivation itself is oracle-checked.
     "q42_knn_ivf" -> { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
+      val k = corpusCells(s, dir)
       val e = Synth.embeddings(s, dir)
-        .withColumn("cluster", expr(clusterExprSpark("embedding")))
-      rankTopK(e, Some("cluster")).orderBy("query_id", "rk")
+        .withColumn("cluster", expr(clusterExprSparkK("embedding", k)))
+      rankTopK(e, Some("cluster"))
+        .withColumn("n_cells", lit(k).cast("int"))
+        .orderBy("query_id", "rk")
     },
 
     // ColBERT-style LATE INTERACTION (MaxSim) — multi-vector retrieval:
@@ -798,10 +873,10 @@ object Similarity {
          |GROUP BY ex.query_id ORDER BY query_id""".stripMargin,
 
     "q195_semantic_dedup" ->
-      s"""WITH RECURSIVE b AS (
-         | SELECT vec_id, embedding,
-         |  ${clusterExprDuck("embedding")} AS cell
-         | FROM embeddings),
+      s"""WITH RECURSIVE ${cellAssignCtesDuck()},
+         |b AS (
+         | SELECT e.vec_id, e.embedding, a.cell
+         | FROM embeddings e JOIN cassign a USING (vec_id)),
          |edges AS (
          | SELECT a.vec_id AS src, bb.vec_id AS dst
          | FROM b a JOIN b bb ON a.cell = bb.cell AND a.vec_id < bb.vec_id
@@ -813,7 +888,8 @@ object Similarity {
          | SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
          |SELECT e.vec_id AS vec_id, cast(e.cell as int) AS cell,
          | least(e.vec_id, coalesce(min(r.dst), e.vec_id)) AS sem_group,
-         | e.vec_id = least(e.vec_id, coalesce(min(r.dst), e.vec_id)) AS keep
+         | e.vec_id = least(e.vec_id, coalesce(min(r.dst), e.vec_id)) AS keep,
+         | (SELECT cast(k as int) FROM params) AS n_cells
          |FROM b e LEFT JOIN reach r ON r.src = e.vec_id
          |GROUP BY e.vec_id, e.cell ORDER BY vec_id""".stripMargin,
 
@@ -1007,10 +1083,12 @@ object Similarity {
     },
 
     "q42_knn_ivf" ->
-      s"""WITH c AS (
-         | SELECT vec_id, embedding, ${clusterExprDuck("embedding")} AS cluster
-         | FROM embeddings)
-         |SELECT query_id, rk, vec_id, cosine FROM (
+      s"""WITH ${cellAssignCtesDuck()},
+         |c AS (
+         | SELECT e.vec_id, e.embedding, a.cell AS cluster
+         | FROM embeddings e JOIN cassign a USING (vec_id))
+         |SELECT query_id, rk, vec_id, cosine,
+         | (SELECT cast(k as int) FROM params) AS n_cells FROM (
          | SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
          |  ${dotDuck("q.embedding", "e.embedding")} AS cosine,
          |  cast(row_number() OVER (PARTITION BY q.vec_id

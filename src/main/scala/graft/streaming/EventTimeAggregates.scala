@@ -297,12 +297,17 @@ object EventTimeAggregates {
       vecs: DataFrame,
       corpus: DataFrame,
       tau: Double = 0.35,
-      cellCap: Int = 4096): DataFrame = {
+      cellCap: Int = 4096,
+      nCells: Int = 8): DataFrame = {
     val s = vecs.sparkSession
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
+    // nCells must match the cell count the corpus index was built with
+    // (batch q195 derives it from corpus cardinality — Similarity
+    // .cellCountFor); pass the same value or cells disagree and the
+    // stream misses every cross-assignment edge
     val assigned = vecs.select(col("vec_id"), col("embedding"),
-      expr(graft.operators.Similarity.clusterExprSpark("embedding"))
+      expr(graft.operators.Similarity.clusterExprSparkK("embedding", nCells))
         .cast("int").as("cell"))
     val newOld = assigned
       .join(corpus.select(col("vec_id").as("id_old"), col("cell"),

@@ -241,4 +241,40 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e3.getMessage.contains("maxDist") &&
       e3.getMessage.contains("nBlocks"), s"wrong error: ${e3.getMessage}")
   }
+
+  test("cellCountFor derivation and the wide (k>8) cluster expression") {
+    import graft.operators.Similarity
+    // the derivation: every driver scale factor stays at the historical 8;
+    // the bench's derived corpora grow — 16/32/63 at 2x/4x/8x of sf0.1
+    assert(Similarity.cellCountFor(500) == 8)
+    assert(Similarity.cellCountFor(2000) == 8)
+    assert(Similarity.cellCountFor(4000) == 16)
+    assert(Similarity.cellCountFor(8000) == 32)
+    assert(Similarity.cellCountFor(16000) == 63)
+    assert(Similarity.cellCountFor(2_000_000_000L) == 4096)
+    // the k=63 literal-argmax expression evaluates and agrees with a
+    // Scala-side argmax over the same md5 centroids
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val vecs = (0 until 20).map { i =>
+      (i.toLong, Array.tabulate(64)(d => (((i * 31 + d * 7) % 13) - 6) / 6.0f))
+    }
+    val got = vecs.toDF("vec_id", "embedding")
+      .selectExpr("vec_id",
+        s"${Similarity.clusterExprSparkK("embedding", 63)} as cell")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def scalaCell(v: Array[Float]): Long = {
+      val dots = (0 until 63).map { c =>
+        val cent = Similarity.centroidK(c)
+        var acc = 0.0; var d = 0
+        while (d < 64) { acc += v(d).toDouble * cent(d); d += 1 }
+        acc
+      }
+      dots.indexOf(dots.max) + 1L
+    }
+    vecs.foreach { case (id, v) =>
+      assert(got(id) == scalaCell(v), s"vec $id")
+      assert(got(id) >= 1 && got(id) <= 63)
+    }
+  }
 }
