@@ -215,18 +215,118 @@ object JpegCodec extends MediaCodec {
   }
 }
 
-/** GIF via the JDK reader — decode-only in practice: the GIF writer
-  * palette-quantizes (≤ 256 colors), so arbitrary planes don't
-  * round-trip losslessly and there is no q191-style oracle query; the
-  * registry entry still gives `decodeAndExtract` a real pixel plane for
-  * GIF payloads (spec-tested on palette-sized images, where the JDK
-  * writer IS exact).
+/** GIF: decode via the JDK reader; encode via a hand-rolled GIF87a/LZW
+  * writer (r10 verdict #3). The JDK's own GIF *writer* palette-quantizes
+  * arbitrary planes (and has a tiny-height last-row LZW bug), so the
+  * lossless oracle path encodes INDEXED images ourselves: a fixed
+  * 256-entry palette, one source byte per pixel, real LZW with 9→12-bit
+  * code growth and clear-code dictionary resets — decode∘encode is then
+  * exactly the palette lookup and q205 is oracle-checkable like q191.
   */
 object GifCodec extends MediaCodec {
   def decode(payload: Array[Byte]): Option[DecodedImage] =
     if (payload.length < 6 ||
         !new String(payload, 0, 6, "US-ASCII").matches("GIF8[79]a")) None
     else ImageIoCodec.readPlane(payload)
+
+  /** Fixed palette for indexed encodes: index v → (R, G, B) =
+    * (v, 255 − v, (7·v) mod 256). Deterministic integer functions of the
+    * index, so the q205 oracle recomputes decoded channel sums straight
+    * from the source bytes.
+    */
+  def paletteR(v: Int): Int = v
+  def paletteG(v: Int): Int = 255 - v
+  def paletteB(v: Int): Int = (7 * v) % 256
+
+  /** Encode `indices` (one palette index per pixel, row-major top-down,
+    * length = width·height) as a GIF87a file with the fixed global
+    * palette and a real LZW-compressed raster.
+    */
+  def encode(indices: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff &&
+      indices.length == width * height,
+      s"need ${width * height} index bytes, got ${indices.length}")
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF87a".getBytes("US-ASCII"))
+    w16(width); w16(height)
+    out.write(0xf7) // global table, 8-bit color resolution, 256 entries
+    out.write(0); out.write(0) // background index, aspect
+    var v = 0
+    while (v < 256) {
+      out.write(paletteR(v)); out.write(paletteG(v)); out.write(paletteB(v))
+      v += 1
+    }
+    out.write(0x2c) // image descriptor
+    w16(0); w16(0); w16(width); w16(height)
+    out.write(0) // no local table, not interlaced
+    out.write(8) // LZW minimum code size
+    val lzw = lzwEncode(indices)
+    var off = 0
+    while (off < lzw.length) { // data sub-blocks, <= 255 bytes each
+      val n = math.min(255, lzw.length - off)
+      out.write(n)
+      out.write(lzw, off, n)
+      off += n
+    }
+    out.write(0x00) // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** GIF-variant LZW over 8-bit symbols: clear=256, EOI=257, first
+    * dynamic code 258; code width starts at 9 bits and grows when the
+    * next code to assign exceeds the current width's range (the
+    * standard non-deferred timing — the decoder grows one code later
+    * because its dictionary lags the encoder's by exactly one entry);
+    * at 4095 entries a clear code resets the dictionary (no deferred
+    * clear — old decoders don't all support it). Bits pack LSB-first.
+    */
+  private def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val clear = 256
+    val eoi = 257
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L
+    var nBits = 0
+    var codeSize = 9
+    def put(code: Int): Unit = {
+      bitBuf |= code.toLong << nBits
+      nBits += codeSize
+      while (nBits >= 8) {
+        out.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; nBits -= 8
+      }
+    }
+    var dict = new java.util.HashMap[Integer, Integer]()
+    var nextCode = eoi + 1
+    def reset(): Unit = { dict.clear(); nextCode = eoi + 1 }
+    put(clear)
+    var cur = data(0) & 0xff
+    var i = 1
+    while (i < data.length) {
+      val c = data(i) & 0xff
+      val key = (cur << 8) | c // cur < 4096, c < 256: unique int key
+      val hit = dict.get(key)
+      if (hit != null) cur = hit.intValue()
+      else {
+        put(cur)
+        if (nextCode <= 4095) {
+          dict.put(key, nextCode)
+          nextCode += 1
+          if (nextCode > (1 << codeSize) && codeSize < 12) codeSize += 1
+        } else {
+          put(clear) // dictionary full: reset both sides in lockstep
+          reset()
+          codeSize = 9
+        }
+        cur = c
+      }
+      i += 1
+    }
+    put(cur)
+    put(eoi)
+    if (nBits > 0) out.write((bitBuf & 0xff).toInt) // flush, zero-padded
+    out.toByteArray
+  }
 }
 
 /** WAV (RIFF) PCM — the audio modality's real codec, hand-rolled like

@@ -100,6 +100,138 @@ object Mp4Boxes {
     else Some(Mp4Meta(brand, timescale, duration, nTracks))
   }
 
+  /** Sample locations of the FIRST track: walk moov→trak→mdia→minf→stbl,
+    * read `stsz` (per-sample sizes; or the uniform sample_size) and
+    * `stco` (chunk offsets), and lay samples out contiguously from the
+    * single chunk offset. Single-chunk profile — exactly what
+    * [[buildMjpeg]] writes; multi-chunk files need `stsc` sample-to-chunk
+    * routing and degrade to None here rather than mis-slice. All bounds
+    * Long-validated; crafted tables degrade to None (the MediaCodec
+    * contract). This retires the "frame decode is a stand-in" caveat for
+    * MJPEG: offsets from THIS walk feed the pure-JDK JpegCodec per
+    * sample (q206).
+    */
+  def sampleTable(payload: Array[Byte]): Option[Vector[(Long, Int)]] = {
+    val b = payload
+    val n = b.length.toLong
+    // descend one named level: first matching child's payload bounds
+    def child(id: String, from: Long, limit: Long): Option[(Long, Long)] = {
+      var pos = from
+      while (pos < limit) {
+        boxBounds(b, pos, limit) match {
+          case None => return None
+          case Some((cid, p, end)) =>
+            if (cid == id) return Some((p, end))
+            pos = end
+        }
+      }
+      None
+    }
+    for {
+      (moovP, moovE) <- child("moov", 0L, n)
+      (trakP, trakE) <- child("trak", moovP, moovE)
+      (mdiaP, mdiaE) <- child("mdia", trakP, trakE)
+      (minfP, minfE) <- child("minf", mdiaP, mdiaE)
+      (stblP, stblE) <- child("stbl", minfP, minfE)
+      (stszP, stszE) <- child("stsz", stblP, stblE)
+      (stcoP, stcoE) <- child("stco", stblP, stblE)
+      sizes <- {
+        if (stszP + 12 > stszE) None
+        else {
+          val uniform = be32(b, stszP.toInt + 4)
+          val count = be32(b, stszP.toInt + 8)
+          if (count <= 0 || count > 0xffff) None // bound crafted counts
+          else if (uniform != 0) Some(Vector.fill(count.toInt)(uniform))
+          else if (stszP + 12 + 4 * count > stszE) None
+          else Some(Vector.tabulate(count.toInt)(i =>
+            be32(b, (stszP + 12 + 4L * i).toInt)))
+        }
+      }
+      base <- {
+        if (stcoP + 8 > stcoE) None
+        else {
+          val entries = be32(b, stcoP.toInt + 4)
+          // single-chunk profile; multi-chunk needs stsc (see scaladoc)
+          if (entries != 1 || stcoP + 12 > stcoE) None
+          else Some(be32(b, stcoP.toInt + 8))
+        }
+      }
+      out <- {
+        if (sizes.exists(sz => sz <= 0 || sz > Int.MaxValue)) None
+        else {
+          val offs = sizes.scanLeft(base)(_ + _)
+          if (offs.last > n) None
+          else Some(offs.zip(sizes).map { case (o, sz) => (o, sz.toInt) })
+        }
+      }
+    } yield out
+  }
+
+  /** MJPEG-in-MP4 writer: ftyp + mdat (the JPEG samples, contiguous, one
+    * chunk) + moov(mvhd v0, trak(tkhd, mdia(minf(stbl(stsd 'jpeg', stsz
+    * per-sample sizes, stco single chunk))))). mdat precedes moov so the
+    * chunk offset is known while writing — the layout every streaming
+    * muxer avoids and every batch muxer uses.
+    */
+  def buildMjpeg(frames: Seq[Array[Byte]], timescale: Int = 600,
+      frameDuration: Int = 20): Array[Byte] = {
+    require(frames.nonEmpty && frames.forall(_.nonEmpty), "need frames")
+    def w32(b: Array[Byte], off: Int, v: Long): Unit = {
+      b(off) = (v >> 24).toByte; b(off + 1) = (v >> 16).toByte
+      b(off + 2) = (v >> 8).toByte; b(off + 3) = v.toByte
+    }
+    def wtag(b: Array[Byte], off: Int, t: String): Unit =
+      t.getBytes("US-ASCII").copyToArray(b, off)
+    def box(id: String, payload: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](8 + payload.length)
+      w32(out, 0, out.length.toLong); wtag(out, 4, id)
+      payload.copyToArray(out, 8)
+      out
+    }
+    val ftyp = new Array[Byte](24)
+    w32(ftyp, 0, 24); wtag(ftyp, 4, "ftyp"); wtag(ftyp, 8, "isom")
+    w32(ftyp, 12, 0x200); wtag(ftyp, 16, "isom"); wtag(ftyp, 20, "mp41")
+    val mdat = box("mdat", frames.reduce(_ ++ _))
+    val chunkOff = ftyp.length + 8 // first sample starts after mdat header
+    val duration = frames.length.toLong * frameDuration
+    val mvhd = new Array[Byte](108)
+    w32(mvhd, 0, 108); wtag(mvhd, 4, "mvhd")
+    w32(mvhd, 20, timescale.toLong); w32(mvhd, 24, duration)
+    w32(mvhd, 28, 0x00010000); mvhd(32) = 0x01
+    w32(mvhd, 44, 0x00010000); w32(mvhd, 60, 0x00010000)
+    w32(mvhd, 76, 0x40000000)
+    w32(mvhd, 104, 2)
+    val tkhd = new Array[Byte](92)
+    w32(tkhd, 0, 92); wtag(tkhd, 4, "tkhd")
+    tkhd(11) = 0x07
+    w32(tkhd, 20, 1L); w32(tkhd, 28, duration)
+    w32(tkhd, 48, 0x00010000); w32(tkhd, 64, 0x00010000)
+    w32(tkhd, 80, 0x40000000)
+    // stsd with a minimal 'jpeg' VisualSampleEntry (86 bytes)
+    val entry = new Array[Byte](86)
+    w32(entry, 0, 86); wtag(entry, 4, "jpeg")
+    entry(14) = 1 // data_reference_index = 1
+    val stsdP = new Array[Byte](8 + entry.length)
+    w32(stsdP, 4, 1) // entry_count
+    entry.copyToArray(stsdP, 8)
+    val stsd = box("stsd", stsdP)
+    val stszP = new Array[Byte](12 + 4 * frames.length)
+    w32(stszP, 8, frames.length.toLong) // sample_size 0 = per-sample
+    frames.zipWithIndex.foreach { case (f, i) =>
+      w32(stszP, 12 + 4 * i, f.length.toLong)
+    }
+    val stsz = box("stsz", stszP)
+    val stcoP = new Array[Byte](12)
+    w32(stcoP, 4, 1); w32(stcoP, 8, chunkOff.toLong)
+    val stco = box("stco", stcoP)
+    val stbl = box("stbl", stsd ++ stsz ++ stco)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", minf)
+    val trak = box("trak", tkhd ++ mdia)
+    val moov = box("moov", mvhd ++ trak)
+    ftyp ++ mdat ++ moov
+  }
+
   /** Minimal well-formed file: ftyp(isom) + moov(mvhd v0 + nTracks ×
     * trak(tkhd v0)) — the inverse of [[parse]] for the q202 round-trip.
     */

@@ -256,6 +256,44 @@ object Multimodal {
         .orderBy("doc_id")
     },
 
+    // GIF round-trip (r10 verdict #3) — the indexed-image modality: each
+    // document's bytes become palette INDICES of an 8-wide GIF87a image
+    // (1 byte per pixel), encoded by the hand-rolled LZW writer and
+    // decoded back through the registry (JDK reader). The fixed palette
+    // maps index v → (v, 255−v, 7v mod 256), so the oracle recomputes
+    // decoded channel sums straight from the source bytes and a hash
+    // match proves header + palette + LZW (code growth, dict resets,
+    // sub-block framing) invert exactly. Map-only, the q50 scale shape.
+    "q205_gif_roundtrip" -> { (s, dir) =>
+      import s.implicits._
+      val W = 8
+      Synth.documents(s, dir)
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .flatMap { case (id, bytes) =>
+          val h = bytes.length / W
+          if (h == 0) None
+          else {
+            val idx = java.util.Arrays.copyOf(bytes, W * h)
+            val gif = GifCodec.encode(idx, W, h)
+            val d = MediaCodecs.registry("image/gif").decode(gif).get
+            var sb = 0L; var sg = 0L; var sr = 0L
+            var i = 0
+            while (i < d.pixels.length) {
+              sb += d.pixels(i) & 0xff
+              sg += d.pixels(i + 1) & 0xff
+              sr += d.pixels(i + 2) & 0xff
+              i += 3
+            }
+            Some((id, d.width, d.height, sb, sg, sr,
+              d.pixels(0) & 0xff, d.pixels(1) & 0xff, d.pixels(2) & 0xff))
+          }
+        }
+        .toDF("doc_id", "width", "height", "sum_b", "sum_g", "sum_r",
+          "first_b", "first_g", "first_r")
+        .orderBy("doc_id")
+    },
+
     // MP4/ISO-BMFF container metadata (r10) — the VIDEO modality's real
     // layer: a 100 TB video pipeline reads container metadata (brand,
     // timescale, duration, track count) to partition/filter/route long
@@ -283,6 +321,59 @@ object Multimodal {
         }
         .toDF("doc_id", "brand", "timescale", "duration_ms", "n_tracks")
         .orderBy("doc_id")
+    },
+
+    // MJPEG-in-MP4 FRAME decode (r10 verdict #4) — composes the two real
+    // pieces: Mp4Boxes finds each sample's (offset, size) via the
+    // stbl/stsz/stco walk, JpegCodec decodes the sample bytes sliced
+    // FROM THE CONTAINER (not from the frames the muxer was handed — the
+    // walk is what's under test). Per doc: 3 JPEG frames over byte
+    // slices shifted by one (distinct content ⇒ distinct stsz sizes),
+    // muxed single-chunk, demuxed, decoded; per frame the q198 verdict
+    // (exact dimensions + empirical MAE bound vs that frame's own source
+    // slice). The oracle recomputes the geometry and asserts err_ok ≡ 1,
+    // so a wrong sample offset/size — JPEG decode failing or decoding
+    // the WRONG frame bytes — fails the gate. This retires the "frame
+    // decode is a byte stand-in" caveat for one real codec path; other
+    // codecs (H.264 &c.) still need native stacks absent here.
+    "q206_mjpeg_frames" -> { (s, dir) =>
+      import s.implicits._
+      val W = 8
+      Synth.documents(s, dir)
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .flatMap { case (id, bytes) =>
+          val h = (bytes.length - (MjpegFrames - 1)) / (3 * W)
+          if (h <= 0) Seq.empty[(Long, Int, Int, Int, Int)]
+          else {
+            val frames = (0 until MjpegFrames).map(f =>
+              JpegCodec.encode(bytes.slice(f, f + 3 * W * h), W, h))
+            val mp4 = Mp4Boxes.buildMjpeg(frames)
+            Mp4Boxes.sampleTable(mp4) match {
+              case None => Seq((id, -1, -1, -1, 0)) // walker failure: visible
+              case Some(tab) =>
+                tab.zipWithIndex.map { case ((off, sz), f) =>
+                  val sample = mp4.slice(off.toInt, off.toInt + sz)
+                  val ok = MediaCodecs.registry("image/jpeg").decode(sample)
+                    .map { d =>
+                      var errSum = 0L
+                      var i = 0
+                      while (i < d.pixels.length) {
+                        errSum += math.abs(
+                          (d.pixels(i) & 0xff) - (bytes(f + i) & 0xff))
+                        i += 1
+                      }
+                      val mae = errSum.toDouble / d.pixels.length
+                      d.width == W && d.height == h && d.channels == 3 &&
+                        sz == frames(f).length && mae <= JpegMaeBound
+                    }.getOrElse(false)
+                  (id, f, W, h, if (ok) 1 else 0)
+                }
+            }
+          }
+        }
+        .toDF("doc_id", "frame_idx", "width", "height", "err_ok")
+        .orderBy("doc_id", "frame_idx")
     }
   )
 
@@ -291,8 +382,20 @@ object Multimodal {
     * planes (8-wide, heights 1–125) — the bound carries ~2.1× headroom
     * over the worst case. JPEG publishes no closed-form error bound, so
     * unlike the GK/HLL verdicts this one is empirical — stated as such.
+    *
+    * JDK-DEPENDENCE (r10 advice): the ceiling characterizes THIS JDK's
+    * DCT/quantization; a different JRE (or a future JDK change) could
+    * legitimately exceed it on unchanged code, and because q198/q206's
+    * err_ok is hard-asserted ≡ 1 by the oracle that would read as a
+    * correctness regression. Diagnosis path: MediaCodecSpec's JPEG case
+    * measures the ACTUAL worst-case MAE on the current JRE and prints it
+    * — a gate failure with the spec reporting > 48.0 is an environment
+    * shift, not a code regression; re-baseline the constant.
     */
   private val JpegMaeBound = 48.0
+
+  /** q206 frames per document. */
+  private val MjpegFrames = 3
 
   /** q191/q197 shared body: doc bytes → 8-wide BGR plane → `enc` →
     * registry decode → dimensions + exact per-channel sums. Map-only;
@@ -417,6 +520,35 @@ object Multimodal {
     "q191_bmp_roundtrip" -> losslessRoundTripOracle,
     "q197_png_roundtrip" -> losslessRoundTripOracle,
 
+    // decoded channels recomputed from the source bytes through the
+    // FIXED palette functions (index v → B=(7v mod 256), G=255−v, R=v) —
+    // a hash match proves the whole GIF87a writer (header, palette, LZW
+    // code growth + dict resets + sub-block framing) inverts through the
+    // JDK reader exactly
+    "q205_gif_roundtrip" -> {
+      val hexVal = (pos: String) =>
+        s"(strpos('0123456789ABCDEF', substring(hx, $pos, 1)) - 1) * 16" +
+          s" + strpos('0123456789ABCDEF', substring(hx, ($pos) + 1, 1)) - 1"
+      val v = (i: String) => hexVal(s"($i) * 2 + 1")
+      def pix(expr: String) =
+        s"cast(list_sum(list_transform(generate_series(0, 8 * height - 1)," +
+          s" i -> ($expr))) as bigint)"
+      s"""WITH h AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx,
+         |    octet_length(encode(text)) AS n
+         |  FROM documents),
+         |d AS (
+         |  SELECT doc_id, hx, n // 8 AS height FROM h WHERE n >= 8)
+         |SELECT doc_id, 8 AS width, cast(height as int) AS height,
+         |  ${pix(s"(7 * (${v("i")})) % 256")} AS sum_b,
+         |  ${pix(s"255 - (${v("i")})")} AS sum_g,
+         |  ${pix(v("i"))} AS sum_r,
+         |  cast((7 * (${v("0")})) % 256 as int) AS first_b,
+         |  cast(255 - (${v("0")}) as int) AS first_g,
+         |  cast(${v("0")} as int) AS first_r
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
+
     // JPEG is lossy: the oracle checks the geometry exactly and asserts
     // the reconstruction-error verdict computed Spark-side
     "q198_jpeg_decode" ->
@@ -453,6 +585,18 @@ object Multimodal {
          |  ${chanSum(1)} AS sum_ch1
          |FROM d ORDER BY doc_id""".stripMargin
     },
+
+    // per-frame geometry recomputed from the doc length; err_ok asserted
+    // ≡ 1 — a wrong stsz/stco slice or a failed in-container JPEG decode
+    // breaks the hash (the q198 verdict pattern, per frame)
+    "q206_mjpeg_frames" ->
+      """WITH h AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+        |d AS (SELECT doc_id, (n - 2) // 24 AS height FROM h WHERE n >= 26)
+        |SELECT doc_id, cast(f as int) AS frame_idx, 8 AS width,
+        |  cast(height as int) AS height, 1 AS err_ok
+        |FROM d, (SELECT unnest(generate_series(0, 2)) AS f)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     // mvhd fields recomputed from the doc columns; integer div on both
     // sides — a hash match proves the box walker inverts the writer

@@ -248,4 +248,92 @@ class MediaCodecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(0).head_hex == pixels.take(8).map(b => f"${b & 0xff}%02X").mkString)
     assert(out(1).head_hex.startsWith("706C61696E")) // "plain"
   }
+
+  test("GIF87a encoder: lossless indexed round-trips incl. width bumps and dict resets (r10 verdict #3)") {
+    import graft.operators.{GifCodec, MediaCodecs}
+    def roundTrip(idx: Array[Byte], w: Int, h: Int): Unit = {
+      val gif = GifCodec.encode(idx, w, h)
+      val d = MediaCodecs.registry("image/gif").decode(gif).get
+      assert(d.width == w && d.height == h && d.channels == 3,
+        s"dims ${d.width}x${d.height}x${d.channels} for ${w}x$h")
+      var i = 0
+      while (i < idx.length) {
+        val v = idx(i) & 0xff
+        assert((d.pixels(3 * i) & 0xff) == GifCodec.paletteB(v),
+          s"B at pixel $i (w=$w h=$h v=$v)")
+        assert((d.pixels(3 * i + 1) & 0xff) == GifCodec.paletteG(v),
+          s"G at pixel $i")
+        assert((d.pixels(3 * i + 2) & 0xff) == GifCodec.paletteR(v),
+          s"R at pixel $i")
+        i += 1
+      }
+    }
+    // 1x1 (the JDK WRITER's tiny-height bug class — our writer must not
+    // have it) and small shapes
+    roundTrip(Array[Byte](42), 1, 1)
+    roundTrip(Array.tabulate(8)(i => i.toByte), 8, 1)
+    roundTrip(Array.tabulate(8)(i => (255 - i).toByte), 1, 8)
+    // all-256-values image: every palette entry exercised
+    roundTrip(Array.tabulate(256)(_.toByte), 16, 16)
+    // constant image: maximal LZW run-length behavior
+    roundTrip(Array.fill(1024)(7.toByte), 32, 32)
+    // deterministic pseudo-random sizes around the 9->10 bit boundary and
+    // beyond; random-ish bytes are LZW-hostile so code width climbs fast
+    val rnd = new scala.util.Random(20260816)
+    for (n <- Seq(253, 254, 255, 256, 511, 512, 513, 1000, 4000)) {
+      val w = math.max(1, math.min(n, 64))
+      val h = math.max(1, n / w)
+      val idx = Array.fill(w * h)(rnd.nextInt(256).toByte)
+      roundTrip(idx, w, h)
+    }
+    // long random stream: forces nextCode past 4095 -> clear-code reset
+    // path (needs ~4k emitted codes; 40k random bytes emit ~20k)
+    roundTrip(Array.fill(200 * 200)(rnd.nextInt(256).toByte), 200, 200)
+    // encoder rejects geometry mismatches instead of writing garbage
+    intercept[IllegalArgumentException] {
+      GifCodec.encode(Array[Byte](1, 2, 3), 2, 2)
+    }
+  }
+
+  test("MJPEG mux/demux: sampleTable locates every frame; crafted tables degrade to None (r10 verdict #4)") {
+    import graft.operators.{Mp4Boxes, JpegCodec}
+    val frames = (0 until 3).map { f =>
+      JpegCodec.encode(Array.tabulate(8 * 4 * 3)(i => ((i * 7 + f * 31) % 251).toByte), 8, 4)
+    }
+    val mp4 = Mp4Boxes.buildMjpeg(frames)
+    // the container still parses as a plain q202 metadata walk (1 track)
+    val meta = Mp4Boxes.parse(mp4).get
+    assert(meta.nTracks == 1 && meta.brand == "isom")
+    val tab = Mp4Boxes.sampleTable(mp4).get
+    assert(tab.length == 3)
+    tab.zipWithIndex.foreach { case ((off, sz), f) =>
+      assert(sz == frames(f).length, s"stsz size of frame $f")
+      val sample = mp4.slice(off.toInt, off.toInt + sz)
+      assert(sample.sameElements(frames(f)), s"frame $f bytes via stco+stsz")
+      val d = JpegCodec.decode(sample).get
+      assert(d.width == 8 && d.height == 4 && d.channels == 3)
+    }
+    // degradation: truncation mid-moov, a crafted stsz count, a crafted
+    // chunk offset past EOF, and a multi-chunk stco (out of profile) all
+    // return None rather than throw or mis-slice
+    assert(Mp4Boxes.sampleTable(mp4.take(mp4.length - 40)).isEmpty)
+    def patch32(b: Array[Byte], off: Int, v: Long): Array[Byte] = {
+      val c = b.clone()
+      c(off) = (v >> 24).toByte; c(off + 1) = (v >> 16).toByte
+      c(off + 2) = (v >> 8).toByte; c(off + 3) = v.toByte
+      c
+    }
+    def findBox(id: String): Int = {
+      val pat = id.getBytes("US-ASCII")
+      (0 until mp4.length - 4).find(i => pat.indices.forall(j => mp4(i + j) == pat(j))).get
+    }
+    val stszAt = findBox("stsz")
+    // sample_count -> absurd (past the box): None, not a throw
+    assert(Mp4Boxes.sampleTable(patch32(mp4, stszAt + 4 + 8, 1000000L)).isEmpty)
+    val stcoAt = findBox("stco")
+    // chunk offset past EOF: None
+    assert(Mp4Boxes.sampleTable(patch32(mp4, stcoAt + 4 + 8, mp4.length.toLong + 100)).isEmpty)
+    // entry_count 2 (multi-chunk, needs stsc): documented None
+    assert(Mp4Boxes.sampleTable(patch32(mp4, stcoAt + 4 + 4, 2L)).isEmpty)
+  }
 }

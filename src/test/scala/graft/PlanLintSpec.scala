@@ -83,6 +83,8 @@ class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
     // bounded broadcast nested-loops; the index build and beam rounds are
     // key-joins
     "q204_knn_graph_beam" -> Set(OracleCross),
+    "q205_gif_roundtrip" -> strict,
+    "q206_mjpeg_frames" -> strict,
     "q192_ann_frontier" -> Set(OracleCross),
     "q193_gopher_rules" -> strict,
     "q194_ngram_novelty" -> strict,
