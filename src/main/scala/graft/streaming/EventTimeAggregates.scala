@@ -545,6 +545,63 @@ object EventTimeAggregates {
       .select("doc_id", "n_bigrams", "mean_p_ppm")
   }
 
+  /** Streaming twin of q203's DSIR importance selection (r10 verdict
+    * #6) — the at-ingestion filter the op exists for in Xie et al.
+    * 2023: each arriving doc is scored against BOTH offline-trained
+    * bigram models in ONE pass (stream-static joins on the gram keys —
+    * target trained on the curated reference, raw trained on the
+    * candidate pool; the refreshed-offline contract of
+    * [[streamingLmScore]]'s tables), and the importance surrogate
+    * imp_ppm = mean p_target − mean p_raw in exact integer millionths
+    * is emitted per doc — millionths-for-millionths equal to the batch
+    * q203 rows (selection/top-k happens downstream of the score, as in
+    * the batch query's orderBy+limit). Watermark contract follows
+    * [[streamingLmScore]] exactly: unbounded per-doc state without
+    * `eventTime`, watermark-evicted arrival windows with it.
+    *
+    * `docs` (streaming): doc_id, text [, eventTime col]. Static:
+    * (tBigrams, tHeads, tVocab) the target model, (rBigrams, rHeads,
+    * rVocab) the raw model — columns (a, b, cab) / (a, ca).
+    */
+  def streamingDsirImportance(docs: DataFrame,
+      tBigrams: DataFrame, tHeads: DataFrame, tVocab: Long,
+      rBigrams: DataFrame, rHeads: DataFrame, rVocab: Long,
+      eventTime: Option[String] = None,
+      windowDur: String = "10 minutes",
+      delay: String = "10 minutes"): DataFrame = {
+    val src = eventTime.fold(docs)(c => docs.withWatermark(c, delay))
+    val et = eventTime.map(col).toSeq
+    val pairs = src
+      .select(col("doc_id") +: et :+
+        expr(graft.operators.Dedup.toks).as("tk"): _*)
+      .filter(expr("size(tk) >= 2"))
+      .select(col("doc_id") +: et :+ col("tk") :+
+        explode(expr("sequence(1, size(tk) - 1)")).as("i"): _*)
+      .select(col("doc_id") +: et :+
+        expr("element_at(tk, i)").as("a") :+
+        expr("element_at(tk, i + 1)").as("b"): _*)
+      .join(tBigrams.select(col("a"), col("b"), col("cab").as("cab_t")),
+        Seq("a", "b"), "left")
+      .join(tHeads.select(col("a"), col("ca").as("ca_t")), Seq("a"), "left")
+      .join(rBigrams.select(col("a"), col("b"), col("cab").as("cab_r")),
+        Seq("a", "b"), "left")
+      .join(rHeads.select(col("a"), col("ca").as("ca_r")), Seq("a"), "left")
+      .withColumn("pt_ppm", expr(
+        s"(coalesce(cab_t, 0L) + 1L) * 1000000L div (coalesce(ca_t, 0L) + ${tVocab}L)"))
+      .withColumn("pr_ppm", expr(
+        s"(coalesce(cab_r, 0L) + 1L) * 1000000L div (coalesce(ca_r, 0L) + ${rVocab}L)"))
+    val grouped = eventTime match {
+      case Some(c) => pairs.groupBy(col("doc_id"), window(col(c), windowDur))
+      case None    => pairs.groupBy(col("doc_id"))
+    }
+    grouped
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(pt_ppm) div count(1)").as("p_target_ppm"),
+        expr("sum(pr_ppm) div count(1)").as("p_raw_ppm"))
+      .withColumn("imp_ppm", col("p_target_ppm") - col("p_raw_ppm"))
+      .select("doc_id", "n_bigrams", "p_target_ppm", "p_raw_ppm", "imp_ppm")
+  }
+
   /** Streaming count-min sketch — the batch q102 sketch maintained
     * incrementally: the (row, bucket) counts are a streaming aggregation
     * whose state is the FIXED d×W integer grid regardless of stream

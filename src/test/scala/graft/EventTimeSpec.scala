@@ -503,6 +503,81 @@ class EventTimeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "in-distribution doc must outscore the OOV doc")
   }
 
+  test("streaming DSIR importance equals the batch q203 kernel point-for-point (r10 verdict #6)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    def run(a: Int, b: Int) = (a to b).map(i => s"w${i % 40}").mkString(" ")
+    // target = curated reference; raw = the candidate-pool snapshot
+    // (exactly batch q203's two training slices: at-ingestion DSIR uses
+    // an offline snapshot of the pool as the raw model)
+    val ref = Seq((7L, run(1, 60)), (14L, run(20, 90)))
+    val pool = Seq(
+      (10L, run(1, 60)),    // looks like the target → positive importance
+      (11L, run(200, 230)),
+      (12L, "zzz yyy xxx www vvv uuu")) // OOV under both models
+    def model(docs: Seq[(Long, String)]) = {
+      val tk = docs.toDF("doc_id", "text")
+        .select(col("doc_id"), expr(graft.operators.Dedup.toks).as("tk"))
+        .filter(expr("size(tk) >= 2"))
+      val p = tk
+        .select(explode(expr("sequence(1, size(tk) - 1)")).as("i"), col("tk"))
+        .select(expr("element_at(tk, i)").as("a"),
+          expr("element_at(tk, i + 1)").as("b"))
+      val big = p.groupBy("a", "b").agg(count(lit(1)).as("cab")).localCheckpoint()
+      val heads = p.groupBy("a").agg(count(lit(1)).as("ca")).localCheckpoint()
+      val v = tk.select(explode(col("tk")).as("t"))
+        .agg(countDistinct(col("t"))).collect()(0).getLong(0)
+      (big, heads, v)
+    }
+    val (tb, th, tv) = model(ref)
+    val (rb, rh, rv) = model(pool)
+    val mem = MemoryStream[(Long, String)]
+    val out = EventTimeAggregates.streamingDsirImportance(
+      mem.toDF().toDF("doc_id", "text"), tb, th, tv, rb, rh, rv)
+    val q = out.writeStream.format("memory").queryName("sdsir")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(pool(0), pool(1))
+      q.processAllAvailable()
+      mem.addData(pool(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+    val got = rows(spark.sql(
+      "select doc_id, n_bigrams, p_target_ppm, p_raw_ppm, imp_ppm from sdsir"))
+      .groupBy(_._1).map { case (k, v) => k -> v.last._2 }
+    // batch truth: the q203 kernel over a static frame of everything
+    // that arrived, same trained tables
+    val batch = rows(EventTimeAggregates.streamingDsirImportance(
+      pool.toDF("doc_id", "text"), tb, th, tv, rb, rh, rv)).toMap
+    assert(got == batch, s"stream $got != batch $batch")
+    // the target-like doc must carry the highest importance; a doc the
+    // raw pool explains as well as the target does not
+    assert(got(10L)._4 == got.values.map(_._4).max)
+
+    // watermarked variant: same scores through event-time windows
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val memW = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val outW = EventTimeAggregates.streamingDsirImportance(
+      memW.toDF().toDF("ts", "doc_id", "text"), tb, th, tv, rb, rh, rv,
+      eventTime = Some("ts"))
+    val qw = outW.writeStream.format("memory").queryName("sdsirw")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      memW.addData((t(1), 10L, pool(0)._2), (t(2), 11L, pool(1)._2))
+      qw.processAllAvailable()
+      memW.addData((t(3), 12L, pool(2)._2))
+      qw.processAllAvailable()
+    } finally qw.stop()
+    val gotW = rows(spark.sql(
+      "select doc_id, n_bigrams, p_target_ppm, p_raw_ppm, imp_ppm from sdsirw"))
+      .groupBy(_._1).map { case (k, v) => k -> v.last._2 }
+    assert(gotW == batch, s"watermarked $gotW != batch $batch")
+  }
+
   test("streaming quantization drift equals the batch q199 computation across micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
