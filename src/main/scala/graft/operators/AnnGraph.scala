@@ -22,13 +22,18 @@ import org.apache.spark.sql.functions._
   *     shuffle);
   *  3. navigable graph = k-NN ∪ reversed k-NN (symmetrization is the
   *     standard kNN→navigable step: a vertex nobody's top-M reaches
-  *     still gets found through its own out-edges). Out-degree is
-  *     M + in-degree of the kNN graph — bounded in expectation (the
-  *     total edge count is ≤ 2nM) but a HUB can exceed it; measured on
-  *     this corpus max degree is 20 at M=8. At 100 TB a production
-  *     build adds a post-symmetrization degree cap (keep top-2M by
-  *     score per src — the DiskANN RobustPrune budget; same graft_topk
-  *     pass as step 2), the PostingCap escape hatch of this family.
+  *     still gets found through its own out-edges), then a HARD degree
+  *     cap: keep top-2M per source by (score desc, dst asc) — the
+  *     DiskANN RobustPrune budget as a second bounded-heap pass, the
+  *     PostingCap escape hatch of this family. Without it out-degree is
+  *     M + in-degree and a HUB vertex can make one beam expansion
+  *     unbounded; with it the per-round work bound (beamW · 2M) is a
+  *     theorem, not an expectation. Scores ride the reversed edges
+  *     (dot is symmetric), so the cap needs no recompute. Measured
+  *     uncapped max degree on this corpus is 20 at M=8, so the 2M=16
+  *     cap BINDS here — a few hubs trim from 17–20 to 16, leaving the
+  *     graph directed at exactly those vertices — which is what the
+  *     AnnIndexSpec degree-bound/asymmetry assertions pin.
   *
   * Search (per query, all rounds identical = unrollable):
   *  - beam₀ = the 8 cell medoids (argmax dot-to-own-centroid, vec_id
@@ -62,7 +67,7 @@ object AnnGraph {
   private val dim = 64
   private val nQueries = 5
   private val topK = 10
-  private[operators] val degreeM = 8
+  private[graft] val degreeM = 8
   private[operators] val beamW = 16
   private[operators] val rounds = 3
   /** Quantization scale for scores: floor(dot · 2²⁰). Dots on this
@@ -104,7 +109,7 @@ object AnnGraph {
     */
   private val graphLock = new Object
   private[graft] def graphTable(s: SparkSession, dir: String): String = {
-    val table = CorpusKey.tableName(s, "graft_knng", dir)
+    val table = CorpusKey.tableName(s, "graft_knng2", dir) // v2: degree-capped build
     graphLock.synchronized {
       if (!s.catalog.tableExists(table)) {
         CorpusKey.prepareBuild(s, table)
@@ -132,10 +137,17 @@ object AnnGraph {
         val knn = scored.groupBy("src")
           .agg(expr(s"graft_topk(cast(w as double), dst, $degreeM)").as("top"))
           .select(col("src"), explode(col("top")).as("t"))
-          .select(col("src"), col("t.id").as("dst"))
+          .select(col("src"), col("t.id").as("dst"), col("t.score").as("w"))
+        // symmetrize (scores ride the reversal — dot is symmetric), then
+        // the hard 2M degree cap: same bounded-heap pass as the kNN step
         val graph = knn
-          .unionByName(knn.select(col("dst").as("src"), col("src").as("dst")))
+          .unionByName(knn.select(col("dst").as("src"), col("src").as("dst"),
+            col("w")))
           .distinct()
+          .groupBy("src")
+          .agg(expr(s"graft_topk(w, dst, ${2 * degreeM})").as("top"))
+          .select(col("src"), explode(col("top")).as("t"))
+          .select(col("src"), col("t.id").as("dst"))
         graph.write.bucketBy(8, "src").sortBy("src")
           .mode("overwrite").saveAsTable(table)
       }
@@ -150,6 +162,13 @@ object AnnGraph {
     graphTable(s, dir)
     ()
   }
+
+  // shared with the streaming graph-append twin
+  // (EventTimeAggregates.streamingGraphAppend): arriving vectors must be
+  // keyed and scored by the SAME expressions the batch build uses
+  private[graft] def bucketExpr(col: String): String = bucketSpark(col)
+  private[graft] def scoreExpr(a: String, b: String): String =
+    qScoreSpark(a, b)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // kNN-graph + beam-search ANN, reported on the q192 frontier axes
@@ -284,12 +303,18 @@ object AnnGraph {
          | FROM b a JOIN b c
          |  ON (a.cell = c.cell OR a.bucket = c.bucket) AND a.vec_id <> c.vec_id),
          |knn AS (
-         | SELECT src, dst FROM (
-         |  SELECT src, dst, row_number() OVER (PARTITION BY src
+         | SELECT src, dst, w FROM (
+         |  SELECT src, dst, w, row_number() OVER (PARTITION BY src
          |    ORDER BY w DESC, dst) AS rk
          |  FROM (SELECT DISTINCT src, dst, w FROM pairs))
          | WHERE rk <= $degreeM),
-         |graph AS (SELECT src, dst FROM knn UNION SELECT dst, src FROM knn),
+         |sym AS (SELECT src, dst, w FROM knn
+         |        UNION SELECT dst, src, w FROM knn),
+         |graph AS (
+         | SELECT src, dst FROM (
+         |  SELECT src, dst, row_number() OVER (PARTITION BY src
+         |    ORDER BY w DESC, dst) AS rk FROM sym)
+         | WHERE rk <= ${2 * degreeM}),
          |q AS (SELECT vec_id AS query_id, embedding AS q_emb
          |      FROM embeddings WHERE vec_id < $nQueries),
          |medoids AS (

@@ -545,6 +545,59 @@ object EventTimeAggregates {
       .select("doc_id", "n_bigrams", "mean_p_ppm")
   }
 
+  /** Streaming append path of the q204 kNN graph — incremental ANN-index
+    * maintenance, the same fixed-index contract as q199's PQ append:
+    * each ARRIVING vector acquires its top-M outgoing edges against the
+    * FROZEN corpus (no rebuild), via stream-static joins on the exact
+    * blockings the batch build uses — the arriving vector's IVF cell and
+    * LSH bucket, keyed and scored by the SHARED expressions
+    * ([[graft.operators.AnnGraph.bucketExpr]]/`scoreExpr`), so batch and
+    * stream agree edge-for-edge. Duplicate candidates are impossible BY
+    * CONSTRUCTION, not by a stateful distinct: the bucket join excludes
+    * same-cell partners (those arrive via the cell join), so the two
+    * candidate sets are disjoint and the per-vector graft_topk heap (one
+    * streaming-aggregation group per arriving vector, Update mode — the
+    * whole candidate set lands in one micro-batch because the corpus
+    * side is static) sees each partner once.
+    *
+    * Emitted: (src = arriving vec_id, dst, w) — the append edges. The
+    * REVERSE (old→new) edges and the re-capping of old vertices are the
+    * periodic compaction's job, exactly the LSM contract of
+    * [[mergeClusterBatch]]: the search serves from graph ∪ append-log
+    * until the next rebuild folds both. State contract follows
+    * [[streamingLmScore]]: one bounded heap per arriving vector,
+    * unbounded group count without a watermark (bounded replays/tests),
+    * production wraps arrival windows.
+    *
+    * `vecs` (streaming): vec_id, embedding. `corpus` (static): vec_id,
+    * embedding, bucket, cell — the batch build's base projection.
+    */
+  def streamingGraphAppend(vecs: DataFrame, corpus: DataFrame,
+      degreeM: Int = graft.operators.AnnGraph.degreeM): DataFrame = {
+    val s = vecs.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    import graft.operators.AnnGraph
+    val assigned = vecs.select(col("vec_id").as("src"),
+      col("embedding").as("emb_new"),
+      expr(AnnGraph.bucketExpr("embedding")).as("bucket"),
+      expr(graft.operators.Similarity.clusterExprSpark("embedding"))
+        .as("cell"))
+    val old = corpus.select(col("vec_id").as("dst"),
+      col("embedding").as("emb_old"), col("bucket").as("o_bucket"),
+      col("cell").as("o_cell"))
+    val byCell = assigned.join(old, col("cell") === col("o_cell"))
+    val byBucket = assigned.join(old,
+      col("bucket") === col("o_bucket") && col("cell") =!= col("o_cell"))
+    byCell.unionByName(byBucket)
+      .filter(col("src") =!= col("dst"))
+      .withColumn("w", expr(AnnGraph.scoreExpr("emb_new", "emb_old")))
+      .groupBy("src")
+      .agg(expr(s"graft_topk(cast(w as double), dst, $degreeM)").as("top"))
+      .select(col("src"), explode(col("top")).as("t"))
+      .select(col("src"), col("t.id").as("dst"),
+        col("t.score").cast("long").as("w"))
+  }
+
   /** Streaming twin of q203's DSIR importance selection (r10 verdict
     * #6) — the at-ingestion filter the op exists for in Xie et al.
     * 2023: each arriving doc is scored against BOTH offline-trained

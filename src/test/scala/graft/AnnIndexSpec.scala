@@ -73,14 +73,27 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // --- q204 kNN-graph index (r10 verdict #1) ---
 
-  test("navigable graph is symmetric with no self-loops") {
+  test("navigable graph: no self-loops, degree cap enforced, asymmetry only at capped hubs") {
     val dir = "/root/testdata/sf0.001"
+    val cap = 2 * graft.operators.AnnGraph.degreeM
     val g = spark.table(graft.operators.AnnGraph.graphTable(spark, dir))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(g.nonEmpty)
     assert(g.forall { case (s, d) => s != d }, "self-loop found")
+    val outDeg = g.groupBy(_._1).view.mapValues(_.size).toMap
+    // the RobustPrune-budget theorem: out-degree <= 2M everywhere, so a
+    // beam round expands at most beamW * 2M candidates — a bound, not an
+    // expectation
+    assert(outDeg.values.max <= cap,
+      s"degree cap violated: max ${outDeg.values.max} > $cap")
+    assert(outDeg.values.forall(_ >= 1), "a vertex lost all out-edges")
+    // symmetrization before the cap: an edge may lack its reverse ONLY
+    // because the would-be source sits at the cap (the hub trim) — any
+    // other asymmetry means the union step is broken
     val asym = g.filterNot { case (s, d) => g.contains((d, s)) }
-    assert(asym.isEmpty, s"asymmetric edges: ${asym.take(5)}")
+    val unexplained = asym.filter { case (_, d) => outDeg(d) < cap }
+    assert(unexplained.isEmpty,
+      s"asymmetric edges at uncapped vertices: ${unexplained.take(5)}")
   }
 
   test("beam search recall dominates multi-probe LSH (the r10 acceptance bar)") {

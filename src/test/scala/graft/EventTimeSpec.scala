@@ -503,6 +503,61 @@ class EventTimeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "in-distribution doc must outscore the OOV doc")
   }
 
+  test("streaming kNN-graph append equals fixed-corpus batch edges (q204 incremental twin)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    import graft.operators.{AnnGraph, Similarity}
+    val all = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val isNew = col("vec_id") % 50 === 0 // 10 arriving vectors
+    val corpus = all.filter(!isNew)
+      .withColumn("bucket", expr(AnnGraph.bucketExpr("embedding")))
+      .withColumn("cell", expr(Similarity.clusterExprSpark("embedding")))
+      .localCheckpoint()
+    val arriving = all.filter(isNew).as[(Long, Seq[Float])].collect().toSeq
+      .sortBy(_._1)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val out = EventTimeAggregates.streamingGraphAppend(
+      mem.toDF().toDF("vec_id", "embedding"), corpus)
+    val q = out.writeStream.format("memory").queryName("gappend")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(arriving.take(4): _*)
+      q.processAllAvailable()
+      mem.addData(arriving.drop(4): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql("select src, dst, w from gappend").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // independent batch formulation: OR-join + row_number window over the
+    // same blockings/score — different plan (no disjoint-union trick, no
+    // bounded heap), same contract
+    val newDf = arriving.toDF("vec_id", "embedding")
+      .withColumn("bucket", expr(AnnGraph.bucketExpr("embedding")))
+      .withColumn("cell", expr(Similarity.clusterExprSpark("embedding")))
+      .select(col("vec_id").as("src"), col("embedding").as("emb_new"),
+        col("bucket").as("n_bucket"), col("cell").as("n_cell"))
+    val expected = newDf
+      .join(corpus.select(col("vec_id").as("dst"),
+        col("embedding").as("emb_old"), col("bucket"), col("cell")),
+        col("n_cell") === col("cell") || col("n_bucket") === col("bucket"))
+      .withColumn("w", expr(AnnGraph.scoreExpr("emb_new", "emb_old")))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")
+          .orderBy(col("w").desc, col("dst").asc)))
+      .filter(col("rk") <= AnnGraph.degreeM)
+      .select("src", "dst", "w").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"stream-batch edge mismatch: only-stream ${(got -- expected).take(5)}" +
+        s" only-batch ${(expected -- got).take(5)}")
+    assert(got.groupBy(_._1).values.forall(_.size <= AnnGraph.degreeM))
+    assert(got.map(_._1) == arriving.map(_._1).toSet,
+      "every arriving vector must acquire edges")
+  }
+
   test("streaming DSIR importance equals the batch q203 kernel point-for-point (r10 verdict #6)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
