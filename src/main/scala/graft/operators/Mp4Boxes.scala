@@ -101,15 +101,18 @@ object Mp4Boxes {
   }
 
   /** Sample locations of the FIRST track: walk moov→trak→mdia→minf→stbl,
-    * read `stsz` (per-sample sizes; or the uniform sample_size) and
-    * `stco` (chunk offsets), and lay samples out contiguously from the
-    * single chunk offset. Single-chunk profile — exactly what
-    * [[buildMjpeg]] writes; multi-chunk files need `stsc` sample-to-chunk
-    * routing and degrade to None here rather than mis-slice. All bounds
-    * Long-validated; crafted tables degrade to None (the MediaCodec
-    * contract). This retires the "frame decode is a stand-in" caveat for
-    * MJPEG: offsets from THIS walk feed the pure-JDK JpegCodec per
-    * sample (q206).
+    * read `stsz` (per-sample sizes; or the uniform sample_size), `stco`
+    * (chunk offsets) and `stsc` (sample-to-chunk routing: entries
+    * (first_chunk, samples_per_chunk) — chunk c uses the LAST entry with
+    * first_chunk ≤ c, the ISO 14496-12 run-length convention), then lay
+    * each chunk's samples out contiguously from its offset. A missing
+    * stsc is accepted only for the 1-chunk case (everything in the one
+    * chunk). The declared routing must cover EXACTLY the stsz sample
+    * count — too few or too many degrade to None rather than mis-slice.
+    * All bounds Long-validated; crafted tables degrade to None (the
+    * MediaCodec contract). This retires the "frame decode is a
+    * stand-in" caveat for MJPEG: offsets from THIS walk feed the
+    * pure-JDK JpegCodec per sample (q206).
     */
   def sampleTable(payload: Array[Byte]): Option[Vector[(Long, Int)]] = {
     val b = payload
@@ -147,35 +150,82 @@ object Mp4Boxes {
             be32(b, (stszP + 12 + 4L * i).toInt)))
         }
       }
-      base <- {
+      chunkOffs <- {
         if (stcoP + 8 > stcoE) None
         else {
           val entries = be32(b, stcoP.toInt + 4)
-          // single-chunk profile; multi-chunk needs stsc (see scaladoc)
-          if (entries != 1 || stcoP + 12 > stcoE) None
-          else Some(be32(b, stcoP.toInt + 8))
+          if (entries <= 0 || entries > 0xffff ||
+              stcoP + 8 + 4 * entries > stcoE) None
+          else Some(Vector.tabulate(entries.toInt)(i =>
+            be32(b, (stcoP + 8 + 4L * i).toInt)))
+        }
+      }
+      perChunk <- {
+        // samples per chunk, expanded over the stco chunk list
+        child("stsc", stblP, stblE) match {
+          case None =>
+            if (chunkOffs.size == 1) Some(Vector(sizes.size))
+            else None // multi-chunk REQUIRES routing
+          case Some((p, e)) =>
+            if (p + 8 > e) None
+            else {
+              val cnt = be32(b, p.toInt + 4)
+              if (cnt <= 0 || cnt > 0xffff || p + 8 + 12 * cnt > e) None
+              else {
+                val entries = Vector.tabulate(cnt.toInt) { i =>
+                  val off = (p + 8 + 12L * i).toInt
+                  (be32(b, off), be32(b, off + 4)) // (first_chunk, per)
+                }
+                // first_chunk is 1-based and must be strictly increasing
+                // starting at 1, or the run-length expansion is undefined
+                if (entries.head._1 != 1L ||
+                    entries.map(_._1) != entries.map(_._1).sorted ||
+                    entries.map(_._1).distinct.size != entries.size ||
+                    entries.exists(_._2 <= 0)) None
+                else Some(Vector.tabulate(chunkOffs.size) { c =>
+                  entries.takeWhile(_._1 <= c + 1).last._2.toInt
+                })
+              }
+            }
         }
       }
       out <- {
-        if (sizes.exists(sz => sz <= 0 || sz > Int.MaxValue)) None
+        if (sizes.exists(sz => sz <= 0 || sz > Int.MaxValue) ||
+            perChunk.map(_.toLong).sum != sizes.size) None
         else {
-          val offs = sizes.scanLeft(base)(_ + _)
-          if (offs.last > n) None
-          else Some(offs.zip(sizes).map { case (o, sz) => (o, sz.toInt) })
+          var sampleIdx = 0
+          val acc = Vector.newBuilder[(Long, Int)]
+          var ok = true
+          perChunk.zip(chunkOffs).foreach { case (cnt, cOff) =>
+            var off = cOff
+            (0 until cnt).foreach { _ =>
+              val sz = sizes(sampleIdx)
+              acc += ((off, sz.toInt))
+              off += sz
+              sampleIdx += 1
+              if (off > n) ok = false
+            }
+          }
+          if (ok) Some(acc.result()) else None
         }
       }
     } yield out
   }
 
-  /** MJPEG-in-MP4 writer: ftyp + mdat (the JPEG samples, contiguous, one
-    * chunk) + moov(mvhd v0, trak(tkhd, mdia(minf(stbl(stsd 'jpeg', stsz
-    * per-sample sizes, stco single chunk))))). mdat precedes moov so the
-    * chunk offset is known while writing — the layout every streaming
-    * muxer avoids and every batch muxer uses.
+  /** MJPEG-in-MP4 writer: ftyp + mdat (the JPEG samples, contiguous) +
+    * moov(mvhd v0, trak(tkhd, mdia(minf(stbl(stsd 'jpeg', stsz
+    * per-sample sizes, stsc routing when multi-chunk, stco))))). mdat
+    * precedes moov so chunk offsets are known while writing — the
+    * layout every streaming muxer avoids and every batch muxer uses.
+    * `samplesPerChunk` < frames.length exercises the multi-chunk path:
+    * chunks of that many samples (last possibly short), run-length
+    * compressed into stsc entries exactly as ISO 14496-12 specifies.
     */
   def buildMjpeg(frames: Seq[Array[Byte]], timescale: Int = 600,
-      frameDuration: Int = 20): Array[Byte] = {
+      frameDuration: Int = 20,
+      samplesPerChunk: Int = Int.MaxValue): Array[Byte] = {
     require(frames.nonEmpty && frames.forall(_.nonEmpty), "need frames")
+    require(samplesPerChunk > 0, "samplesPerChunk must be positive")
     def w32(b: Array[Byte], off: Int, v: Long): Unit = {
       b(off) = (v >> 24).toByte; b(off + 1) = (v >> 16).toByte
       b(off + 2) = (v >> 8).toByte; b(off + 3) = v.toByte
@@ -221,10 +271,35 @@ object Mp4Boxes {
       w32(stszP, 12 + 4 * i, f.length.toLong)
     }
     val stsz = box("stsz", stszP)
-    val stcoP = new Array[Byte](12)
-    w32(stcoP, 4, 1); w32(stcoP, 8, chunkOff.toLong)
+    // chunking: groups of samplesPerChunk (last possibly short); chunk
+    // offsets are cumulative because mdat lays samples out contiguously
+    val chunks = frames.grouped(math.min(samplesPerChunk, frames.length))
+      .map(_.toSeq).toVector
+    val chunkOffsets = chunks.scanLeft(chunkOff.toLong) { (off, ch) =>
+      off + ch.map(_.length.toLong).sum
+    }.dropRight(1)
+    val stcoP = new Array[Byte](8 + 4 * chunks.size)
+    w32(stcoP, 4, chunks.size.toLong)
+    chunkOffsets.zipWithIndex.foreach { case (o, i) =>
+      w32(stcoP, 8 + 4 * i, o)
+    }
     val stco = box("stco", stcoP)
-    val stbl = box("stbl", stsd ++ stsz ++ stco)
+    // stsc: run-length entries (first_chunk 1-based, samples_per_chunk,
+    // sample_description_index=1) over consecutive equal chunk counts
+    val runs = chunks.map(_.size).zipWithIndex
+      .foldLeft(Vector.empty[(Int, Int)]) { case (acc, (cnt, idx)) =>
+        if (acc.nonEmpty && acc.last._2 == cnt) acc
+        else acc :+ ((idx + 1, cnt))
+      }
+    val stscP = new Array[Byte](8 + 12 * runs.size)
+    w32(stscP, 4, runs.size.toLong)
+    runs.zipWithIndex.foreach { case ((first, cnt), i) =>
+      w32(stscP, 8 + 12 * i, first.toLong)
+      w32(stscP, 8 + 12 * i + 4, cnt.toLong)
+      w32(stscP, 8 + 12 * i + 8, 1L)
+    }
+    val stsc = box("stsc", stscP)
+    val stbl = box("stbl", stsd ++ stsz ++ stsc ++ stco)
     val minf = box("minf", stbl)
     val mdia = box("mdia", minf)
     val trak = box("trak", tkhd ++ mdia)

@@ -336,4 +336,46 @@ class MediaCodecSpec extends AnyFunSuite with BeforeAndAfterAll {
     // entry_count 2 (multi-chunk, needs stsc): documented None
     assert(Mp4Boxes.sampleTable(patch32(mp4, stcoAt + 4 + 4, 2L)).isEmpty)
   }
+
+  test("MJPEG multi-chunk: stsc routing locates every frame; crafted stsc degrades to None") {
+    import graft.operators.{Mp4Boxes, JpegCodec}
+    val frames = (0 until 7).map { f =>
+      JpegCodec.encode(Array.tabulate(8 * 3 * 3)(i => ((i * 11 + f * 37) % 249).toByte), 8, 3)
+    }
+    // 3 samples per chunk -> chunks of 3,3,1 -> stsc runs [(1,3),(3,1)]
+    val mp4 = Mp4Boxes.buildMjpeg(frames, samplesPerChunk = 3)
+    val tab = Mp4Boxes.sampleTable(mp4).get
+    assert(tab.length == 7)
+    tab.zipWithIndex.foreach { case ((off, sz), f) =>
+      assert(mp4.slice(off.toInt, off.toInt + sz).sameElements(frames(f)),
+        s"frame $f via multi-chunk stsc routing")
+    }
+    // uniform chunking (2,2,2,1) and chunk-per-sample (1x7) both route
+    Seq(2, 1).foreach { spc =>
+      val m = Mp4Boxes.buildMjpeg(frames, samplesPerChunk = spc)
+      val t = Mp4Boxes.sampleTable(m).get
+      assert(t.length == 7)
+      t.zipWithIndex.foreach { case ((off, sz), f) =>
+        assert(m.slice(off.toInt, off.toInt + sz).sameElements(frames(f)))
+      }
+    }
+    // crafted stsc: first_chunk not starting at 1 / routing mismatch
+    def patch32(b: Array[Byte], off: Int, v: Long): Array[Byte] = {
+      val c = b.clone()
+      c(off) = (v >> 24).toByte; c(off + 1) = (v >> 16).toByte
+      c(off + 2) = (v >> 8).toByte; c(off + 3) = v.toByte
+      c
+    }
+    def findBox(b: Array[Byte], id: String): Int = {
+      val pat = id.getBytes("US-ASCII")
+      (0 until b.length - 4).find(i => pat.indices.forall(j => b(i + j) == pat(j))).get
+    }
+    val stscAt = findBox(mp4, "stsc")
+    // first entry's first_chunk -> 2 (must be 1): None
+    assert(Mp4Boxes.sampleTable(patch32(mp4, stscAt + 4 + 8, 2L)).isEmpty)
+    // first entry's samples_per_chunk -> 5: routing covers 5,5,1 = 11 != 7: None
+    assert(Mp4Boxes.sampleTable(patch32(mp4, stscAt + 4 + 8 + 4, 5L)).isEmpty)
+    // samples_per_chunk 0: None
+    assert(Mp4Boxes.sampleTable(patch32(mp4, stscAt + 4 + 8 + 4, 0L)).isEmpty)
+  }
 }
