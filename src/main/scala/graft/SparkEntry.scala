@@ -30,7 +30,7 @@ object SparkEntry {
       Triangles.queries ++ Perceptron.queries ++ SuffixRank.queries ++
       Drift.queries ++ Spectral.queries ++ TextRank.queries ++ LabelProp.queries ++ CorpusStats.queries ++ Series.queries ++
       GraphCore.queries ++ Frontier.queries ++ Placement.queries ++
-      AnnGraph.queries
+      AnnGraph.queries ++ BpeTrain.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -43,5 +43,5 @@ object SparkEntry {
       Triangles.oracle ++ Perceptron.oracle ++ SuffixRank.oracle ++
       Drift.oracle ++ Spectral.oracle ++ TextRank.oracle ++ LabelProp.oracle ++ CorpusStats.oracle ++ Series.oracle ++
       GraphCore.oracle ++ Frontier.oracle ++ Placement.oracle ++
-      AnnGraph.oracle
+      AnnGraph.oracle ++ BpeTrain.oracle
 }
