@@ -52,75 +52,155 @@ object BpeTrain {
       s"replace($e, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ')"
     }
 
+  /** The unrolled training chain: per rank, the 1-row best-pair frame
+    * (TakeOrdered — the bounded side of every downstream crossJoin).
+    * Shared by q207 (emit the merge table) and q208 (apply the merges).
+    */
+  private def trainedMerges(s: SparkSession, dir: String): Seq[DataFrame] = {
+    val vocab0 = Synth.documents(s, dir)
+      .select(explode(expr(Dedup.toks)).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .select(expr(spacedSpark("tok")).as("s"), col("freq"))
+      .localCheckpoint()
+    val out = Seq.newBuilder[DataFrame]
+    var v = vocab0
+    for (_ <- 1 to nMerges) {
+      val pairs = v
+        .select(col("freq"), expr("split(trim(s), ' ')").as("syms"))
+        .filter(expr("size(syms) >= 2"))
+        .select(col("freq"),
+          explode(expr("transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, i) as a, " +
+            "element_at(syms, i + 1) as b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+      // NOT checkpointed: the TakeOrderedAndProject shape is what marks
+      // this side bounded for the plan lint; it recomputes once per
+      // consumer, over the checkpointed v — vocab-sized, K rounds
+      val best = pairs
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+      out += best
+      v = v.crossJoin(broadcast(best.select("a", "b")))
+        .select(expr(mergeExpr(replacePasses)).as("s"), col("freq"))
+        .localCheckpoint() // v_{r+1} is read twice next round
+    }
+    out.result()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q207_bpe_train" -> { (s, dir) =>
-      val vocab0 = Synth.documents(s, dir)
-        .select(explode(expr(Dedup.toks)).as("tok"))
-        .filter(col("tok") =!= "")
-        .groupBy("tok").agg(count(lit(1)).as("freq"))
-        .select(expr(spacedSpark("tok")).as("s"), col("freq"))
-        .localCheckpoint()
-      val merges = Seq.newBuilder[DataFrame]
-      var v = vocab0
-      for (rank <- 1 to nMerges) {
-        val pairs = v
-          .select(col("freq"), expr("split(trim(s), ' ')").as("syms"))
-          .filter(expr("size(syms) >= 2"))
-          .select(col("freq"),
-            explode(expr("transform(sequence(1, size(syms) - 1), " +
-              "i -> struct(element_at(syms, i) as a, " +
-              "element_at(syms, i + 1) as b))")).as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum(col("freq")).as("cnt"))
-        // NOT checkpointed: the TakeOrderedAndProject shape is what marks
-        // this side bounded for the plan lint; it recomputes once for the
-        // output row, over the checkpointed v — vocab-sized, K rounds
-        val best = pairs
-          .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
-        merges += best.select(lit(rank).as("mrank"), col("a").as("lhs"),
+      trainedMerges(s, dir).zipWithIndex.map { case (best, i) =>
+        best.select(lit(i + 1).as("mrank"), col("a").as("lhs"),
           col("b").as("rhs"), concat(col("a"), col("b")).as("merged"),
           col("cnt").as("pair_count"))
-        v = v.crossJoin(broadcast(best.select("a", "b")))
-          .select(expr(mergeExpr(replacePasses)).as("s"), col("freq"))
-          .localCheckpoint() // v_{r+1} is read twice next round
-      }
-      merges.result().reduce(_ unionByName _).orderBy("mrank")
+      }.reduce(_ unionByName _).orderBy("mrank")
+    },
+
+    // Apply the LEARNED tokenizer — the train→apply loop closed: every
+    // DISTINCT word is segmented once (merges applied in rank order,
+    // each the same fixed-pass replace as training — application and
+    // training share the exact merge semantics by construction), then
+    // per-doc stats come from a join back to the (doc, word)
+    // occurrences: BPE token count, char count, and chars-per-token
+    // fertility in integer ppm — the number that tells a pipeline
+    // whether the learned vocabulary fits its corpus. Scale shape: the
+    // distinct-word table is the only segmentation work (vocab-sized),
+    // the join back is corpus-sized but map-side (broadcastable vocab /
+    // shuffle on the word key), and the merges ride K 1-row broadcasts.
+    "q208_bpe_segment" -> { (s, dir) =>
+      val merges = trainedMerges(s, dir)
+      val dt = Synth.documents(s, dir)
+        .select(col("doc_id"), explode(expr(Dedup.toks)).as("tok"))
+        .filter(col("tok") =!= "")
+      val segmented = merges.foldLeft(
+          dt.select("tok").distinct()
+            .withColumn("s", expr(spacedSpark("tok")))) { (w, best) =>
+        w.crossJoin(broadcast(best.select("a", "b")))
+          .select(col("tok"), expr(mergeExpr(replacePasses)).as("s"))
+      }.select(col("tok"),
+        expr("size(filter(split(trim(s), ' '), x -> x <> ''))")
+          .cast("long").as("wtok"))
+      dt.join(segmented, "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("wtok")).as("n_bpe_tokens"),
+          sum(length(col("tok"))).as("n_chars"))
+        .withColumn("chars_per_token_ppm",
+          expr("n_chars * 1000000L div n_bpe_tokens"))
+        .select("doc_id", "n_words", "n_bpe_tokens", "n_chars",
+          "chars_per_token_ppm")
+        .orderBy("doc_id")
     }
   )
 
+  /** Shared oracle prefix: v0 + the unrolled p/best/v chain. */
+  private def trainCtesDuck: String = {
+    val rounds = (1 to nMerges).map { r =>
+      val prev = s"v${r - 1}"
+      s"""p$r AS (
+         | SELECT u.a AS a, u.b AS b, cast(sum(freq) as bigint) AS cnt
+         | FROM (
+         |  SELECT freq, unnest(list_transform(
+         |    generate_series(1, len(syms) - 1),
+         |    i -> {'a': syms[i], 'b': syms[i + 1]})) AS u
+         |  FROM (SELECT freq,
+         |    list_filter(string_split(trim(s), ' '), x -> x <> '') AS syms
+         |   FROM $prev)
+         |  WHERE len(syms) >= 2)
+         | GROUP BY 1, 2),
+         |best$r AS (
+         | SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+         |v$r AS (
+         | SELECT ${mergeDuck(replacePasses)} AS s, freq
+         | FROM $prev, best$r)""".stripMargin
+    }.mkString(",\n")
+    s"""v0 AS (
+       | SELECT ${spacedDuck("tok")} AS s,
+       |  cast(count(*) as bigint) AS freq
+       | FROM (SELECT unnest(${Dedup.dToks}) AS tok FROM documents)
+       | WHERE tok <> '' GROUP BY 1),
+       |$rounds""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     "q207_bpe_train" -> {
-      val rounds = (1 to nMerges).map { r =>
-        val prev = s"v${r - 1}"
-        s"""p$r AS (
-           | SELECT u.a AS a, u.b AS b, cast(sum(freq) as bigint) AS cnt
-           | FROM (
-           |  SELECT freq, unnest(list_transform(
-           |    generate_series(1, len(syms) - 1),
-           |    i -> {'a': syms[i], 'b': syms[i + 1]})) AS u
-           |  FROM (SELECT freq,
-           |    list_filter(string_split(trim(s), ' '), x -> x <> '') AS syms
-           |   FROM $prev)
-           |  WHERE len(syms) >= 2)
-           | GROUP BY 1, 2),
-           |best$r AS (
-           | SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
-           |v$r AS (
-           | SELECT ${mergeDuck(replacePasses)} AS s, freq
-           | FROM $prev, best$r)""".stripMargin
-      }.mkString(",\n")
       val out = (1 to nMerges)
         .map(r => s"SELECT $r AS mrank, a AS lhs, b AS rhs, " +
           s"a || b AS merged, cnt AS pair_count FROM best$r")
         .mkString("\nUNION ALL ")
-      s"""WITH v0 AS (
-         | SELECT ${spacedDuck("tok")} AS s,
-         |  cast(count(*) as bigint) AS freq
-         | FROM (SELECT unnest(${Dedup.dToks}) AS tok FROM documents)
-         | WHERE tok <> '' GROUP BY 1),
-         |$rounds
+      s"""WITH $trainCtesDuck
          |$out
          |ORDER BY mrank""".stripMargin
+    },
+
+    "q208_bpe_segment" -> {
+      val segs = (1 to nMerges).map { r =>
+        s"""seg$r AS (
+           | SELECT tok, ${mergeDuck(replacePasses)} AS s
+           | FROM seg${r - 1}, best$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $trainCtesDuck,
+         |dt AS (
+         | SELECT doc_id, tok FROM (
+         |  SELECT doc_id, unnest(${Dedup.dToks}) AS tok FROM documents)
+         | WHERE tok <> ''),
+         |seg0 AS (
+         | SELECT tok, ${spacedDuck("tok")} AS s
+         | FROM (SELECT DISTINCT tok FROM dt)),
+         |$segs,
+         |wt AS (
+         | SELECT tok, cast(len(list_filter(string_split(trim(s), ' '),
+         |   x -> x <> '')) as bigint) AS wtok
+         | FROM seg$nMerges)
+         |SELECT dt.doc_id AS doc_id,
+         | cast(count(*) as bigint) AS n_words,
+         | cast(sum(wtok) as bigint) AS n_bpe_tokens,
+         | cast(sum(len(tok)) as bigint) AS n_chars,
+         | cast(sum(len(tok)) * 1000000 // sum(wtok) as bigint)
+         |   AS chars_per_token_ppm
+         |FROM dt JOIN wt USING (tok)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin
     }
   )
 }

@@ -86,6 +86,7 @@ class PlanLintSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q205_gif_roundtrip" -> strict,
     "q206_mjpeg_frames" -> strict,
     "q207_bpe_train" -> strict,
+    "q208_bpe_segment" -> strict,
     "q192_ann_frontier" -> Set(OracleCross),
     "q193_gopher_rules" -> strict,
     "q194_ngram_novelty" -> strict,
