@@ -102,6 +102,15 @@ object Similarity {
     * column. The 4096 clamp is where the literal-argmax expression stops
     * being reasonable (4096·64 literals); past it a production build
     * joins against a centroid TABLE instead (the oracle's shape).
+    *
+    * Deliberately NOT parameterized: q192's ivf family (the comparative
+    * frontier keeps every family on the historical fixed-8 so cost axes
+    * stay comparable across rounds) and q48b's IVF-PQ coarse quantizer
+    * (quantizer cell count is index configuration chosen with the PQ
+    * codebook budget, not a corpus-cardinality function — the paper's
+    * nlist knob). The corpus-derived count applies where cell size
+    * bounds PAIR work: q42 search candidates, q195 within-cell closure,
+    * and their streaming twins.
     */
   private[graft] def cellCountFor(n: Long): Int =
     math.max(8L, math.min(4096L, math.ceil(n / 256.0).toLong)).toInt

@@ -428,4 +428,55 @@ class RocksDbStateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(EventTimeAggregates.semanticCellOverflows.get() - before == 2,
       "ids 3 and 4 each overflow the cap once")
   }
+
+  test("kNN-graph append on RocksDB state across a checkpoint restart: same edges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val ctx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    import graft.operators.{AnnGraph, Similarity}
+    val all = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val isNew = col("vec_id") % 50 === 0
+    val corpus = all.filter(!isNew)
+      .withColumn("bucket", expr(AnnGraph.bucketExpr("embedding")))
+      .withColumn("cell", expr(Similarity.clusterExprSpark("embedding")))
+      .localCheckpoint()
+    val arriving = all.filter(isNew).as[(Long, Seq[Float])].collect().toSeq
+      .sortBy(_._1)
+    val ckpt = java.nio.file.Files.createTempDirectory("gapp-ckpt").toString
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val mem = MemoryStream[(Long, Seq[Float])]
+    def start() = EventTimeAggregates.streamingGraphAppend(
+        mem.toDF().toDF("vec_id", "embedding"), corpus)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= b.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        }
+        ()
+      }
+      .outputMode(OutputMode.Update()).start()
+    var q = start()
+    try {
+      mem.addData(arriving.take(4): _*)
+      q.processAllAvailable()
+      q.stop()
+      // restart from the checkpoint: the per-arrival heap groups must
+      // come back from RocksDB; the remaining arrivals append after
+      q = start()
+      mem.addData(arriving.drop(4): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // latest emission per (src, dst) — Update mode may re-emit a group
+    val gotSet = got.groupBy(e => (e._1, e._2)).map(_._2.last).toSet
+    val expected = EventTimeAggregates.streamingGraphAppend(
+        arriving.toDF("vec_id", "embedding"), corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotSet == expected,
+      s"only-stream ${(gotSet -- expected).take(5)} " +
+        s"only-batch ${(expected -- gotSet).take(5)}")
+  }
 }
