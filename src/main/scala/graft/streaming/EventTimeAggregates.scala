@@ -569,29 +569,41 @@ object EventTimeAggregates {
     * unbounded group count without a watermark (bounded replays/tests),
     * production wraps arrival windows.
     *
-    * `vecs` (streaming): vec_id, embedding. `corpus` (static): vec_id,
-    * embedding, bucket, cell — the batch build's base projection.
+    * `vecs` (streaming): vec_id, embedding [, eventTime col]. `corpus`
+    * (static): vec_id, embedding, bucket, cell — the batch build's base
+    * projection. With `eventTime` the per-arrival heap groups live in
+    * watermark-evicted windows (the production contract); without, one
+    * group per arriving vector, unbounded (bounded replays/tests).
     */
   def streamingGraphAppend(vecs: DataFrame, corpus: DataFrame,
-      degreeM: Int = graft.operators.AnnGraph.degreeM): DataFrame = {
+      degreeM: Int = graft.operators.AnnGraph.degreeM,
+      eventTime: Option[String] = None,
+      windowDur: String = "10 minutes",
+      delay: String = "10 minutes"): DataFrame = {
     val s = vecs.sparkSession
     graft.functions.GraftFunctions.register(s)
     import graft.operators.AnnGraph
-    val assigned = vecs.select(col("vec_id").as("src"),
-      col("embedding").as("emb_new"),
-      expr(AnnGraph.bucketExpr("embedding")).as("bucket"),
+    val src0 = eventTime.fold(vecs)(c => vecs.withWatermark(c, delay))
+    val et = eventTime.map(col).toSeq
+    val assigned = src0.select(col("vec_id").as("src") +: et :+
+      col("embedding").as("emb_new") :+
+      expr(AnnGraph.bucketExpr("embedding")).as("bucket") :+
       expr(graft.operators.Similarity.clusterExprSpark("embedding"))
-        .as("cell"))
+        .as("cell"): _*)
     val old = corpus.select(col("vec_id").as("dst"),
       col("embedding").as("emb_old"), col("bucket").as("o_bucket"),
       col("cell").as("o_cell"))
     val byCell = assigned.join(old, col("cell") === col("o_cell"))
     val byBucket = assigned.join(old,
       col("bucket") === col("o_bucket") && col("cell") =!= col("o_cell"))
-    byCell.unionByName(byBucket)
+    val scored = byCell.unionByName(byBucket)
       .filter(col("src") =!= col("dst"))
       .withColumn("w", expr(AnnGraph.scoreExpr("emb_new", "emb_old")))
-      .groupBy("src")
+    val grouped = eventTime match {
+      case Some(c) => scored.groupBy(col("src"), window(col(c), windowDur))
+      case None    => scored.groupBy(col("src"))
+    }
+    grouped
       .agg(expr(s"graft_topk(cast(w as double), dst, $degreeM)").as("top"))
       .select(col("src"), explode(col("top")).as("t"))
       .select(col("src"), col("t.id").as("dst"),

@@ -556,6 +556,26 @@ class EventTimeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.groupBy(_._1).values.forall(_.size <= AnnGraph.degreeM))
     assert(got.map(_._1) == arriving.map(_._1).toSet,
       "every arriving vector must acquire edges")
+
+    // watermarked variant: same edges through event-time windows
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val memW = MemoryStream[(java.sql.Timestamp, Long, Seq[Float])]
+    val outW = EventTimeAggregates.streamingGraphAppend(
+      memW.toDF().toDF("ts", "vec_id", "embedding"), corpus,
+      eventTime = Some("ts"))
+    val qw = outW.writeStream.format("memory").queryName("gappendw")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      memW.addData(arriving.take(4).zipWithIndex.map {
+        case ((id, e), i) => (t(i + 1), id, e) }: _*)
+      qw.processAllAvailable()
+      memW.addData(arriving.drop(4).zipWithIndex.map {
+        case ((id, e), i) => (t(i + 5), id, e) }: _*)
+      qw.processAllAvailable()
+    } finally qw.stop()
+    val gotW = spark.sql("select src, dst, w from gappendw").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotW == expected, s"watermarked edges differ")
   }
 
   test("streaming DSIR importance equals the batch q203 kernel point-for-point (r10 verdict #6)") {
