@@ -229,6 +229,16 @@ object EventTimeAggregates {
                 if (j >= threshold) out += ClusterEdge(b.doc_id, o.id)
               }
               if (seen.size < bucketCap) seen = seen :+ SeenDoc(b.doc_id, b.sh)
+              else {
+                // same overflow asymmetry as the semantic twin (r10
+                // advice): the doc's own edges emitted, later same-bucket
+                // arrivals miss edges to it — observable, never silent
+                bandBucketOverflows.incrementAndGet()
+                System.err.println(
+                  s"[graft] band-bucket state at cap ($bucketCap): " +
+                    s"doc ${b.doc_id} not stored — later same-bucket " +
+                    "arrivals will miss edges to it")
+              }
             }
           }
           state.update(BucketState(seen))
@@ -292,6 +302,11 @@ object EventTimeAggregates {
     * metrics sink.
     */
   val semanticCellOverflows = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** [[streamingClusterEdges]]'s counterpart: docs dropped from a full
+    * band-bucket's state (same per-JVM diagnostic contract).
+    */
+  val bandBucketOverflows = new java.util.concurrent.atomic.AtomicLong(0)
 
   def streamingSemanticEdges(
       vecs: DataFrame,
