@@ -280,9 +280,14 @@ object Bench {
     // superseded fingerprints under the same stem). One run per
     // (family, factor) — a diagnostic curve, not a headline figure; -1
     // marks a failure. SPARK_GRAFT_SCALING=0 or a query subset skips it.
+    // q204 joins the families in r11: the graph-ANN headline claim is
+    // that SEARCH cost is independent of corpus size (rounds·beamW·2M
+    // evaluations), so its curve should be near-flat once the index
+    // build is paid in the untimed warm step like every other memoized
+    // artifact
     val scalingFamilies = Seq("q61_minhash_dedup", "q31b_prefix_jaccard",
       "q33c_simhash64_pairs", "q120_containment", "q195_semantic_dedup",
-      "q187_incremental_clusters")
+      "q187_incremental_clusters", "q204_knn_graph_beam")
     val scalingFactors = Seq(1, 2, 4, 8)
     val scaling: Seq[(String, Seq[Double])] =
       if (sys.env.get("SPARK_GRAFT_SCALING").contains("0") || subset.isDefined)
@@ -332,6 +337,9 @@ object Bench {
           try graft.operators.Dedup.warmArtifacts(spark, dir)
           catch { case e: Throwable => System.err.println(
             s"[bench] scaling warm x$f failed: ${e.getMessage}") }
+          try graft.operators.AnnGraph.warmArtifacts(spark, dir)
+          catch { case e: Throwable => System.err.println(
+            s"[bench] scaling anngraph warm x$f failed: ${e.getMessage}") }
           scalingFamilies.map { name =>
             // min-of-2 like the main sweep: a single-run point showed
             // 1.7× contention noise (r10: q31b 8× measured 8.51 s and

@@ -94,14 +94,10 @@ object AnnGraph {
   private def bucketSpark(col: String): String =
     (0 until 8).map(p => s"if(${Dedup.dot(col, planeSpark(p))} > 0, '1', '0')")
       .mkString("concat(", ", ", ")")
-  private def centroidDotsSpark(col: String): String =
-    Similarity.centroids.indices.map(c => Dedup.dot(col,
-      Similarity.centroids(c).map(w => s"${w}D").mkString("array(", ", ", ")")))
+  private def centroidDotsSpark(col: String, k: Int): String =
+    (0 until k).map(c => Dedup.dot(col,
+      Similarity.centroidK(c).map(w => s"${w}D").mkString("array(", ", ", ")")))
       .mkString("array(", ", ", ")")
-  private def centroidDotsDuck(col: String): String =
-    Similarity.centroids.indices.map(c => Similarity.dotDuck(col,
-      Similarity.centroids(c).mkString("[", ", ", "]")))
-      .mkString("[", ", ", "]")
 
   /** The memoized navigable graph (src, dst), bucketed by src — index
     * state per corpus content, built once ([[CorpusKey]] naming, same
@@ -109,15 +105,20 @@ object AnnGraph {
     */
   private val graphLock = new Object
   private[graft] def graphTable(s: SparkSession, dir: String): String = {
-    val table = CorpusKey.tableName(s, "graft_knng2", dir) // v2: degree-capped build
+    // v3: degree-capped build over CORPUS-DERIVED cells — the build's
+    // within-cell pair work is exactly the "cell size bounds pair work"
+    // case Similarity.cellCountFor exists for (fixed-8 here would be
+    // q195's r10 critique all over again)
+    val table = CorpusKey.tableName(s, "graft_knng3", dir)
     graphLock.synchronized {
       if (!s.catalog.tableExists(table)) {
         CorpusKey.prepareBuild(s, table)
         graft.functions.GraftFunctions.register(s)
+        val k = Similarity.corpusCells(s, dir)
         val base = Synth.embeddings(s, dir)
           .select(col("vec_id"), col("embedding"),
             expr(bucketSpark("embedding")).as("bucket"),
-            expr(Similarity.clusterExprSpark("embedding")).as("cell"))
+            expr(Similarity.clusterExprSparkK("embedding", k)).as("cell"))
           .localCheckpoint() // feeds both pair blockings + the score join
         def pairsBy(key: String): DataFrame =
           base.select(col(key), col("vec_id").as("src"))
@@ -176,6 +177,7 @@ object AnnGraph {
     // re-reported beside it as the comparator.
     "q204_knn_graph_beam" -> { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
+      val k = Similarity.corpusCells(s, dir)
       val base = Synth.embeddings(s, dir)
         .select(col("vec_id"), col("embedding"),
           expr(bucketSpark("embedding")).as("bucket"))
@@ -183,11 +185,14 @@ object AnnGraph {
       val graph = s.table(graphTable(s, dir))
       val qdf = broadcast(base.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
-      // per-cell medoids: argmax dot-to-own-centroid = array_max of the
-      // centroid-dot array; graft_topk(·, ·, 1) per cell is the
-      // (selfdot desc, vec_id asc) argmax as a map-side-combinable agg
+      // per-cell medoids (one entry per corpus-derived cell): argmax
+      // dot-to-own-centroid = array_max of the centroid-dot array;
+      // graft_topk(·, ·, 1) per cell is the (selfdot desc, vec_id asc)
+      // argmax as a map-side-combinable agg. More cells ⇒ more entry
+      // points ⇒ beam₁ trims to beamW — entry count scales with the
+      // index, search work stays bounded.
       val medoids = base
-        .withColumn("cds", expr(centroidDotsSpark("embedding")))
+        .withColumn("cds", expr(centroidDotsSpark("embedding", k)))
         .select(col("vec_id"),
           expr("array_position(cds, array_max(cds))").as("cell"),
           expr("array_max(cds)").as("selfdot"))
@@ -293,10 +298,11 @@ object AnnGraph {
           s"CASE WHEN substring(bucket, ${i + 1}, 1) = '1' THEN '0' ELSE '1' END, " +
           s"substring(bucket, ${i + 2}, ${8 - i - 1}))"
       }
-      s"""WITH b AS (
-         | SELECT vec_id, embedding, ${bucketDuck("embedding")} AS bucket,
-         |  ${Similarity.clusterExprDuck("embedding")} AS cell
-         | FROM embeddings),
+      s"""WITH ${Similarity.cellAssignCtesDuck()},
+         |b AS (
+         | SELECT e.vec_id, e.embedding, ${bucketDuck("e.embedding")} AS bucket,
+         |  a.cell
+         | FROM embeddings e JOIN cassign a USING (vec_id)),
          |pairs AS (
          | SELECT a.vec_id AS src, c.vec_id AS dst,
          |  ${qScoreDuck("a.embedding", "c.embedding")} AS w
@@ -317,15 +323,13 @@ object AnnGraph {
          | WHERE rk <= ${2 * degreeM}),
          |q AS (SELECT vec_id AS query_id, embedding AS q_emb
          |      FROM embeddings WHERE vec_id < $nQueries),
+         |selfd AS (
+         | SELECT vec_id, max(dt) AS selfdot FROM cdots GROUP BY 1),
          |medoids AS (
          | SELECT vec_id FROM (
-         |  SELECT vec_id, row_number() OVER (PARTITION BY cell
-         |    ORDER BY selfdot DESC, vec_id) AS rk
-         |  FROM (SELECT vec_id,
-         |    list_position(${centroidDotsDuck("embedding")},
-         |      list_max(${centroidDotsDuck("embedding")})) AS cell,
-         |    list_max(${centroidDotsDuck("embedding")}) AS selfdot
-         |   FROM embeddings))
+         |  SELECT sd.vec_id, row_number() OVER (PARTITION BY a.cell
+         |    ORDER BY sd.selfdot DESC, sd.vec_id) AS rk
+         |  FROM selfd sd JOIN cassign a USING (vec_id))
          | WHERE rk = 1),
          |beam0 AS (SELECT q.query_id, m.vec_id FROM q CROSS JOIN medoids m),
          |$roundCtes,

@@ -594,16 +594,19 @@ object EventTimeAggregates {
       degreeM: Int = graft.operators.AnnGraph.degreeM,
       eventTime: Option[String] = None,
       windowDur: String = "10 minutes",
-      delay: String = "10 minutes"): DataFrame = {
+      delay: String = "10 minutes",
+      nCells: Int = 8): DataFrame = {
     val s = vecs.sparkSession
     graft.functions.GraftFunctions.register(s)
     import graft.operators.AnnGraph
     val src0 = eventTime.fold(vecs)(c => vecs.withWatermark(c, delay))
     val et = eventTime.map(col).toSeq
+    // nCells must match the cell count the corpus graph was built with
+    // (AnnGraph derives it from corpus cardinality — cellCountFor)
     val assigned = src0.select(col("vec_id").as("src") +: et :+
       col("embedding").as("emb_new") :+
       expr(AnnGraph.bucketExpr("embedding")).as("bucket") :+
-      expr(graft.operators.Similarity.clusterExprSpark("embedding"))
+      expr(graft.operators.Similarity.clusterExprSparkK("embedding", nCells))
         .as("cell"): _*)
     val old = corpus.select(col("vec_id").as("dst"),
       col("embedding").as("emb_old"), col("bucket").as("o_bucket"),
