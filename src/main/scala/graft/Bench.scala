@@ -280,11 +280,11 @@ object Bench {
     // superseded fingerprints under the same stem). One run per
     // (family, factor) — a diagnostic curve, not a headline figure; -1
     // marks a failure. SPARK_GRAFT_SCALING=0 or a query subset skips it.
-    // q204 joins the families in r11: the graph-ANN headline claim is
-    // that SEARCH cost is independent of corpus size (rounds·beamW·2M
-    // evaluations), so its curve should be near-flat once the index
-    // build is paid in the untimed warm step like every other memoized
-    // artifact
+    // q204 joins the families in r11: graph-ANN search cost is the
+    // medoid entry fan-out (⌈n/256⌉ cells — sublinear) plus a CONSTANT
+    // rounds·beamW·2M evaluation budget, so its curve should stay well
+    // under linear once the index build is paid in the untimed warm
+    // step like every other memoized artifact
     val scalingFamilies = Seq("q61_minhash_dedup", "q31b_prefix_jaccard",
       "q33c_simhash64_pairs", "q120_containment", "q195_semantic_dedup",
       "q187_incremental_clusters", "q204_knn_graph_beam")

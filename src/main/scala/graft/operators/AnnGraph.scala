@@ -36,10 +36,11 @@ import org.apache.spark.sql.functions._
   *     AnnIndexSpec degree-bound/asymmetry assertions pin.
   *
   * Search (per query, all rounds identical = unrollable):
-  *  - beam₀ = the 8 cell medoids (argmax dot-to-own-centroid, vec_id
-  *    tiebreak) — the DiskANN "medoid entry" generalized to one entry
-  *    per cell, which keeps every region reachable without relying on
-  *    cross-cell graph connectivity;
+  *  - beam₀ = the per-cell medoids (argmax dot-to-own-centroid, vec_id
+  *    tiebreak; one entry per corpus-derived cell) — the DiskANN
+  *    "medoid entry" generalized to one entry per cell, which keeps
+  *    every region reachable without relying on cross-cell graph
+  *    connectivity;
   *  - round r: candidates = beamᵣ₋₁ ∪ neighbors(beamᵣ₋₁); score by
   *    quantized dot with the query; beamᵣ = top-`beamW` (score desc,
   *    vec_id asc). Monotone: the beam only improves because it is
@@ -53,12 +54,14 @@ import org.apache.spark.sql.functions._
   * Scale story at 100 TB: construction is the q195-class blocked
   * self-join (cells/buckets grow with the corpus, bounding per-block
   * pair work) feeding a bounded-heap top-M; the graph is n·M edges
-  * bucketed by src. Search cost is ≤ rounds · beamW · 2M score
-  * evaluations per query — INDEPENDENT of n (IVF probes n/k candidates;
-  * the graph probes a constant), which is exactly why this family wins
-  * at scale. Each round is one join of a k·|queries|-row beam (broadcast)
-  * against the src-bucketed adjacency, then a vec_id-keyed fetch of
-  * candidate vectors — no shuffle grows with the corpus. Scores are
+  * bucketed by src. Search cost per query is the medoid entry fan-out
+  * (one entry per corpus-derived cell, ⌈n/256⌉ — sublinear in n) plus
+  * ≤ rounds · beamW · 2M score evaluations (a CONSTANT — IVF probes
+  * n/k candidates, the beam probes a bound), which is why this family
+  * wins at scale; the bench's scaling block measures the curve. Each
+  * round is one join of a small beam (broadcast) against the
+  * src-bucketed adjacency, then a vec_id-keyed fetch of candidate
+  * vectors — no shuffle grows with the corpus. Scores are
   * floor(dot · 2²⁰) bigints: ranking, ties, and the final report are
   * exact integer arithmetic, hash-identical across engines.
   */
