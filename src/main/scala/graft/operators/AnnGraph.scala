@@ -118,7 +118,12 @@ object AnnGraph {
         CorpusKey.prepareBuild(s, table)
         graft.functions.GraftFunctions.register(s)
         val k = Similarity.corpusCells(s, dir)
+        // repartition BEFORE the bucket/cell expressions: the corpus is
+        // one parquet file = one scan task, so without the fan-out the
+        // 8-plane + k-centroid dot expressions (and every downstream
+        // map over the checkpointed frame) run on a single core
         val base = Synth.embeddings(s, dir)
+          .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
           .select(col("vec_id"), col("embedding"),
             expr(bucketSpark("embedding")).as("bucket"),
             expr(Similarity.clusterExprSparkK("embedding", k)).as("cell"))
@@ -181,7 +186,11 @@ object AnnGraph {
     "q204_knn_graph_beam" -> { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
       val k = Similarity.corpusCells(s, dir)
+      // fan out before the bucket expression and the checkpoint — the
+      // single-file scan is one task, and the checkpointed partitioning
+      // is what every downstream join/score/medoid pass inherits
       val base = Synth.embeddings(s, dir)
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
         .select(col("vec_id"), col("embedding"),
           expr(bucketSpark("embedding")).as("bucket"))
         .localCheckpoint() // scoring + medoids + exact + multiprobe
@@ -213,7 +222,20 @@ object AnnGraph {
         .join(qdf, "query_id")
         .withColumn("w", expr(qScoreSpark("q_emb", "embedding")))
         .select("query_id", "vec_id", "w")
+      // EAGER localCheckpoint per round (guide §3.3: materialize
+      // intermediates to truncate a growing plan): beam_r is consumed by
+      // cand_{r+1} (twice: the union arm and the graph join), by
+      // visited, and by the final answer join — without the cut the
+      // round-r lineage re-plans and re-executes every earlier round
+      // once per consumer, which is what made the 8x scaling point
+      // superlinear (2.21 s -> 7.47 s in the committed artifact). Eager,
+      // not lazy: a lazily-checkpointed frame consumed by several AQE
+      // stages at once is recomputed CONCURRENTLY before the cache fills
+      // (measured here: the lazy variant ran 5x slower than no
+      // checkpoint at all); the eager jobs are tiny
+      // (<= nQueries x beamW + medoids rows each).
       var beam = qdf.select("query_id").crossJoin(broadcast(medoids))
+        .localCheckpoint()
       var visited = beam
       var lastScored: DataFrame = null
       for (_ <- 1 to rounds) {
@@ -221,12 +243,14 @@ object AnnGraph {
           .unionByName(beam.join(graph, beam("vec_id") === graph("src"))
             .select(col("query_id"), col("dst").as("vec_id")))
           .distinct()
+          .localCheckpoint()
         visited = visited.unionByName(cand)
         lastScored = scoreOf(cand)
         beam = lastScored.groupBy("query_id")
           .agg(expr(s"graft_topk(cast(w as double), vec_id, $beamW)").as("top"))
           .select(col("query_id"), explode(col("top")).as("t"))
           .select(col("query_id"), col("t.id").as("vec_id"))
+          .localCheckpoint()
       }
       val nCand = visited.distinct()
         .groupBy("query_id").agg(count(lit(1)).as("n_cand"))

@@ -75,15 +75,24 @@ object BpeTrain {
             "element_at(syms, i + 1) as b))")).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("freq")).as("cnt"))
-      // NOT checkpointed: the TakeOrderedAndProject shape is what marks
-      // this side bounded for the plan lint; it recomputes once per
-      // consumer, over the checkpointed v — vocab-sized, K rounds
+      // best is CHECKPOINTED once per round and every consumer — the
+      // merge broadcast, q207's output union, q208's apply fold — reads
+      // the 1-row checkpoint instead of re-running the pair aggregation
+      // (the old TakeOrdered-per-consumer shape paid the vocab-sized agg
+      // 2-3x per round). The trailing limit(1) is a no-op on a 1-row
+      // frame that re-marks the subtree bounded for the plan lint (the
+      // checkpoint's RDD scan alone would read as an unbounded
+      // crossJoin side). v's checkpoint turns LAZY: the next round's
+      // best materialization is the first action over it, so each round
+      // costs exactly one job — and the last v, which no consumer
+      // reads, is never computed at all.
       val best = pairs
         .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+        .localCheckpoint().limit(1)
       out += best
       v = v.crossJoin(broadcast(best.select("a", "b")))
         .select(expr(mergeExpr(replacePasses)).as("s"), col("freq"))
-        .localCheckpoint() // v_{r+1} is read twice next round
+        .localCheckpoint(false) // v_{r+1} is read twice next round
     }
     out.result()
   }

@@ -16,17 +16,49 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** [[run]] with `vertices` = the edge-touched set, derived HERE from
+    * the checkpointed edge frame. Every dedup-cluster caller used to
+    * build `touched` from its own (expensive: verify-joined, filtered)
+    * edges plan and pass both — so the edge subtree executed once for
+    * `touched`'s materialization and once more inside [[run]]'s sym
+    * build. Routing both through one eager checkpoint halves the
+    * expensive part of the whole CC call (measured r11: q195's edge
+    * subtree is ~40% of the query).
+    */
+  def runOnEdges(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val touched = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+    core(touched, e, maxIter)
+  }
+
   /** @param vertices single-column DataFrame `id`
     * @param edges    two-column DataFrame `src`, `dst` (undirected)
     * @return `id`, `component` (= min reachable id)
     */
-  def run(vertices: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def run(vertices: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame =
+    core(vertices,
+      edges.select(col("src"), col("dst")).localCheckpoint(), maxIter)
+
+  /** The propagation loop; `e0` must already be checkpointed. */
+  private def core(vertices: DataFrame, e0: DataFrame,
+      maxIter: Int): DataFrame = {
     // localCheckpoint per round truncates the lineage — without it the
     // plan (and per-iteration analysis/codegen time) grows linearly with
     // the iteration count, which dominates wall-clock long before data
-    // size does.
-    val sym = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // size does. Checkpoint discipline (r11, measured): `edges` is
+    // checkpointed ONCE eagerly — it appears twice in sym's union (both
+    // direction arms), so an un-checkpointed caller plan would execute
+    // twice; sym and the initial labels stay EAGER because each has two
+    // consumers whose stages AQE schedules concurrently, and a LAZY
+    // checkpoint consumed by two concurrent stages is recomputed in
+    // both before the cache fills (measured: lazy-everything ran q195
+    // 1.9x SLOWER). Only the per-round `next` is lazy: its first
+    // consumer is the convergence aggregate below — a single action
+    // that materializes it in the same job, halving the per-round job
+    // count.
+    val sym = e0
+      .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
     var labels = vertices.select(col("id"), col("id").as("component"))
@@ -44,7 +76,7 @@ object ConnectedComponents {
       val next = labels.select(col("id"), col("component"))
         .unionByName(viaEdges)
         .groupBy("id").agg(min("component").as("component"))
-        .localCheckpoint()
+        .localCheckpoint(false) // materialized by the sum action below
       val s = next.agg(sum(col("component")).cast("decimal(38,0)")).collect()(0)
         .getDecimal(0)
       converged = s.compareTo(prevSum) == 0

@@ -247,9 +247,9 @@ object Dedup {
         (expr("size(sh_a)") + expr("size(sh_b)") - col("inter")))
       .filter(col("jaccard") >= NearDupThreshold)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
-    val touched = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id"))).distinct()
-    val clusters = ConnectedComponents.run(touched, edges)
+    // runOnEdges: the verify-joined edge subtree executes once for both
+    // the touched set and the propagation (r11)
+    val clusters = ConnectedComponents.runOnEdges(edges)
       .select(col("id").as("doc_id"), col("component"))
     docsSh.select("doc_id")
       .join(clusters, Seq("doc_id"), "left")
@@ -1328,9 +1328,8 @@ object Dedup {
       val eNewNew = verified(newNewCands, "id_a", "id_b", batchSh, batchSh)
         .select(col("id_a").as("src"), col("id_b").as("dst"))
       val edges = eNewOld.unionByName(eNewNew)
-      val touched = edges.select(col("src").as("id"))
-        .union(edges.select(col("dst").as("id"))).distinct()
-      val comp = ConnectedComponents.run(touched, edges)
+      // runOnEdges: both verified-candidate subtrees execute once (r11)
+      val comp = ConnectedComponents.runOnEdges(edges)
       val batchAssign = batchSh.select("doc_id")
         .join(comp.toDF("doc_id", "component"), Seq("doc_id"), "left")
         .withColumn("cluster_id", coalesce(col("component"), col("doc_id")))

@@ -119,6 +119,15 @@ object BmpCodec extends MediaCodec {
   */
 private[operators] object ImageIoCodec {
 
+  // ImageIO defaults to a DISK-backed stream cache: every read/write
+  // creates (and deletes) a temp file. Serially that is a hidden
+  // constant; under the fan-out (32 concurrent decode tasks) the temp
+  // churn contends on the filesystem and the parallel pass ran SLOWER
+  // than the single-core one (measured this round: q198 3.65 s -> 8.12 s
+  // before this switch, 0.6 s after). Payloads here are KB-sized, so
+  // memory-backed streams are strictly better at any scale.
+  javax.imageio.ImageIO.setUseCache(false)
+
   def readPlane(payload: Array[Byte]): Option[DecodedImage] =
     // degrade-don't-fail: any reader error on a corrupt payload is a
     // None, never a partition failure

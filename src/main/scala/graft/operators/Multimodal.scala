@@ -34,6 +34,24 @@ object Multimodal {
   private val FrameStride = 64
   private val HeadBytes = 8
 
+  /** Fan the (doc_id, payload) projection out to the session's default
+    * parallelism before a per-row codec pass. The bench corpus is one
+    * small parquet file (single row group), so the scan is ONE task and
+    * without this the decode work — the dominant cost of every codec
+    * query — runs on one core while the rest idle (guide §1.2 step 1:
+    * fix the distributed shape first; §8.3: the per-task work was the
+    * wall). The exchange moves each payload exactly once (~600 KB at
+    * sf0.1 — trivial next to the imageio work it parallelizes) and is
+    * keyed on doc_id, so the assignment is deterministic under retries
+    * (guide §2.5 warns off rand()-derived keys). Scale-adaptive, not a
+    * local-mode constant: defaultParallelism is the session's core
+    * count; a production multi-split scan already arrives wide and this
+    * just rebalances the codec stage to it.
+    */
+  private def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+      col("doc_id"))
+
   /** Decode dispatch: a mime with a registered pure-JVM codec
     * ([[MediaCodecs.registry]] — BMP/PNG/JPEG/GIF images, WAV audio) is
     * REALLY decoded and the features computed over the decoded plane
@@ -170,7 +188,9 @@ object Multimodal {
     // at 100 TB this is the same narrow per-partition decode pass as
     // q50.
     "q191_bmp_roundtrip" -> { (s, dir) =>
-      losslessRoundTrip(s, dir, "image/bmp", BmpCodec.encode)
+      // fan = false: the BMP decode is two arraycopies per row — the
+      // exchange would cost more than the single-core pass (measured)
+      losslessRoundTrip(s, dir, "image/bmp", BmpCodec.encode, fan = false)
     },
 
     // PNG round-trip (r9 verdict #1): same contract as q191 — each
@@ -181,7 +201,7 @@ object Multimodal {
     // dimensions and per-channel sums straight from the source bytes
     // and a hash match proves decode inverts encode byte-for-byte.
     "q197_png_roundtrip" -> { (s, dir) =>
-      losslessRoundTrip(s, dir, "image/png", PngCodec.encode)
+      losslessRoundTrip(s, dir, "image/png", PngCodec.encode, fan = true)
     },
 
     // JPEG decode (r9 verdict #1, second half): JPEG is LOSSY, so the
@@ -195,8 +215,8 @@ object Multimodal {
     "q198_jpeg_decode" -> { (s, dir) =>
       import s.implicits._
       val W = 8
-      Synth.documents(s, dir)
-        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      fanOut(Synth.documents(s, dir)
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload")))
         .as[(Long, Array[Byte])]
         .flatMap { case (id, bytes) =>
           val h = bytes.length / (3 * W)
@@ -228,6 +248,8 @@ object Multimodal {
     // per-channel SIGNED sample sums straight from the source bytes — a
     // hash match proves decode inverts encode including int16
     // sign/endianness handling. Map-only, the q50 scale shape.
+    // no fanOut: WAV encode/decode is a header + arraycopy per row —
+    // the exchange would cost more than the single-core pass (measured)
     "q200_wav_roundtrip" -> { (s, dir) =>
       import s.implicits._
       Synth.documents(s, dir)
@@ -267,8 +289,8 @@ object Multimodal {
     "q205_gif_roundtrip" -> { (s, dir) =>
       import s.implicits._
       val W = 8
-      Synth.documents(s, dir)
-        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      fanOut(Synth.documents(s, dir)
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload")))
         .as[(Long, Array[Byte])]
         .flatMap { case (id, bytes) =>
           val h = bytes.length / W
@@ -339,8 +361,8 @@ object Multimodal {
     "q206_mjpeg_frames" -> { (s, dir) =>
       import s.implicits._
       val W = 8
-      Synth.documents(s, dir)
-        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      fanOut(Synth.documents(s, dir)
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload")))
         .as[(Long, Array[Byte])]
         .flatMap { case (id, bytes) =>
           val h = (bytes.length - (MjpegFrames - 1)) / (3 * W)
@@ -403,11 +425,13 @@ object Multimodal {
     * q50.
     */
   private def losslessRoundTrip(s: SparkSession, dir: String, mime: String,
-      enc: (Array[Byte], Int, Int) => Array[Byte]): DataFrame = {
+      enc: (Array[Byte], Int, Int) => Array[Byte],
+      fan: Boolean): DataFrame = {
     import s.implicits._
     val W = 8
-    Synth.documents(s, dir)
+    val proj = Synth.documents(s, dir)
       .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+    (if (fan) fanOut(proj) else proj)
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
         val h = bytes.length / (3 * W)

@@ -417,7 +417,12 @@ object Similarity {
       graft.functions.GraftFunctions.register(s)
       val tau = 0.35 // the synthetic table's dup band (max pairwise 0.51)
       val k = corpusCells(s, dir)
+      // repartition BEFORE the argmax-of-k-dots cell expression: the
+      // corpus is one parquet file = one scan task, so without the
+      // fan-out the k x 64-dim centroid dots run on a single core and
+      // the checkpointed frame stays one partition for both pair sides
       val e = Synth.embeddings(s, dir)
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
         .select(col("vec_id"), col("embedding"))
         .withColumn("cell", expr(clusterExprSparkK("embedding", k)))
         .localCheckpoint() // feeds both pair sides + the final attach
@@ -433,9 +438,10 @@ object Similarity {
         .withColumn("cos", expr(Dedup.dot("emb_a", "emb_b")))
         .filter(col("cos") >= tau)
         .select(col("id_a").as("src"), col("id_b").as("dst"))
-      val touched = edges.select(col("src").as("id"))
-        .union(edges.select(col("dst").as("id"))).distinct()
-      val comp = ConnectedComponents.run(touched, edges)
+      // runOnEdges: touched derives from the SAME checkpointed edge
+      // frame CC symmetrizes, so the expensive verify-join subtree above
+      // executes once, not twice
+      val comp = ConnectedComponents.runOnEdges(edges)
       e.select(col("vec_id"), col("cell").cast("int").as("cell"))
         .join(comp.toDF("vec_id", "comp"), Seq("vec_id"), "left")
         .withColumn("sem_group", coalesce(col("comp"), col("vec_id")))
