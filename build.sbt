@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Pin the heap and widen the JIT code cache: the bench sweep runs
+  // 230+ queries in one JVM — thousands of whole-stage-codegen classes
+  // JIT-compile over the sweep, and an adaptively-grown heap re-sizes
+  // under load. Measured r11: the bench's data-independent sentinel
+  // degraded 0.07 s (cold) -> ~0.2 s (late sweep) before these flags.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -367,7 +367,9 @@ object Curation {
       val B = 1024
       val g2 = "if(size(t) < 2, array(), zip_with(slice(t, 1, size(t) - 1), " +
         "slice(t, 2, size(t) - 1), (a, b) -> concat(a, ' ', b)))"
-      val feats = Synth.documents(s, dir)
+      // fanOut: tokenize + bigram explode + hash is the map cost and it
+      // runs twice (ratio table + the scoring join) over a one-task scan
+      val feats = Synth.fanOut(Synth.documents(s, dir), "doc_id")
         .select(col("doc_id"), col("source"), col("lang"),
           expr(TextAnalysis.toks).as("t"))
         .select(col("doc_id"), col("source"), col("lang"),

@@ -124,8 +124,9 @@ private[operators] object ImageIoCodec {
   // constant; under the fan-out (32 concurrent decode tasks) the temp
   // churn contends on the filesystem and the parallel pass ran SLOWER
   // than the single-core one (measured this round: q198 3.65 s -> 8.12 s
-  // before this switch, 0.6 s after). Payloads here are KB-sized, so
-  // memory-backed streams are strictly better at any scale.
+  // before this switch, 0.76 s after; q206 10.5 -> 20.8 -> 0.94).
+  // Payloads here are KB-sized, so memory-backed streams are strictly
+  // better at any scale.
   javax.imageio.ImageIO.setUseCache(false)
 
   def readPlane(payload: Array[Byte]): Option[DecodedImage] =

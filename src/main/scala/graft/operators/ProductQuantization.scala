@@ -322,7 +322,10 @@ object ProductQuantization {
     // residual aggregation is map-side combinable into 8 rows.
     "q199_pq_append" -> { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
-      val e = Synth.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      // fanOut: the per-row argmin over 8x256 sub-codebooks below is the
+      // query cost and the single-file scan is one task
+      val e = Synth.fanOut(Synth.embeddings(s, dir), "vec_id")
+        .select(col("vec_id"), col("embedding"))
       val isApp = col("vec_id") >= 16 && col("vec_id") % 10 === 9
       val base = e.filter(!isApp)
       val cb = cbCache.computeIfAbsent(

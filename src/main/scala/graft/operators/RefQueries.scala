@@ -29,8 +29,10 @@ object RefQueries {
     // Q1 — P1/P2: enriched decode, collector_tstamp from TSV col index 3
     // (reference: Processing.scala:143-154; NULL on malformed, silent).
     "q01_enriched_tstamp" -> { (s, dir) =>
-      val lines = Synth.events(s, dir).select(
-        col("event_id"), Synth.enrichedLine().as("line"))
+      // fanOut: the timestamp parse below is the query's cost and the
+      // single-file scan is one task (Synth.fanOut scaladoc)
+      val lines = Synth.fanOut(Synth.events(s, dir).select(
+        col("event_id"), Synth.enrichedLine().as("line")), "event_id")
       lines
         .select(
           col("event_id"),
@@ -44,8 +46,8 @@ object RefQueries {
     // Q2 — P3/P4: SDJ good/bad split, good side with extracted schema URI
     // (reference: Processing.scala:114-141,175-187).
     "q02_sdj_good" -> { (s, dir) =>
-      Synth.events(s, dir)
-        .select(col("event_id"), Synth.sdjLine().as("line"))
+      Synth.fanOut(Synth.events(s, dir)
+        .select(col("event_id"), Synth.sdjLine().as("line")), "event_id")
         .select(col("event_id"),
           get_json_object(col("line"), "$.schema").as("schema_uri"))
         .filter(col("schema_uri").rlike(Synth.IgluRegex))
@@ -55,8 +57,8 @@ object RefQueries {
     // Q2b — the complement: bad rows carry Base64 of the raw payload
     // (reference: Processing.scala:189-204, payload Base64 at :198).
     "q02_sdj_bad" -> { (s, dir) =>
-      Synth.events(s, dir)
-        .select(col("event_id"), Synth.sdjLine().as("line"))
+      Synth.fanOut(Synth.events(s, dir)
+        .select(col("event_id"), Synth.sdjLine().as("line")), "event_id")
         .filter(!coalesce(get_json_object(col("line"), "$.schema"), lit(""))
           .rlike(Synth.IgluRegex))
         .select(col("event_id"), base64(col("line").cast("binary")).as("payload_b64"))
@@ -71,8 +73,8 @@ object RefQueries {
       // split/substring over the already-validated URI. The 4-regex
       // regexp_extract form measured 10× slower at sf0.1 once the bench
       // stopped letting Catalyst prune the projections.
-      Synth.events(s, dir)
-        .select(col("event_id"), Synth.sdjLine().as("line"))
+      Synth.fanOut(Synth.events(s, dir)
+        .select(col("event_id"), Synth.sdjLine().as("line")), "event_id")
         .select(col("event_id"),
           get_json_object(col("line"), "$.schema").as("u"))
         .filter(col("u").rlike(Synth.IgluRegex))
@@ -89,8 +91,8 @@ object RefQueries {
     // Q4 — A1+A2: group by schema key, count per group
     // (reference: Processing.scala:106,121-123 map-merge monoid).
     "q04_group_by_schema" -> { (s, dir) =>
-      Synth.events(s, dir)
-        .select(Synth.sdjLine().as("line"))
+      Synth.fanOut(Synth.events(s, dir)
+        .select(col("event_id"), Synth.sdjLine().as("line")), "event_id")
         .select(get_json_object(col("line"), "$.schema").as("u"))
         .filter(col("u").rlike(Synth.IgluRegex))
         .withColumn("parts", split(substring(col("u"), 6, 1000000), "/"))
@@ -134,8 +136,8 @@ object RefQueries {
     // (reference: DynamicPath.scala:80-97; SDJ default template
     //  DynamicPath.scala:46-49).
     "q07_partition_path" -> { (s, dir) =>
-      Synth.events(s, dir)
-        .select(col("event_id"), col("ts"), Synth.sdjLine().as("line"))
+      Synth.fanOut(Synth.events(s, dir)
+        .select(col("event_id"), col("ts"), Synth.sdjLine().as("line")), "event_id")
         .select(col("event_id"), col("ts"),
           get_json_object(col("line"), "$.schema").as("u"))
         .filter(col("u").rlike(Synth.IgluRegex))

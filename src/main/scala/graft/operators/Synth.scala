@@ -65,6 +65,20 @@ object Synth {
     * the NTZ→LTZ cast reinterprets the same wall-clock instant DuckDB sees
     * and every downstream timestamp function works unchanged.
     */
+  /** Hash-repartition to the session's default parallelism — the fan-out
+    * for per-row-CPU-heavy stages (regex, JSON extraction, codecs) over
+    * the driver's single-file single-row-group parquet inputs, whose
+    * scans are ONE task (guide §1.2 step 1: fix the distributed shape
+    * first). Keyed, not round-robin: deterministic under retries and no
+    * sort-before-repartition pass (guide §2.5). At production scale a
+    * multi-split scan already arrives wide and this just rebalances to
+    * the core count. Apply only where the downstream per-row work
+    * measurably exceeds the exchange cost (~0.1-0.3 s here) — trivial
+    * maps stay narrow.
+    */
+  def fanOut(df: DataFrame, key: String): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(key))
+
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/events.parquet")
