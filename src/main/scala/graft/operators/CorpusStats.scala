@@ -89,7 +89,10 @@ object CorpusStats {
     // count over the ≤ C(30,3) keys. Co-occurrence support is an
     // integer doc count — hash-exact.
     "q134_frequent_triples" -> { (s, dir) =>
-      val pres = Synth.documents(s, dir)
+      // fanOut: tokenize + array_distinct + explode is the map cost and
+      // it runs twice (vocabulary df pass + the presence re-scan that
+      // builds per-doc arrays) over a one-task single-file scan
+      val pres = Synth.fanOut(Synth.documents(s, dir), "doc_id")
         .select(col("doc_id"),
           explode(expr(s"array_distinct(${TextAnalysis.toks})")).as("w"))
       val vocab = pres.groupBy("w").agg(count(lit(1)).as("df"))

@@ -438,6 +438,11 @@ object Curation {
     // hashing makes even the false positives oracle-exact.
     "q49_bloom_decon" -> { (s, dir) =>
       val isEval = col("doc_id") % 97 === 0
+      // NO fanOut/checkpoint here (measured r11): the shingle pass feeds
+      // four consumers, but materializing it 32-wide (fanOut +
+      // localCheckpoint) benched 1.95 -> 2.22 s — the per-row md5 work is
+      // under the exchange + checkpoint-job cost at any tested scale, so
+      // the narrow re-computed plan stays.
       val sh = Dedup.shingled(s, dir)
       def positions(shingleCol: String): Seq[org.apache.spark.sql.Column] =
         (0 until BloomK).map { i =>
