@@ -289,6 +289,7 @@ object Bench {
       "q33c_simhash64_pairs", "q120_containment", "q195_semantic_dedup",
       "q187_incremental_clusters", "q204_knn_graph_beam")
     val scalingFactors = Seq(1, 2, 4, 8)
+    val scalingSentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
     val scaling: Seq[(String, Seq[Double])] =
       if (sys.env.get("SPARK_GRAFT_SCALING").contains("0") || subset.isDefined)
         Seq.empty
@@ -332,6 +333,12 @@ object Bench {
           f -> dir
         }
         val perDir = dirs.map { case (f, dir) =>
+          // per-point contention stamp (r11): the scaling points run at
+          // the tail of a long sweep, where the steal band hits hardest —
+          // one sentinel per factor lets a reader adjudicate a superlinear-
+          // looking point without re-running it (the same instrument the
+          // main sweep already carries)
+          scalingSentinels += runSentinel()
           // memoized artifacts (cluster map, band index) are per-corpus
           // INDEX state — built untimed, as for the main sweep's warmup
           try graft.operators.Dedup.warmArtifacts(spark, dir)
@@ -366,7 +373,9 @@ object Bench {
         Seq.empty
       }
     val scalingJson =
-      s"""{"factors":[${scalingFactors.mkString(",")}],"families":{""" +
+      s"""{"factors":[${scalingFactors.mkString(",")}],""" +
+        s""""sentinels":[${scalingSentinels.map(num).mkString(",")}],""" +
+        """"families":{""" +
         scaling.map { case (n, ts) =>
           "\"" + n + "\":[" + ts.map(num).mkString(",") + "]"
         }.mkString(",") + "}}"

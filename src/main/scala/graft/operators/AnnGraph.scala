@@ -239,11 +239,16 @@ object AnnGraph {
       var visited = beam
       var lastScored: DataFrame = null
       for (_ <- 1 to rounds) {
+        // cand's checkpoint is LAZY (r11, measured): its first action is
+        // this round's beam materialization — a single consumer, so the
+        // concurrent-recompute hazard that forces beam/beam0 eager does
+        // not apply — and `visited`/`answer` read the filled cache later.
+        // Lazy here removes one eager job per round.
         val cand = beam
           .unionByName(beam.join(graph, beam("vec_id") === graph("src"))
             .select(col("query_id"), col("dst").as("vec_id")))
           .distinct()
-          .localCheckpoint()
+          .localCheckpoint(false)
         visited = visited.unionByName(cand)
         lastScored = scoreOf(cand)
         beam = lastScored.groupBy("query_id")

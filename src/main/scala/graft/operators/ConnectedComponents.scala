@@ -57,9 +57,17 @@ object ConnectedComponents {
     // consumer is the convergence aggregate below — a single action
     // that materializes it in the same job, halving the per-round job
     // count.
+    // sym is hash-partitioned on dst BEFORE the checkpoint: every
+    // round's propagation join keys on sym.dst, and a LogicalRDD
+    // checkpoint preserves its child's output partitioning — so the
+    // per-round plan reads sym's cached partitions directly instead of
+    // re-shuffling it each round (guide §2.4: establish the partitioning
+    // once; one extra exchange here replaces one per round).
     val sym = e0
       .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .repartition(
+        e0.sparkSession.sparkContext.defaultParallelism, col("dst"))
       .localCheckpoint()
     var labels = vertices.select(col("id"), col("id").as("component"))
       .localCheckpoint()

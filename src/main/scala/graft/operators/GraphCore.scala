@@ -217,7 +217,12 @@ object GraphCore {
     * by sampling for exactly this reason); on corpora with no over-cap
     * key the output is exact and unchanged.
     */
-  private[graft] def butterflyStats(op: DataFrame, dfCap: Int): DataFrame = {
+  private[graft] def butterflyStats(op0: DataFrame, dfCap: Int): DataFrame = {
+    // the compacted (ok, pk) incidence list is read by the degree pass
+    // and BOTH wedge-join sides (through opLow) — without the checkpoint
+    // the upstream distinct's shuffle re-executes once per consumer
+    // (r11, measured A/B)
+    val op = op0.localCheckpoint()
     val dfs = op.groupBy("pk").agg(count(lit(1)).as("df"))
     val wedges = dfs.agg(sum(expr("df * (df - 1) div 2")).as("n_wedges"))
     // explicit select: a USING join reorders columns (join key first),
@@ -249,8 +254,11 @@ object GraphCore {
     * anyway: a basket with thousands of items evidences co-location,
     * not co-purchase intent).
     */
-  private[graft] def associationRules(op: DataFrame, minSupp: Int,
+  private[graft] def associationRules(op0: DataFrame, minSupp: Int,
       basketCap: Int): DataFrame = {
+    // (ok, pk) is read 5× (order count, singleton supports, basket-size
+    // filter, both pair-join sides) — checkpoint once (r11, measured A/B)
+    val op = op0.localCheckpoint()
     val n = op.agg(countDistinct(col("ok")).as("n_orders"))
     val supp = op.groupBy("pk").agg(count(lit(1)).as("s"))
     val okLow = op.groupBy("ok").agg(count(lit(1)).as("bsz"))

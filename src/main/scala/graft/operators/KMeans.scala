@@ -44,6 +44,18 @@ object KMeans {
   private def assign(e: DataFrame, centroids: Array[Array[Double]]): DataFrame =
     e.withColumn("cid", expr(clusterExpr(centroids)).cast("int"))
 
+  /** The (vec_id, embedding) base each query's actions re-derive from
+    * the scan. A fanOut + localCheckpoint variant (materialize once,
+    * feed the init collect + 2 Lloyd jobs + final assignment) was
+    * A/B-measured in r11 and REJECTED: q43 0.71→2.00 s, q43b 0.86→1.85,
+    * q34b 1.19→2.63 in matched windows — the eager checkpoint job plus
+    * 32-task scheduling per action cost far more than the ~0.1 s
+    * one-task scan+argmin it saves at this scale (the BMP/WAV tradeoff:
+    * per-row work below the exchange price keeps the narrow plan).
+    */
+  private def base(s: SparkSession, dir: String): DataFrame =
+    Synth.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+
   /** Lloyd iterations; returns the final centroids. */
   def train(e: DataFrame): Array[Array[Double]] = {
     val init: Array[Array[Double]] = e
@@ -73,7 +85,7 @@ object KMeans {
     // IVF index would partition by.
     "q43_kmeans" -> { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
-      val e = Synth.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val e = base(s, dir)
       val centroids = train(e)
       assign(e, centroids)
         .select(col("vec_id"), col("cid").as("cluster"))
@@ -86,7 +98,7 @@ object KMeans {
     // the vectors by; the probe touches ~n/k of the data.
     "q43b_ivf_trained" -> { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
-      val e = Synth.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val e = base(s, dir)
       val assigned = assign(e, train(e))
         .select(col("vec_id"), col("embedding"), col("cid").as("cluster"))
       val q = assigned.filter(col("vec_id") < 5)
@@ -113,7 +125,7 @@ object KMeans {
     // no partition ever sees more than one cluster's pairs.
     "q34b_semdedup" -> { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
-      val e = Synth.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val e = base(s, dir)
       val assigned = assign(e, train(e))
         .select(col("vec_id"), col("embedding"), col("cid").as("cluster"))
       val a = assigned.toDF("id_a", "emb_a", "cluster")

@@ -29,8 +29,18 @@ object Perceptron {
 
   /** Integer feature projection: bias, token count, '.' count, "the"
     * occurrence count. Same rendering in both engines.
+    *
+    * Fanned out + checkpointed (r11, measured): every consumer — the 3
+    * training epochs (one filter+sum action each) and the final scoring
+    * pass — used to re-run the regex/replace extraction over the
+    * single-file one-task scan, so the per-row string work executed 4×
+    * on one core. One 32-wide materialization feeds all of them (guide
+    * §1.2 step 1 + §5 caching: reused AND expensive to recompute).
     */
   private def features(s: SparkSession, dir: String): DataFrame =
+    Synth.fanOut(rawFeatures(s, dir), "doc_id").localCheckpoint()
+
+  private def rawFeatures(s: SparkSession, dir: String): DataFrame =
     Synth.documents(s, dir).select(
       col("doc_id"), col("source"),
       when(col("lang") === "en", 1L).otherwise(-1L).as("y"),

@@ -138,6 +138,10 @@ object Relational {
     // the fact table (Spark plans the multi-distinct via Expand — still
     // a single scan), then a map-only stack to one row per column.
     "q139_table_profile" -> { (s, dir) =>
+      // fanOut before the Expand ×4 partial aggregate was A/B-measured
+      // in r11 and came out FLAT (1.16→1.20 s): the multi-distinct
+      // partial agg already combines map-side, so the exchange buys
+      // nothing — narrow plan kept
       Synth.lineitem(s, dir)
         .agg(
           count(lit(1)).as("n_rows"),
@@ -206,7 +210,11 @@ object Relational {
     // Rollup (hierarchical subtotals); subtotal NULLs rendered as '(all)'
     // so ordering is engine-independent.
     "q16_rollup" -> { (s, dir) =>
-      Synth.lineitem(s, dir)
+      // project + fan out the one-task scan (r11, measured): rollup's
+      // Expand ×3 and the decimal partial sums otherwise run on one core
+      Synth.fanOut(Synth.lineitem(s, dir)
+          .select("l_orderkey", "l_returnflag", "l_linestatus", "l_quantity"),
+          "l_orderkey")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n_rows"),
           sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
@@ -371,6 +379,9 @@ object Relational {
     // what keeps it scale-safe — an unlisted pivot would need a
     // distinct-values pre-pass and a dynamic schema.
     "q75_pivot" -> { (s, dir) =>
+      // fanOut before the pivot partial aggregate was A/B-measured in
+      // r11 and REJECTED (0.48→0.77 s) — the exchange costs more than
+      // the one-task partial agg it spreads
       Synth.lineitem(s, dir)
         .groupBy("l_returnflag")
         .pivot("l_linestatus", Seq("F", "O"))

@@ -806,13 +806,9 @@ object TextAnalysis {
     // driver-side loop state, no corpus re-scan per round (the
     // PageRank/KMeans unrolled-round pattern, fully declarative).
     "q81b_bpe_merges" -> { (s, dir) =>
-      val rounds = (1 to 3).foldLeft(
-          (bpeVocab0(s, dir), List.empty[DataFrame])) { case ((words, acc), r) =>
-        val best = bpePairStats(words).orderBy(col("n").desc, col("pair")).limit(1)
-        (bpeMergeRound(words, best),
-          best.select(lit(r).as("round"), col("pair"), col("n")) :: acc)
-      }._2
-      rounds.reduce(_ unionByName _).orderBy("round")
+      bpeChain(s, dir)._2.zipWithIndex.map { case (best, i) =>
+        best.select(lit(i + 1).as("round"), col("pair"), col("n"))
+      }.reduce(_ unionByName _).orderBy("round")
     },
 
     // BPE ENCODE — the apply side of q81b's merge training: run the same
@@ -825,10 +821,7 @@ object TextAnalysis {
     // one ratio is a single fixed-order double divide of aggregated
     // values.
     "q58_bpe_encode" -> { (s, dir) =>
-      val vocab = (1 to 3).foldLeft(bpeVocab0(s, dir)) { case (words, _) =>
-        val best = bpePairStats(words).orderBy(col("n").desc, col("pair")).limit(1)
-        bpeMergeRound(words, best)
-      }
+      val vocab = bpeChain(s, dir)._1
       val enc = vocab.select(col("w"),
         expr("size(split(trim(syms), ' '))").as("n_sub"))
       Synth.documents(s, dir)
@@ -889,6 +882,9 @@ object TextAnalysis {
     // deterministic functions of the shingle sets — stable verdicts.
     "q83b_source_overlap_hll" -> { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
+      // NO fanOut/checkpoint on the shingle pass (A/B-measured r11:
+      // 0.97→1.74 s WITH it — materializing 200k shingle rows costs more
+      // than the per-consumer recompute; same verdict as q49's pass)
       val ss = Synth.documents(s, dir)
         .select(col("source"), explode(expr(s"graft_shingles($toks, 3)")).as("sh"))
       val sk = ss.groupBy("source")
@@ -1027,10 +1023,7 @@ object TextAnalysis {
     // else is one aggregation. The two ratios are single IEEE divides
     // of exact integers — hash-stable.
     "q184_tokenizer_fertility" -> { (s, dir) =>
-      val vocab = (1 to 3).foldLeft(bpeVocab0(s, dir)) { case (words, _) =>
-        val best = bpePairStats(words).orderBy(col("n").desc, col("pair")).limit(1)
-        bpeMergeRound(words, best)
-      }
+      val vocab = bpeChain(s, dir)._1
       val enc = vocab.select(col("w"),
         expr("size(split(trim(syms), ' '))").as("n_sub"),
         expr("cast(length(w) as bigint)").as("w_chars"))
@@ -1344,6 +1337,28 @@ object TextAnalysis {
       .withColumn("syms", expr(
         "replace(syms, concat(' ', _mp, ' '), concat(' ', replace(_mp, ' ', ''), ' '))"))
       .drop("_mp")
+
+  /** The 3-round merge chain shared by q81b/q58/q184, declarative (no
+    * checkpoints). The [[BpeTrain.trainedMerges]] checkpoint discipline
+    * (eager vocab0 + eager 1-row bests + lazy vocab rounds) was
+    * A/B-measured in r11 and REJECTED for THIS 3-round chain: q81b
+    * 0.58→0.81 s, q58 0.97→1.19, q184 1.10→1.47 in matched windows —
+    * at 3 rounds the re-embedded vocab aggregation stays cheap enough
+    * that 4–5 added checkpoint jobs cost more than the recompute they
+    * remove (q207/q208's 8-round chain is past the crossover, its
+    * checkpoints stay).
+    */
+  private def bpeChain(s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
+    var words = bpeVocab0(s, dir)
+    val bests = Seq.newBuilder[DataFrame]
+    for (_ <- 1 to 3) {
+      val best = bpePairStats(words)
+        .orderBy(col("n").desc, col("pair")).limit(1)
+      bests += best
+      words = bpeMergeRound(words, best)
+    }
+    (words, bests.result())
+  }
 
   private[operators] val dToks = "regexp_split_to_array(trim(text), '\\s+')"
 
