@@ -142,6 +142,20 @@ object Bench {
     sentinelSeries += runSentinel()
     var sinceSentinel = 0
 
+    /** Drop every persisted RDD (r11): the queries' localCheckpoints are
+      * per-invocation scratch, but nothing ever unpersisted them, so the
+      * block manager accumulated hundreds of cached RDDs over a
+      * 231-query sweep — memory pressure that builds through the run and
+      * lands on whichever queries execute late (the r11 sweep recorded
+      * q120 at 6.5 s in-sweep vs 0.99 s isolated in the SAME JVM).
+      * Called BETWEEN queries — after a query's last run, outside every
+      * timed region — and never while a cross-query cache is live (memo
+      * artifacts are saved TABLES, not cached RDDs; the scaling block's
+      * derived-corpus frames are done with before its timed loop).
+      */
+    def clearCaches(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+
     val results = selected.map { case (name, fn) =>
       sinceSentinel += 1
       if (sinceSentinel >= 10) { sinceSentinel = 0; sentinelSeries += runSentinel() }
@@ -187,6 +201,7 @@ object Bench {
           times :+= runOnce()
       }
       val (min, ok, spread) = summarize(times)
+      clearCaches() // free this query's checkpoints before the next one
       (name, min, ok, spread, times.map(_._1))
     }
     // Loader-path throughput: the production dataflow end-to-end (decode →
@@ -260,6 +275,7 @@ object Bench {
         } catch { case _: Throwable => false }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
+      clearCaches()
       name -> t.filter(_._2).map(_._1).minOption.getOrElse(-1.0)
     }
     val top5Json = top5Isolated
@@ -364,6 +380,8 @@ object Bench {
               }
             }
             val (a, b) = (once(), once())
+            clearCaches() // per-query scratch; the scaling corpora are
+            // parquet DIRS and the memo artifacts tables — both survive
             name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
           }.toMap
         }
