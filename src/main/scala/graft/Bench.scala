@@ -55,6 +55,13 @@ object Bench {
     org.apache.log4j.Logger
       .getLogger("org.apache.spark.sql.execution.window.WindowExec")
       .setLevel(org.apache.log4j.Level.ERROR)
+    // clearCaches() below unpersists each query's localCheckpoint scratch
+    // between queries; every RDD then logs a lineage-truncated WARN —
+    // thousands of stderr lines per sweep for an intentional, documented
+    // unpersist. Silence the RDD loggers only (not the SQL engine's).
+    org.apache.log4j.Logger
+      .getLogger("org.apache.spark.rdd")
+      .setLevel(org.apache.log4j.Level.ERROR)
     val subset = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
     val explain = sys.env.contains("SPARK_GRAFT_EXPLAIN")
     val selected = SparkEntry.queries

@@ -81,9 +81,36 @@ object ConnectedComponents {
       val viaEdges = sym
         .join(labels, sym("dst") === labels("id"))
         .select(sym("src").as("id"), col("component"))
-      val next = labels.select(col("id"), col("component"))
+      val m = labels.select(col("id"), col("component"))
         .unionByName(viaEdges)
         .groupBy("id").agg(min("component").as("component"))
+      // POINTER JUMP (r11): comp(v) ← comp(comp(v)). Plain one-hop
+      // propagation needs O(diameter) rounds, and the synthetic corpus
+      // builds LONG CHAINS of consecutive-id near-dups — at sf0.1 the
+      // q195/cluster-map graphs were still propagating when the old loop
+      // hit maxIter (label sums decreasing at round 20), i.e. every CC
+      // consumer's bench-scale output was silently truncated while the
+      // oracle's WITH RECURSIVE closure runs to the true fixpoint (the
+      // small-SF gates converge under 20 rounds, which is why
+      // CORRECTNESS stayed green). Jumping makes rounds O(log diameter)
+      // — maxIter 20 now covers diameters ~2^20 — so the loop actually
+      // CONVERGES at every scale, to the identical fixpoint: label
+      // values are always ids of same-component vertices, each step is
+      // a min over same-component labels (monotone, bounded below by
+      // the component min), and a combined-operator fixpoint forces
+      // comp constant per component = min id. Cost shape: m's aggregate
+      // appears on both sides of the jump join inside ONE action, so
+      // its shuffle is computed once and reused (ReusedExchange — the
+      // right side is already hash(id)-partitioned by the aggregate,
+      // only the left adds an exchange on component); still one job per
+      // round. The left join + coalesce is totality armor (every
+      // component value IS an id in m — labels only ever hold touched
+      // ids — but a dropped row would be silent, a null is not).
+      val next = m
+        .join(m.select(col("id").as("cid"), col("component").as("jmp")),
+          col("component") === col("cid"), "left")
+        .select(col("id"),
+          coalesce(col("jmp"), col("component")).as("component"))
         .localCheckpoint(false) // materialized by the sum action below
       val s = next.agg(sum(col("component")).cast("decimal(38,0)")).collect()(0)
         .getDecimal(0)

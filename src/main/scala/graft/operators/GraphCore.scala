@@ -91,6 +91,12 @@ object GraphCore {
       .unionAll(edges0.select(col("pb").as("src"), col("pa").as("dst")))
       .localCheckpoint()
     var cur = e0
+    // NO fixpoint early-exit (measured r11): keep sets are monotone, so
+    // an equal-count round would let the loop stop with a bit-identical
+    // result — but at sf0.1 the co-purchase keep counts are
+    // 19154/18957/18893/18869/18863/18863: convergence lands exactly ON
+    // the final round, so the exit saves zero rounds while its per-round
+    // count() adds a job (A/B benched flat-to-worse, 2.84 → 2.91 min).
     for (_ <- 1 to rounds) {
       val keep = cur.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select("src")

@@ -74,12 +74,13 @@ object PageRank {
     * elsewhere) and the seed-concentrated init (Scale/|S|). The seed
     * flag is joined once and checkpointed with the vertices, so each
     * iteration costs exactly what a global-PageRank iteration costs.
+    * `weighted` is the pre-aggregated (src, dst, cnt) multigraph, as
+    * [[runWeighted]] takes (callers build it from one corpus pass).
     */
   def runPersonalized(
-      vertices: DataFrame, edges: DataFrame, seeds: DataFrame,
+      vertices: DataFrame, weighted: DataFrame, seeds: DataFrame,
       iters: Int): DataFrame = {
-    val wedges = edges.groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+    val wedges = weighted.localCheckpoint()
     val seeded = vertices
       .join(seeds.select(col("id"), lit(1).as("is_seed")), Seq("id"), "left")
       .localCheckpoint()
@@ -118,14 +119,8 @@ object PageRank {
     // event time), PageRank scores the types. The full log-to-graph-to-
     // rank pipeline in one query.
     "q67_pagerank" -> { (s, dir) =>
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val ev = Synth.events(s, dir)
-      val edges = ev
-        .select(col("event_type").as("src"),
-          lead(col("event_type"), 1).over(w).as("dst"))
-        .filter(col("dst").isNotNull)
-      val vertices = ev.select(col("event_type").as("id")).distinct()
-      run(vertices, edges, nIters).orderBy("id")
+      val (vertices, wedges) = journeyGraph(s, dir)
+      runWeighted(vertices, wedges, nIters).orderBy("id")
     },
 
     // Frequent 3-step journeys — sequence-pattern mining over the same
@@ -153,17 +148,34 @@ object PageRank {
     // primitive behind seed-set expansion and related-item mining,
     // with q67's bit-exact integer numerics.
     "q154_personalized_pagerank" -> { (s, dir) =>
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val ev = Synth.events(s, dir)
-      val edges = ev
-        .select(col("event_type").as("src"),
-          lead(col("event_type"), 1).over(w).as("dst"))
-        .filter(col("dst").isNotNull)
-      val vertices = ev.select(col("event_type").as("id")).distinct()
+      val (vertices, wedges) = journeyGraph(s, dir)
       val seeds = vertices.filter(col("id") === PprSeed)
-      runPersonalized(vertices, edges, seeds, nIters).orderBy("id")
+      runPersonalized(vertices, wedges, seeds, nIters).orderBy("id")
     }
   )
+
+  /** q67/q154's journey-transition graph from ONE event-log pass: the
+    * lead window keeps every event row (dst NULL for journey tails), so
+    * the UNFILTERED (src, dst) aggregate — checkpointed, it is
+    * |types|²-bounded — yields both the vertex set (distinct src ≡
+    * distinct event_type: every event appears exactly once as a src)
+    * and the weighted multigraph (the non-NULL rows). The old shape
+    * ran the window pass for the edges AND a second full-log distinct
+    * for the vertices — two corpus passes per query for one graph
+    * (guide §5: multi-consumer recompute). Identical integers: the
+    * aggregate groups the same rows the raw multigraph would.
+    */
+  private def journeyGraph(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = Synth.events(s, dir)
+      .select(col("event_type").as("src"),
+        lead(col("event_type"), 1).over(w).as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    (pairs.select(col("src").as("id")).distinct(),
+      pairs.filter(col("dst").isNotNull))
+  }
 
   def oracle: Map[String, String] = {
     // the same three integer-arithmetic iterations, unrolled as CTEs

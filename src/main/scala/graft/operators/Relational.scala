@@ -1025,6 +1025,11 @@ object Relational {
     "q157_rfm_segments" -> { (s, dir) =>
       val ev = Synth.events(s, dir)
       val dmax = ev.agg(max(to_date(col("ts"))).as("dmax"))
+      // NO checkpoint on rfm (measured r11): it is consumed twice (the
+      // percentile pass and the binning pass), but materializing the
+      // user-sized frame benched SLOWER in both A/B windows (0.67→0.84,
+      // 0.48→0.69) — the checkpoint job costs more than the saved
+      // event-log re-aggregation at any tested scale.
       val rfm = ev.groupBy("user_id").agg(
         max(to_date(col("ts"))).as("last_d"),
         count(lit(1)).as("f"),

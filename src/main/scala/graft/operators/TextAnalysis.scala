@@ -73,8 +73,14 @@ object TextAnalysis {
       .crossJoin(broadcast(stats))
       .filter(col("df").cast("double") <= lit(0.5) * col("n").cast("double"))
       .select("term")
+    // checkpointed (r11): v is consumed FOUR times (norms ×2 via the two
+    // toDF sides, qv's broadcast build, dots' probe side) — each used to
+    // re-run the shingle explode + df cut + semi join from the scan
+    // (guide §5). The (doc_id, term) frame is post-df-cut, so it is the
+    // smallest point to cut the recompute at.
     val v = sh.join(rare.hint("shuffle_hash"), Seq("term"), "left_semi")
       .select("doc_id", "term") // USING join emits the join column first
+      .localCheckpoint()
     val norms = v.groupBy("doc_id").agg(count(lit(1)).as("n2"))
     val qv = v.filter(col("doc_id") < 3).toDF("query_id", "term")
     val dots = v.toDF("doc_id", "term")
